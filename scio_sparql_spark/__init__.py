@@ -1,0 +1,13 @@
+"""scio_sparql_spark — a PySpark-native SPARQL 1.1 SELECT engine plus
+large-scale data-pipeline operators (dedup, similarity, text analysis).
+
+A from-scratch rebuild of the capabilities of jordiolivares/scio-sparql
+(Scio/Beam; reference at /root/reference) on the Spark DataFrame stack:
+declarative plans, Catalyst optimization, Tungsten execution.
+"""
+
+from .engine import execute_sparql  # noqa: F401
+from .sources.rio import parse_turtle, quads_df_from_list, read_triples, write_triples  # noqa: F401
+from .terms import QUADS_SCHEMA, TERM_TYPE, Term  # noqa: F401
+
+__version__ = "0.1.0"

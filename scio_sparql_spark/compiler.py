@@ -1,0 +1,527 @@
+"""Algebra -> DataFrame compiler.
+
+The Spark-side counterpart of the reference's single recursive
+``processOperation`` (reference: Interpreter.scala:299-947). Where the
+reference hand-builds Beam transforms (keyBy+join per Join, reduceByKey per
+aggregate, stateful DoFn for OFFSET), we emit a declarative DataFrame plan
+and let Catalyst do predicate pushdown, column pruning, join strategy
+selection (broadcast/SMJ/shuffled-hash + AQE), and whole-stage codegen.
+
+Conventions:
+- every compiled node yields a DataFrame whose columns are exactly the
+  node's in-scope variables, each a term struct; unbound = NULL.
+- join keys are the *certainly bound* (assured) shared variables -> plain
+  equi-join (hash-joinable); maybe-unbound shared vars get null-tolerant
+  ON conditions — the same assured-bindings discipline as the reference
+  (Interpreter.scala:152-162, 261-277) without stringifying keys.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import algebra as A
+from .exprs import compile_bool, compile_value
+from .terms import (
+    TERM_TYPE,
+    Term,
+    XSD_INTEGER,
+    XSD_STRING,
+    make_numeric_term,
+    null_term,
+    num_value,
+    promotion_level,
+    sort_key,
+    typed_term,
+)
+
+_alias_counter = itertools.count()
+
+
+def _env(df: DataFrame) -> dict:
+    return {c: df[c] for c in df.columns}
+
+
+def _flatten_and(cond) -> list:
+    if isinstance(cond, A.EAnd):
+        return _flatten_and(cond.left) + _flatten_and(cond.right)
+    return [cond]
+
+
+class Compiler:
+    def __init__(self, quads: DataFrame):
+        self.quads = quads
+        self.spark = quads.sparkSession
+
+    # --- dispatch ---
+    def compile(self, node: A.Node) -> DataFrame:
+        m = getattr(self, "_c_" + type(node).__name__.lower())
+        return m(node)
+
+    # --- leaves ---
+    def _c_singleton(self, node: A.Singleton) -> DataFrame:
+        return self.spark.range(1).select()
+
+    def _c_statementpattern(self, node: A.StatementPattern) -> DataFrame:
+        df = self.quads
+        cond = F.lit(True)
+        positions = [("subject", node.s), ("predicate", node.p), ("object", node.o)]
+        if node.graph_mode == "named":
+            if isinstance(node.graph, Term):
+                cond = cond & self._term_eq("graph", node.graph)
+            else:
+                cond = cond & F.col("graph").isNotNull()
+                positions.append(("graph", node.graph))
+        for colname, pat in positions:
+            if isinstance(pat, Term):
+                cond = cond & self._term_eq(colname, pat)
+        df = df.filter(cond)
+        # repeated variables constrain positions to be term-identical
+        var_positions: dict[str, list[str]] = {}
+        for colname, pat in positions:
+            if isinstance(pat, A.Var):
+                var_positions.setdefault(pat.name, []).append(colname)
+        eqs = F.lit(True)
+        for cols in var_positions.values():
+            for a, b in zip(cols, cols[1:]):
+                eqs = eqs & (F.col(a) == F.col(b))
+        df = df.filter(eqs)
+        return df.select(
+            *[F.col(cols[0]).alias(v) for v, cols in var_positions.items()]
+        )
+
+    @staticmethod
+    def _term_eq(colname: str, t: Term) -> Column:
+        """Field-level equality against a ground term — pushes down to the
+        Parquet scan better than whole-struct equality."""
+        c = F.col(colname)
+        cond = (c["kind"] == t.kind) & (c["lex"] == t.lex)
+        cond = cond & (c["dt"].eqNullSafe(F.lit(t.dt)))
+        cond = cond & (c["lang"].eqNullSafe(F.lit(t.lang)))
+        return cond
+
+    def _graph_scoped_quads(self, graph_mode: str, graph) -> DataFrame:
+        df = self.quads
+        if graph_mode == "named":
+            if isinstance(graph, Term):
+                df = df.filter(self._term_eq("graph", graph))
+            else:
+                df = df.filter(F.col("graph").isNotNull())
+        return df
+
+    def _c_zerolengthpath(self, node: A.ZeroLengthPath) -> DataFrame:
+        """Zero-length arm of ``p?``: both ends are the same graph node
+        (reference: Interpreter.scala:382-437)."""
+        base = self._graph_scoped_quads(node.graph_mode, node.graph)
+        graph_var = (
+            node.graph.name
+            if node.graph_mode == "named" and isinstance(node.graph, A.Var)
+            else None
+        )
+        s_var = isinstance(node.s, A.Var)
+        o_var = isinstance(node.o, A.Var)
+
+        if s_var and o_var:
+            gcols = [F.col("graph").alias(graph_var)] if graph_var else []
+            nodes = (
+                base.select(F.col("subject").alias("__t"), *gcols)
+                .unionByName(base.select(F.col("object").alias("__t"), *gcols))
+                .distinct()
+            )
+            sel = [F.col("__t").alias(node.s.name), F.col("__t").alias(node.o.name)]
+            if graph_var:
+                sel.append(F.col(graph_var))
+            return nodes.select(*sel)
+
+        # at least one side ground: copy the value across (no containment
+        # check — mirrors the reference's bound-case handling)
+        if not s_var and not o_var:
+            if node.s == node.o:
+                return self.spark.range(1).select()
+            return self.spark.range(0).select()
+        bound = node.s if not s_var else node.o
+        var = node.o if not s_var else node.s
+        if graph_var:
+            graphs = base.select(F.col("graph").alias(graph_var)).distinct()
+            return graphs.select(bound.to_column().alias(var.name), F.col(graph_var))
+        return self.spark.range(1).select(bound.to_column().alias(var.name))
+
+    def _c_arbitrarylengthpath(self, node: A.ArbitraryLengthPath) -> DataFrame:
+        """``p+``/``p*`` via semi-naive transitive closure: driver-side loop
+        of distributed self-joins with localCheckpoint to truncate lineage.
+        Iterations = path diameter; each round is one shuffle over the
+        frontier only (not the full closure). Unsupported in the reference
+        (README.md:60-63) — strict upgrade."""
+        if node.graph_mode == "named" and isinstance(node.graph, A.Var):
+            raise NotImplementedError("p*/p+ inside GRAPH ?var")
+        inner = self.compile(node.path)
+        edges = (
+            inner.select(
+                F.col(node.start_var).alias("src"), F.col(node.end_var).alias("dst")
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        reach = edges
+        frontier = edges
+        while True:
+            new = (
+                frontier.alias("f")
+                .join(edges.alias("e"), F.col("f.dst") == F.col("e.src"))
+                .select(F.col("f.src").alias("src"), F.col("e.dst").alias("dst"))
+                .distinct()
+                .subtract(reach)
+                .localCheckpoint()
+            )
+            if new.isEmpty():
+                break
+            reach = reach.unionByName(new).localCheckpoint()
+            frontier = new
+        if node.min_length == 0:
+            base = self._graph_scoped_quads(node.graph_mode, node.graph)
+            nodes_df = (
+                base.select(F.col("subject").alias("__t"))
+                .unionByName(base.select(F.col("object").alias("__t")))
+                .distinct()
+            )
+            zero = nodes_df.select(F.col("__t").alias("src"), F.col("__t").alias("dst"))
+            reach = reach.unionByName(zero).distinct()
+        # bind endpoints
+        df = reach
+        sel = []
+        if isinstance(node.s, Term):
+            df = df.filter(F.col("src") == node.s.to_column())
+        else:
+            sel.append(F.col("src").alias(node.s.name))
+        if isinstance(node.o, Term):
+            df = df.filter(F.col("dst") == node.o.to_column())
+        else:
+            sel.append(F.col("dst").alias(node.o.name))
+        if isinstance(node.s, A.Var) and isinstance(node.o, A.Var) and node.s == node.o:
+            df = df.filter(F.col("src") == F.col("dst"))
+            sel = [F.col("src").alias(node.s.name)]
+        return df.select(*sel) if sel else df.select()
+
+    def _c_values(self, node: A.Values) -> DataFrame:
+        schema = T.StructType([T.StructField(n, TERM_TYPE) for n in node.names])
+        data = [
+            tuple(t.as_tuple() if t is not None else None for t in row)
+            for row in node.rows
+        ]
+        return self.spark.createDataFrame(data, schema)
+
+    # --- joins ---
+    def _join_cond(self, lnode, rnode, la: str, ra: str):
+        """(equi+null-tolerant ON condition, shared var list). Assured shared
+        vars -> plain equality (hash join); maybe-unbound shared vars ->
+        null-tolerant (UNDEF/OPTIONAL compatibility, ValuesTest UNDEF case)."""
+        shared = sorted(lnode.vars & rnode.vars)
+        keys = [v for v in shared if v in lnode.assured and v in rnode.assured]
+        loose = [v for v in shared if v not in keys]
+        cond = None
+        for v in keys:
+            c = F.col(f"{la}.{v}") == F.col(f"{ra}.{v}")
+            cond = c if cond is None else cond & c
+        for v in loose:
+            lc, rc = F.col(f"{la}.{v}"), F.col(f"{ra}.{v}")
+            c = lc.isNull() | rc.isNull() | (lc == rc)
+            cond = c if cond is None else cond & c
+        return cond, shared
+
+    def _merged_select(self, lnode, rnode, la, ra):
+        cols = []
+        for v in sorted(lnode.vars | rnode.vars):
+            if v in lnode.vars and v in rnode.vars:
+                cols.append(F.coalesce(F.col(f"{la}.{v}"), F.col(f"{ra}.{v}")).alias(v))
+            elif v in lnode.vars:
+                cols.append(F.col(f"{la}.{v}").alias(v))
+            else:
+                cols.append(F.col(f"{ra}.{v}").alias(v))
+        return cols
+
+    def _c_join(self, node: A.Join) -> DataFrame:
+        ldf = self.compile(node.left)
+        rdf = self.compile(node.right)
+        # inline VALUES is always tiny: broadcast it (the reference does a
+        # broadcast nested-loop for this case, Interpreter.scala:440-455)
+        if isinstance(node.right, A.Values):
+            rdf = F.broadcast(rdf)
+        if isinstance(node.left, A.Values):
+            ldf = F.broadcast(ldf)
+        la, ra = f"__l{next(_alias_counter)}", f"__r{next(_alias_counter)}"
+        lal, ral = ldf.alias(la), rdf.alias(ra)
+        cond, shared = self._join_cond(node.left, node.right, la, ra)
+        if not node.left.vars:
+            return lal.crossJoin(ral).select(*self._merged_select(node.left, node.right, la, ra))
+        if cond is None:
+            joined = lal.crossJoin(ral)
+        else:
+            joined = lal.join(ral, cond, "inner")
+        return joined.select(*self._merged_select(node.left, node.right, la, ra))
+
+    def _c_leftjoin(self, node: A.LeftJoin) -> DataFrame:
+        ldf = self.compile(node.left)
+        rdf = self.compile(node.right)
+        la, ra = f"__l{next(_alias_counter)}", f"__r{next(_alias_counter)}"
+        lal, ral = ldf.alias(la), rdf.alias(ra)
+        cond, shared = self._join_cond(node.left, node.right, la, ra)
+        if node.condition is not None:
+            # OPTIONAL's FILTER sees both sides: compile it into the ON
+            # clause (correct SPARQL scope; the reference only pre-filters
+            # the right side — README.md:57-58)
+            env = {v: F.col(f"{la}.{v}") for v in node.left.vars}
+            env.update({v: F.col(f"{ra}.{v}") for v in node.right.vars})
+            c = compile_bool(node.condition, env)
+            c = F.coalesce(c, F.lit(False))  # error -> no match
+            cond = c if cond is None else cond & c
+        if cond is None:
+            cond = F.lit(True)
+        joined = lal.join(ral, cond, "left_outer")
+        return joined.select(*self._merged_select(node.left, node.right, la, ra))
+
+    def _c_minus(self, node: A.Minus) -> DataFrame:
+        """SPARQL MINUS disjoint-domain rule (spec §8.3): drop left rows
+        compatible with some right row sharing >=1 bound variable. The
+        reference declares-but-lacks this (SURVEY.md §2.3)."""
+        ldf = self.compile(node.left)
+        rdf = self.compile(node.right)
+        shared = sorted(node.left.vars & node.right.vars)
+        if not shared:
+            return ldf
+        la, ra = f"__l{next(_alias_counter)}", f"__r{next(_alias_counter)}"
+        cond, _ = self._join_cond(node.left, node.right, la, ra)
+        both_assured = any(
+            v in node.left.assured and v in node.right.assured for v in shared
+        )
+        if not both_assured:
+            overlap = None
+            for v in shared:
+                c = F.col(f"{la}.{v}").isNotNull() & F.col(f"{ra}.{v}").isNotNull()
+                overlap = c if overlap is None else overlap | c
+            cond = overlap if cond is None else cond & overlap
+        return ldf.alias(la).join(rdf.alias(ra), cond, "left_anti")
+
+    # --- filters (incl. EXISTS / NOT EXISTS) ---
+    def _c_filter(self, node: A.Filter) -> DataFrame:
+        df = self.compile(node.input)
+        for part in _flatten_and(node.condition):
+            if isinstance(part, A.EExists):
+                df = self._exists(df, node.input, part)
+            else:
+                df = df.filter(F.coalesce(compile_bool(part, _env(df)), F.lit(False)))
+        return df
+
+    def _exists(self, df: DataFrame, input_node: A.Node, e: A.EExists) -> DataFrame:
+        """FILTER (NOT) EXISTS -> left semi/anti join
+        (reference: Interpreter.scala:921-934). Correlated inner FILTERs
+        (conditions referencing outer vars) are lifted into the join ON
+        clause — true correlation, which the reference documents as
+        unsupported (README.md:57-58)."""
+        sub_node = e.pattern
+        lifted = []
+        while isinstance(sub_node, A.Filter) and (
+            A.expr_vars(sub_node.condition) - sub_node.input.vars
+        ) & input_node.vars:
+            lifted.append(sub_node.condition)
+            sub_node = sub_node.input
+        sub = self.compile(sub_node)
+        la, ra = f"__l{next(_alias_counter)}", f"__r{next(_alias_counter)}"
+        cond, _ = self._join_cond(input_node, sub_node, la, ra)
+        if lifted:
+            env = {v: F.col(f"{la}.{v}") for v in input_node.vars}
+            env.update({v: F.col(f"{ra}.{v}") for v in sub_node.vars})
+            for c in lifted:
+                cc = F.coalesce(compile_bool(c, env), F.lit(False))
+                cond = cc if cond is None else cond & cc
+        if cond is None:
+            cond = F.lit(True)
+        how = "left_anti" if e.negated else "left_semi"
+        return df.alias(la).join(sub.alias(ra), cond, how)
+
+    # --- row-wise nodes ---
+    def _c_extend(self, node: A.Extend) -> DataFrame:
+        df = self.compile(node.input)
+        if isinstance(node.expr, A.EExists):
+            raise NotImplementedError("EXISTS inside BIND")
+        return df.withColumn(node.var, compile_value(node.expr, _env(df)))
+
+    def _c_project(self, node: A.Project) -> DataFrame:
+        df = self.compile(node.input)
+        cols = []
+        for v in node.names:
+            if v in df.columns:
+                cols.append(F.col(v))
+            else:
+                cols.append(null_term().alias(v))
+        return df.select(*cols)
+
+    def _c_distinct(self, node: A.Distinct) -> DataFrame:
+        return self.compile(node.input).dropDuplicates()
+
+    def _c_reduced(self, node: A.Reduced) -> DataFrame:
+        return self.compile(node.input).dropDuplicates()
+
+    def _c_union(self, node: A.Union) -> DataFrame:
+        ldf = self.compile(node.left)
+        rdf = self.compile(node.right)
+        for v in sorted(node.right.vars - node.left.vars):
+            ldf = ldf.withColumn(v, null_term())
+        for v in sorted(node.left.vars - node.right.vars):
+            rdf = rdf.withColumn(v, null_term())
+        return ldf.unionByName(rdf)
+
+    # --- order/slice ---
+    def _c_orderby(self, node: A.OrderBy) -> DataFrame:
+        df = self.compile(node.input)
+        env = _env(df)
+        sort_cols = []
+        for e, asc in node.keys:
+            key = sort_key(compile_value(e, env))
+            sort_cols.append(key.asc_nulls_first() if asc else key.desc_nulls_last())
+        return df.orderBy(*sort_cols)
+
+    def _c_slice(self, node: A.Slice) -> DataFrame:
+        df = self.compile(node.input)
+        if node.offset:
+            df = df.offset(node.offset)
+        if node.limit is not None:
+            df = df.limit(node.limit)
+        return df
+
+    # --- aggregation ---
+    def _c_group(self, node: A.Group) -> DataFrame:
+        """GROUP BY + aggregates in ONE groupBy().agg() — partial+final
+        hash aggregation with map-side combine. The reference runs one
+        reduceByKey per aggregate and inner-joins the N results back
+        together (Interpreter.scala:874-886); a single .agg() does the same
+        work in one shuffle. Error semantics per aggregate mirror
+        Interpreter.scala:520-870: any evaluation error in a group makes
+        SUM/MIN/MAX/AVG/GROUP_CONCAT unbound; COUNT counts non-error rows."""
+        df = self.compile(node.input)
+        env = _env(df)
+        key_cols = []
+        for name, expr in node.keys:
+            if expr is None:
+                df = df.withColumn(name, F.col(name) if name in df.columns else null_term())
+            else:
+                df = df.withColumn(name, compile_value(expr, env))
+                env = _env(df)
+            key_cols.append(name)
+
+        agg_exprs = []
+        distinct_aggs = []
+        for i, (out_name, agg) in enumerate(node.aggs):
+            argc = f"__arg{i}"
+            if agg.arg is None:  # COUNT(*)
+                df = df.withColumn(argc, F.lit(1))
+            else:
+                df = df.withColumn(argc, compile_value(agg.arg, _env(df)))
+            if agg.distinct and agg.fn != "COUNT":
+                distinct_aggs.append((out_name, agg, argc))
+                continue
+            agg_exprs.extend(self._agg_exprs(agg, argc, out_name))
+
+        gb = df.groupBy(*[F.col(k) for k in key_cols]) if key_cols else df.groupBy()
+        out = gb.agg(*agg_exprs) if agg_exprs else gb.agg(F.lit(1).alias("__dummy"))
+        out = self._finalize_aggs(out, node.aggs, distinct=False)
+
+        # DISTINCT-modified aggregates (other than COUNT): dedup per
+        # (keys, value) then re-aggregate, joined back on the group key —
+        # the reference's two-level reduce (Interpreter.scala:584-600)
+        for out_name, agg, argc in distinct_aggs:
+            dd = df.select(*key_cols, argc).distinct()
+            gb2 = dd.groupBy(*key_cols) if key_cols else dd.groupBy()
+            sub = gb2.agg(*self._agg_exprs(agg, argc, out_name))
+            sub = self._finalize_one(sub, out_name, agg)
+            if key_cols:
+                out = out.join(sub, on=key_cols, how="inner")
+            else:
+                out = out.crossJoin(sub)
+        drop = [c for c in out.columns if c == "__dummy"]
+        return out.drop(*drop) if drop else out
+
+    def _agg_exprs(self, agg: A.EAgg, argc: str, out_name: str) -> list:
+        a = F.col(argc)
+        err = F.max(F.when(a.isNull(), 1).otherwise(0)).alias(f"__err_{out_name}")
+        if agg.fn == "COUNT":
+            if agg.distinct:
+                return [F.countDistinct(a).alias(f"__v_{out_name}")]
+            return [F.count(a).alias(f"__v_{out_name}")]
+        if agg.fn == "SUM":
+            return [
+                F.sum(num_value(a)).alias(f"__v_{out_name}"),
+                F.max(promotion_level(a)).alias(f"__lvl_{out_name}"),
+                F.max(F.when(a.isNull() | num_value(a).isNull(), 1).otherwise(0)).alias(
+                    f"__err_{out_name}"
+                ),
+            ]
+        if agg.fn == "AVG":
+            return [
+                F.avg(num_value(a)).alias(f"__v_{out_name}"),
+                F.max(promotion_level(a)).alias(f"__lvl_{out_name}"),
+                F.max(F.when(a.isNull() | num_value(a).isNull(), 1).otherwise(0)).alias(
+                    f"__err_{out_name}"
+                ),
+            ]
+        if agg.fn == "MIN":
+            return [F.min_by(a, sort_key(a)).alias(f"__v_{out_name}"), err]
+        if agg.fn == "MAX":
+            return [F.max_by(a, sort_key(a)).alias(f"__v_{out_name}"), err]
+        if agg.fn == "SAMPLE":
+            return [F.first(a, ignorenulls=True).alias(f"__v_{out_name}")]
+        if agg.fn == "GROUP_CONCAT":
+            # pieces use the term's lexical form (the reference concats
+            # castToString'd values — Interpreter.scala:761-821); sorted for
+            # determinism, which REDUCED-style nondeterminism permits and
+            # the reference's own test normalizes for
+            return [
+                F.array_join(F.array_sort(F.collect_list(a["lex"])), agg.separator).alias(
+                    f"__v_{out_name}"
+                ),
+                err,
+            ]
+        raise NotImplementedError(f"aggregate {agg.fn}")
+
+    def _finalize_aggs(self, out: DataFrame, aggs, distinct: bool) -> DataFrame:
+        for out_name, agg in aggs:
+            if agg.distinct and agg.fn != "COUNT":
+                continue
+            out = self._finalize_one(out, out_name, agg)
+        return out
+
+    def _finalize_one(self, out: DataFrame, out_name: str, agg: A.EAgg) -> DataFrame:
+        v = F.col(f"__v_{out_name}")
+        err = F.col(f"__err_{out_name}") if f"__err_{out_name}" in out.columns else F.lit(0)
+        if agg.fn == "COUNT":
+            term = typed_term(v.cast("string"), XSD_INTEGER)
+        elif agg.fn == "SUM":
+            lvl = F.coalesce(F.col(f"__lvl_{out_name}"), F.lit(0))
+            term = F.when(err == 0, make_numeric_term(F.coalesce(v, F.lit(0.0)), lvl))
+        elif agg.fn == "AVG":
+            # SPARQL AVG of integers is decimal-typed (xsd:decimal)
+            lvl = F.greatest(F.coalesce(F.col(f"__lvl_{out_name}"), F.lit(1)), F.lit(1))
+            term = F.when(err == 0, make_numeric_term(F.coalesce(v, F.lit(0.0)), lvl))
+        elif agg.fn in ("MIN", "MAX"):
+            term = F.when(err == 0, v)
+        elif agg.fn == "SAMPLE":
+            term = v
+        elif agg.fn == "GROUP_CONCAT":
+            term = F.when(
+                err == 0, typed_term(F.coalesce(v, F.lit("")), XSD_STRING)
+            )
+        else:
+            raise NotImplementedError(agg.fn)
+        drops = [
+            c
+            for c in (f"__v_{out_name}", f"__err_{out_name}", f"__lvl_{out_name}")
+            if c in out.columns
+        ]
+        return out.withColumn(out_name, term).drop(*drops)
+
+
+def compile_query(quads: DataFrame, node: A.Node) -> DataFrame:
+    return Compiler(quads).compile(node)

@@ -1,0 +1,188 @@
+"""SPARQL expression compiler: expression AST -> native Spark Columns.
+
+The reference evaluates every scalar expression row-at-a-time on workers
+via rdf4j's StrictEvaluationStrategy, wrapping thrown evaluation errors
+into None (reference: Interpreter.scala:39-54, 58-69). We compile the same
+semantics into Catalyst Column expressions instead — whole-stage-codegen
+JVM execution, no Python in the hot path:
+
+- SPARQL *type error* / *unbound*  ==  Spark NULL (both propagate).
+- Effective boolean value / 3-valued AND/OR match Spark's NULL logic
+  (err || true = true, err && false = false) exactly.
+- XPath numeric promotion (reference: ValueEvaluators.scala:19-25,
+  MathUtil) is tracked as a promotion level column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from . import algebra as A
+from .functions.builtins import BUILTINS, compile_cast
+from .terms import (
+    RDF_LANGSTRING,
+    XSD_BOOLEAN,
+    XSD_DATE,
+    XSD_DATETIME,
+    XSD_STRING,
+    bool_term,
+    ebv,
+    is_bnode,
+    is_iri,
+    is_literal,
+    make_numeric_term,
+    null_term,
+    num_value,
+    promotion_level,
+)
+
+Env = dict  # var name -> Column (term struct)
+
+
+def lookup(env: Env, name: str) -> Column:
+    c = env.get(name)
+    return c if c is not None else null_term()
+
+
+def compile_value(e, env: Env) -> Column:
+    """Expression -> term-struct Column; NULL = error/unbound."""
+    if isinstance(e, A.EVar):
+        return lookup(env, e.name)
+    if isinstance(e, A.EConst):
+        return e.term.to_column()
+    if isinstance(e, (A.EAnd, A.EOr, A.ENot, A.ECmp, A.EIn)):
+        return bool_term(compile_bool(e, env))
+    if isinstance(e, A.EArith):
+        return _arith(e, env)
+    if isinstance(e, A.ENeg):
+        v = compile_value(e.arg, env)
+        return make_numeric_term(-num_value(v), promotion_level(v))
+    if isinstance(e, A.ECall):
+        return _call(e, env)
+    if isinstance(e, A.EExists):
+        raise NotImplementedError(
+            "EXISTS is only supported at FILTER top level (compiled to a "
+            "semi/anti join); it cannot appear nested inside another expression"
+        )
+    raise TypeError(f"cannot compile value expr: {e!r}")
+
+
+def compile_bool(e, env: Env) -> Column:
+    """Expression in boolean context -> nullable Boolean Column (NULL=error)."""
+    if isinstance(e, A.EAnd):
+        return compile_bool(e.left, env) & compile_bool(e.right, env)
+    if isinstance(e, A.EOr):
+        return compile_bool(e.left, env) | compile_bool(e.right, env)
+    if isinstance(e, A.ENot):
+        return ~compile_bool(e.arg, env)
+    if isinstance(e, A.ECmp):
+        return _compare(e.op, compile_value(e.left, env), compile_value(e.right, env))
+    if isinstance(e, A.EIn):
+        arg = compile_value(e.arg, env)
+        cond = F.lit(False)
+        for opt in e.options:
+            cond = cond | _compare("=", arg, compile_value(opt, env))
+        return ~cond if e.negated else cond
+    if isinstance(e, A.ECall) and e.name == "BOUND":
+        v = e.args[0]
+        if not isinstance(v, A.EVar):
+            raise SyntaxError("BOUND() requires a variable")
+        return lookup(env, v.name).isNotNull()
+    return ebv(compile_value(e, env))
+
+
+# --- comparison ------------------------------------------------------------
+
+_OPS = {
+    "=": lambda a, b: a == b,
+    "!=": lambda a, b: a != b,
+    "<": lambda a, b: a < b,
+    "<=": lambda a, b: a <= b,
+    ">": lambda a, b: a > b,
+    ">=": lambda a, b: a >= b,
+}
+
+
+def _compare(op: str, l: Column, r: Column) -> Column:
+    """SPARQL operator mapping: numeric by value, strings by codepoint,
+    booleans false<true, date/dateTime chronological; IRI/bnode only =/!=
+    (term identity). Incomparable operands -> NULL (type error), so FILTER
+    drops the row — same net behavior as the reference's try/catch-to-None
+    (reference: Interpreter.scala:58-69)."""
+    f = _OPS[op]
+    numl, numr = num_value(l), num_value(r)
+    both_num = numl.isNotNull() & numr.isNotNull()
+
+    def both_dt(*dts):
+        return is_literal(l) & is_literal(r) & l["dt"].isin(*dts) & r["dt"].isin(*dts)
+
+    str_like = both_dt(XSD_STRING, RDF_LANGSTRING) & (
+        F.coalesce(l["lang"], F.lit("")) == F.coalesce(r["lang"], F.lit(""))
+    )
+    out = (
+        F.when(both_num, f(numl, numr))
+        .when(both_dt(XSD_BOOLEAN), f(l["lex"] == "true", r["lex"] == "true"))
+        .when(both_dt(XSD_DATETIME), f(F.to_timestamp(l["lex"]), F.to_timestamp(r["lex"])))
+        .when(both_dt(XSD_DATE), f(F.to_date(l["lex"]), F.to_date(r["lex"])))
+        .when(str_like, f(l["lex"], r["lex"]))
+    )
+    if op in ("=", "!="):
+        same_class = (is_iri(l) & is_iri(r)) | (is_bnode(l) & is_bnode(r))
+        out = out.when(same_class, f(l["lex"], r["lex"]))
+        # identical unknown-typed literals are equal; same-dt/different-lex
+        # stays a type error (NULL) per strict operator mapping
+        ident = is_literal(l) & is_literal(r) & (l["dt"] == r["dt"]) & (l["lex"] == r["lex"])
+        out = out.when(ident, F.lit(op == "="))
+        # cross-kind terms are never equal
+        cross = l["kind"] != r["kind"]
+        out = out.when(cross, F.lit(op == "!="))
+    return out.otherwise(F.lit(None).cast("boolean"))
+
+
+# --- arithmetic ------------------------------------------------------------
+
+
+def _arith(e: A.EArith, env: Env) -> Column:
+    l = compile_value(e.left, env)
+    r = compile_value(e.right, env)
+    numl, numr = num_value(l), num_value(r)
+    ll, lr = promotion_level(l), promotion_level(r)
+    level = F.greatest(ll, lr)
+    if e.op == "+":
+        val = numl + numr
+    elif e.op == "-":
+        val = numl - numr
+    elif e.op == "*":
+        val = numl * numr
+    elif e.op == "/":
+        # XPath: integer / integer -> decimal; int/decimal div-by-zero is an
+        # error (NULL), float/double yields inf
+        level = F.when(level == 0, F.lit(1)).otherwise(level)
+        val = F.when((level >= 2) | (numr != 0.0), numl / numr)
+    else:
+        raise ValueError(e.op)
+    both = numl.isNotNull() & numr.isNotNull()
+    return make_numeric_term(F.when(both, val), F.when(both, level))
+
+
+# --- function calls --------------------------------------------------------
+
+
+def _call(e: A.ECall, env: Env) -> Column:
+    name = e.name
+    if name == "IF":
+        c = compile_bool(e.args[0], env)
+        t = compile_value(e.args[1], env)
+        f_ = compile_value(e.args[2], env)
+        return F.when(c, t).when(~c, f_)
+    if name == "COALESCE":
+        return F.coalesce(*[compile_value(a, env) for a in e.args])
+    if name == "BOUND":
+        return bool_term(compile_bool(e, env))
+    args = [compile_value(a, env) for a in e.args]
+    if name in BUILTINS:
+        return BUILTINS[name](args)
+    if ":" in name:  # cast-style call, e.g. xsd:integer(?x)
+        return compile_cast(name, args)
+    raise NotImplementedError(f"builtin {name}")

@@ -1,0 +1,338 @@
+"""RDF ingest: Turtle / TriG / N-Triples / N-Quads -> quads DataFrame.
+
+The reference streams statements from files picked by extension via rdf4j
+Rio parsers, one worker per file, no intra-file splitting
+(reference: TriplesReader.scala:34-77). Here:
+
+- ``.nt`` / ``.nq`` are line-oriented -> parsed DISTRIBUTEDLY with native
+  regexp Columns over ``spark.read.text`` (splittable, scales to TB files —
+  a strict upgrade over per-file parallelism).
+- ``.ttl`` / ``.trig`` are stateful grammars (prefixes) -> parsed per-file
+  (driver-side for small files), matching the reference's per-file
+  parallelism for these formats.
+- ``.parquet`` quads round-trip via ``write_triples`` (the reference left
+  write unimplemented — TriplesReader.scala:45-48).
+
+At 100 TB the recommended at-rest layout is quads Parquet, optionally
+repartitioned by predicate (SPARQL patterns almost always fix the
+predicate; cf. the S2RDF vertical-partitioning yardstick in PAPERS.md) so
+pattern scans prune partitions.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..terms import (
+    KIND_BNODE,
+    KIND_IRI,
+    KIND_LITERAL,
+    QUADS_SCHEMA,
+    RDF_LANGSTRING,
+    Term,
+    XSD_BOOLEAN,
+    XSD_DECIMAL,
+    XSD_DOUBLE,
+    XSD_INTEGER,
+    XSD_STRING,
+)
+from ..sparql.tokenizer import Tok, tokenize
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+class TurtleParser:
+    """Recursive-descent Turtle/TriG parser over the shared tokenizer.
+    Covers the RDF surface of the reference's fixtures and common data:
+    prefixes, a / ';' / ',' lists, typed+lang literals, bnode labels and
+    [] property lists, TriG graph blocks."""
+
+    def __init__(self, text: str):
+        self.toks = tokenize(text)
+        self.i = 0
+        self.prefixes: dict[str, str] = {}
+        self.base = ""
+        self._anon = 0
+        self.quads: list[tuple] = []
+
+    def peek(self, k=0) -> Tok:
+        return self.toks[min(self.i + k, len(self.toks) - 1)]
+
+    def next(self) -> Tok:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def at_op(self, op) -> bool:
+        t = self.peek()
+        return t.kind == "OP" and t.value == op
+
+    def eat_op(self, op):
+        t = self.next()
+        if t.kind != "OP" or t.value != op:
+            raise SyntaxError(f"expected {op!r} at {t.pos}, got {t.value!r}")
+
+    def parse(self) -> list[tuple]:
+        while self.peek().kind != "EOF":
+            self.parse_statement()
+        return self.quads
+
+    def parse_statement(self):
+        t = self.peek()
+        # @prefix/@base tokenize as LANGTAG (the '@' folds into it)
+        if t.kind == "LANGTAG" and t.value in ("prefix", "base"):
+            self.next()
+            self._directive(t.value)
+            self.eat_op(".")
+            return
+        if t.kind == "KEYWORD" and t.value.upper() in ("PREFIX", "BASE"):
+            self.next()
+            self._directive(t.value.lower())
+            return
+        if t.kind == "KEYWORD" and t.value.upper() == "GRAPH":
+            self.next()
+            g = self.parse_term()
+            self.parse_graph_block(g)
+            return
+        # TriG: `name { ... }` or bare `{ ... }` (default graph block)
+        if self.at_op("{"):
+            self.parse_graph_block(None)
+            return
+        if t.kind in ("IRIREF", "PNAME", "BLANK") and self._lookahead_graph_block():
+            g = self.parse_term()
+            self.parse_graph_block(g)
+            return
+        self.parse_triples(None)
+        self.eat_op(".")
+
+    def _lookahead_graph_block(self) -> bool:
+        nxt = self.peek(1)
+        return nxt.kind == "OP" and nxt.value == "{"
+
+    def _directive(self, kind: str):
+        if kind == "prefix":
+            t = self.next()
+            if t.kind != "PNAME":
+                raise SyntaxError(f"bad @prefix at {t.pos}")
+            pfx = t.value.rsplit(":", 1)[0]
+            iri = self.next()
+            self.prefixes[pfx] = iri.value
+        else:
+            self.base = self.next().value
+
+    def parse_graph_block(self, g: Term | None):
+        self.eat_op("{")
+        while not self.at_op("}"):
+            self.parse_triples(g)
+            if self.at_op("."):
+                self.next()
+        self.eat_op("}")
+
+    def parse_triples(self, g: Term | None):
+        s = self.parse_subject(g)
+        self.parse_predicate_object_list(s, g)
+
+    def parse_subject(self, g) -> Term:
+        if self.at_op("["):
+            return self.parse_bnode_props(g)
+        return self.parse_term()
+
+    def parse_bnode_props(self, g) -> Term:
+        self.eat_op("[")
+        self._anon += 1
+        node = Term.bnode(f"genid{self._anon}")
+        if not self.at_op("]"):
+            self.parse_predicate_object_list(node, g)
+        self.eat_op("]")
+        return node
+
+    def parse_predicate_object_list(self, s: Term, g):
+        while True:
+            p = self.parse_predicate()
+            while True:
+                o = self.parse_object(g)
+                self.quads.append((s, p, o, g))
+                if self.at_op(","):
+                    self.next()
+                    continue
+                break
+            if self.at_op(";"):
+                self.next()
+                if self.at_op(".") or self.at_op("]") or self.at_op("}"):
+                    break
+                continue
+            break
+
+    def parse_predicate(self) -> Term:
+        t = self.peek()
+        if t.kind == "KEYWORD" and t.value == "a":
+            self.next()
+            return Term.iri(RDF_TYPE)
+        return self.parse_term()
+
+    def parse_object(self, g) -> Term:
+        if self.at_op("["):
+            return self.parse_bnode_props(g)
+        return self.parse_term()
+
+    def parse_term(self) -> Term:
+        t = self.next()
+        if t.kind == "IRIREF":
+            iri = t.value
+            if self.base and ":" not in iri:
+                iri = self.base + iri
+            return Term.iri(iri)
+        if t.kind == "PNAME":
+            pfx, _, local = t.value.partition(":")
+            if pfx not in self.prefixes:
+                raise SyntaxError(f"unknown prefix {pfx!r} at {t.pos}")
+            return Term.iri(self.prefixes[pfx] + local)
+        if t.kind == "BLANK":
+            return Term.bnode(t.value)
+        if t.kind == "STRING":
+            nxt = self.peek()
+            if nxt.kind == "LANGTAG":
+                self.next()
+                return Term.literal(t.value, lang=nxt.value)
+            if nxt.kind == "OP" and nxt.value == "^^":
+                self.next()
+                dt = self.parse_term()
+                return Term.literal(t.value, dt=dt.lex)
+            return Term.literal(t.value)
+        if t.kind == "NUMBER":
+            return _numeric(t.value)
+        if t.kind == "OP" and t.value in ("+", "-"):
+            num = self.next()
+            term = _numeric(num.value)
+            lex = ("-" + term.lex) if t.value == "-" else term.lex
+            return Term(term.kind, lex, term.dt, term.lang)
+        if t.kind == "KEYWORD" and t.value.lower() in ("true", "false"):
+            return Term.boolean(t.value.lower() == "true")
+        raise SyntaxError(f"unexpected token {t.value!r} at {t.pos}")
+
+
+def _numeric(text: str) -> Term:
+    if "e" in text.lower():
+        return Term.double(text)
+    if "." in text:
+        return Term.decimal(text)
+    return Term(KIND_LITERAL, text, XSD_INTEGER)
+
+
+def parse_turtle(text: str) -> list[tuple]:
+    """Parse Turtle/TriG text -> list of (s, p, o, g) Term tuples
+    (g None = default graph)."""
+    return TurtleParser(text).parse()
+
+
+def quads_df_from_list(spark: SparkSession, quads: list[tuple]) -> DataFrame:
+    rows = [
+        tuple(t.as_tuple() if t is not None else None for t in q) for q in quads
+    ]
+    return spark.createDataFrame(rows, QUADS_SCHEMA)
+
+
+# --- distributed N-Triples/N-Quads parse (native Columns, splittable) ------
+
+_IRI = r"<([^>]*)>"
+_BNODE = r"_:(\S+)"
+_LIT = r'"((?:[^"\\]|\\.)*)"(?:\^\^<([^>]*)>|@([A-Za-z0-9-]+))?'
+
+
+def _term_from_ntoken(tok):
+    iri = F.regexp_extract(tok, f"^{_IRI}$", 1)
+    bnode = F.regexp_extract(tok, f"^{_BNODE}$", 1)
+    lit_lex = F.regexp_extract(tok, f"^{_LIT}$", 1)
+    lit_dt = F.regexp_extract(tok, f"^{_LIT}$", 2)
+    lit_lang = F.regexp_extract(tok, f"^{_LIT}$", 3)
+    is_iri_ = tok.startswith("<")
+    is_bn = tok.startswith("_:")
+    is_lit = tok.startswith('"')
+    kind = (
+        F.when(is_iri_, F.lit(KIND_IRI))
+        .when(is_bn, F.lit(KIND_BNODE))
+        .when(is_lit, F.lit(KIND_LITERAL))
+    )
+    lex = (
+        F.when(is_iri_, iri)
+        .when(is_bn, bnode)
+        .when(
+            is_lit,
+            # unescape the common N-Triples escapes natively
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(lit_lex, r'\\"', '"'), r"\\n", "\n"
+                ),
+                r"\\\\",
+                r"\\",
+            ),
+        )
+    )
+    dt = F.when(
+        is_lit,
+        F.when(lit_lang != "", F.lit(RDF_LANGSTRING))
+        .when(lit_dt != "", lit_dt)
+        .otherwise(F.lit(XSD_STRING)),
+    )
+    lang = F.when(is_lit & (lit_lang != ""), lit_lang)
+    return F.struct(
+        kind.cast("tinyint").alias("kind"),
+        lex.alias("lex"),
+        dt.alias("dt"),
+        lang.alias("lang"),
+    )
+
+
+def _read_ntriples(spark: SparkSession, path: str, quads: bool) -> DataFrame:
+    lines = spark.read.text(path)
+    line = F.trim(F.col("value"))
+    lines = lines.filter((line != "") & ~line.startswith("#"))
+    term_re = rf"({_IRI}|{_BNODE}|{_LIT})"
+    pat = rf"^\s*{term_re}\s+{term_re}\s+{term_re}" + (
+        rf"(?:\s+{term_re})?\s*\.\s*$" if quads else r"\s*\.\s*$"
+    )
+    parts = [F.regexp_extract(line, pat, 1 + 6 * i) for i in range(4 if quads else 3)]
+    df = lines.select(
+        _term_from_ntoken(parts[0]).alias("subject"),
+        _term_from_ntoken(parts[1]).alias("predicate"),
+        _term_from_ntoken(parts[2]).alias("object"),
+        (
+            F.when(parts[3] != "", _term_from_ntoken(parts[3]))
+            if quads
+            else F.lit(None).cast("struct<kind:tinyint,lex:string,dt:string,lang:string>")
+        ).alias("graph"),
+    )
+    return df
+
+
+def read_triples(spark: SparkSession, path: str) -> DataFrame:
+    """Read RDF file(s) by extension -> quads DataFrame
+    (mirrors readTriples / TriplesIO.read, TriplesReader.scala:34-86)."""
+    if path.endswith(".parquet") or os.path.isdir(path):
+        return spark.read.schema(QUADS_SCHEMA).parquet(path)
+    if path.endswith(".nt"):
+        return _read_ntriples(spark, path, quads=False)
+    if path.endswith(".nq"):
+        return _read_ntriples(spark, path, quads=True)
+    if path.endswith((".ttl", ".trig")):
+        all_quads: list[tuple] = []
+        for f in sorted(_glob.glob(path)) or [path]:
+            with open(f, encoding="utf-8") as fh:
+                all_quads.extend(parse_turtle(fh.read()))
+        return quads_df_from_list(spark, all_quads)
+    raise ValueError(f"unsupported RDF input: {path}")
+
+
+def write_triples(df: DataFrame, path: str, partition_by_predicate: bool = False):
+    """Quads -> Parquet (the reference's TriplesIO.write is `???` —
+    TriplesReader.scala:45-48). ``partition_by_predicate`` adds a
+    scan-prunable layout for predicate-bound patterns."""
+    w = df.write.mode("overwrite")
+    if partition_by_predicate:
+        df = df.withColumn("__pred", F.col("predicate")["lex"])
+        w = df.repartition("__pred").write.partitionBy("__pred").mode("overwrite")
+    w.parquet(path)

@@ -1,0 +1,317 @@
+"""RDF term data model on Spark.
+
+The reference represents an RDF term as an rdf4j ``Value``
+(IRI | BNode | Literal) carried in row objects
+(reference: Interpreter.scala:10, Utils.scala:56-68). We map a term to a
+static Spark struct so Tungsten/Parquet can store it columnar and Catalyst
+can compare it natively:
+
+    TERM = struct<kind: tinyint, lex: string, dt: string, lang: string>
+
+- ``kind``: 0 = blank node, 1 = IRI, 2 = literal. The numbering IS the
+  rdf4j ``ValueComparator`` kind rank (BNode < IRI < Literal,
+  reference: ValueEvaluators.scala:29-38), so sort keys reuse it directly.
+- ``lex``: lexical form; for IRIs the IRI string, for bnodes the label.
+- ``dt``: datatype IRI for literals (plain literal -> xsd:string per
+  RDF 1.1; language-tagged -> rdf:langString); NULL for IRI/bnode.
+- ``lang``: language tag or NULL.
+
+Term identity (used for joins / DISTINCT, reference joins key on
+``Value.toString`` — Interpreter.scala:142-150) is plain struct equality:
+two terms are the same iff all four fields match. An *unbound* variable is
+a NULL struct (the reference's absent BindingSet key,
+Interpreter.scala:72).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+XSD = "http://www.w3.org/2001/XMLSchema#"
+RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+XSD_STRING = XSD + "string"
+XSD_INTEGER = XSD + "integer"
+XSD_DECIMAL = XSD + "decimal"
+XSD_FLOAT = XSD + "float"
+XSD_DOUBLE = XSD + "double"
+XSD_BOOLEAN = XSD + "boolean"
+XSD_DATE = XSD + "date"
+XSD_DATETIME = XSD + "dateTime"
+XSD_ANYURI = XSD + "anyURI"
+RDF_LANGSTRING = RDF + "langString"
+
+KIND_BNODE = 0
+KIND_IRI = 1
+KIND_LITERAL = 2
+
+TERM_TYPE = T.StructType(
+    [
+        T.StructField("kind", T.ByteType()),
+        T.StructField("lex", T.StringType()),
+        T.StructField("dt", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ]
+)
+
+QUADS_SCHEMA = T.StructType(
+    [
+        T.StructField("subject", TERM_TYPE),
+        T.StructField("predicate", TERM_TYPE),
+        T.StructField("object", TERM_TYPE),
+        T.StructField("graph", TERM_TYPE),  # NULL = default graph
+    ]
+)
+
+# Datatypes treated as numeric, by XPath promotion level
+# (integer-family=0, decimal=1, float=2, double=3); mirrors rdf4j
+# MathUtil.compute promotion (reference: ValueEvaluators.scala:19-25).
+_INTEGER_DTS = (
+    XSD_INTEGER,
+    XSD + "int",
+    XSD + "long",
+    XSD + "short",
+    XSD + "byte",
+    XSD + "nonNegativeInteger",
+    XSD + "positiveInteger",
+    XSD + "nonPositiveInteger",
+    XSD + "negativeInteger",
+    XSD + "unsignedLong",
+    XSD + "unsignedInt",
+    XSD + "unsignedShort",
+    XSD + "unsignedByte",
+)
+PROMOTION = {dt: 0 for dt in _INTEGER_DTS}
+PROMOTION[XSD_DECIMAL] = 1
+PROMOTION[XSD_FLOAT] = 2
+PROMOTION[XSD_DOUBLE] = 3
+NUMERIC_DTS = tuple(PROMOTION)
+
+_LEVEL_DT = [XSD_INTEGER, XSD_DECIMAL, XSD_FLOAT, XSD_DOUBLE]
+
+
+@dataclass(frozen=True)
+class Term:
+    """A ground (constant) RDF term, driver-side."""
+
+    kind: int
+    lex: str
+    dt: str | None = None
+    lang: str | None = None
+
+    @staticmethod
+    def iri(s: str) -> "Term":
+        return Term(KIND_IRI, s)
+
+    @staticmethod
+    def bnode(label: str) -> "Term":
+        return Term(KIND_BNODE, label)
+
+    @staticmethod
+    def literal(lex: str, dt: str | None = None, lang: str | None = None) -> "Term":
+        if lang is not None:
+            return Term(KIND_LITERAL, lex, RDF_LANGSTRING, lang)
+        return Term(KIND_LITERAL, lex, dt or XSD_STRING)
+
+    @staticmethod
+    def integer(v: int) -> "Term":
+        return Term(KIND_LITERAL, str(v), XSD_INTEGER)
+
+    @staticmethod
+    def decimal(s: str) -> "Term":
+        return Term(KIND_LITERAL, s, XSD_DECIMAL)
+
+    @staticmethod
+    def double(s: str) -> "Term":
+        return Term(KIND_LITERAL, s, XSD_DOUBLE)
+
+    @staticmethod
+    def boolean(v: bool) -> "Term":
+        return Term(KIND_LITERAL, "true" if v else "false", XSD_BOOLEAN)
+
+    def as_tuple(self) -> tuple:
+        return (self.kind, self.lex, self.dt, self.lang)
+
+    def to_column(self) -> Column:
+        """Ground term as a literal term-struct Column."""
+        return F.struct(
+            F.lit(self.kind).cast("tinyint").alias("kind"),
+            F.lit(self.lex).alias("lex"),
+            F.lit(self.dt).cast("string").alias("dt"),
+            F.lit(self.lang).cast("string").alias("lang"),
+        )
+
+    def n3(self) -> str:
+        if self.kind == KIND_IRI:
+            return f"<{self.lex}>"
+        if self.kind == KIND_BNODE:
+            return f"_:{self.lex}"
+        if self.lang:
+            return f'"{self.lex}"@{self.lang}'
+        if self.dt and self.dt != XSD_STRING:
+            return f'"{self.lex}"^^<{self.dt}>'
+        return f'"{self.lex}"'
+
+
+TRUE = Term.boolean(True)
+FALSE = Term.boolean(False)
+
+
+def null_term() -> Column:
+    """The unbound marker: a NULL term struct."""
+    return F.lit(None).cast(TERM_TYPE)
+
+
+def make_term(kind: Column, lex: Column, dt: Column, lang: Column) -> Column:
+    return F.struct(
+        kind.cast("tinyint").alias("kind"),
+        lex.cast("string").alias("lex"),
+        dt.cast("string").alias("dt"),
+        lang.cast("string").alias("lang"),
+    )
+
+
+def iri_term(lex: Column) -> Column:
+    return make_term(F.lit(KIND_IRI), lex, F.lit(None), F.lit(None))
+
+
+def bnode_term(label: Column) -> Column:
+    return make_term(F.lit(KIND_BNODE), label, F.lit(None), F.lit(None))
+
+
+def string_term(lex: Column) -> Column:
+    return make_term(F.lit(KIND_LITERAL), lex, F.lit(XSD_STRING), F.lit(None))
+
+
+def typed_term(lex: Column, dt: str) -> Column:
+    return make_term(F.lit(KIND_LITERAL), lex, F.lit(dt), F.lit(None))
+
+
+def bool_term(cond: Column) -> Column:
+    """Boolean Column (3-valued: NULL = error) -> xsd:boolean term or NULL."""
+    return F.when(
+        cond.isNotNull(),
+        make_term(
+            F.lit(KIND_LITERAL),
+            F.when(cond, F.lit("true")).otherwise(F.lit("false")),
+            F.lit(XSD_BOOLEAN),
+            F.lit(None),
+        ),
+    )
+
+
+def is_literal(t: Column) -> Column:
+    return t["kind"] == KIND_LITERAL
+
+
+def is_iri(t: Column) -> Column:
+    return t["kind"] == KIND_IRI
+
+
+def is_bnode(t: Column) -> Column:
+    return t["kind"] == KIND_BNODE
+
+
+def is_numeric(t: Column) -> Column:
+    return is_literal(t) & t["dt"].isin(*NUMERIC_DTS) & t["lex"].cast("double").isNotNull()
+
+
+def num_value(t: Column) -> Column:
+    """Numeric value as double, NULL if the term is not a valid numeric
+    literal (SPARQL type error -> NULL propagates as error/unbound)."""
+    return F.when(is_literal(t) & t["dt"].isin(*NUMERIC_DTS), t["lex"].cast("double"))
+
+
+def promotion_level(t: Column) -> Column:
+    """XPath promotion level of a numeric literal (0..3), NULL otherwise."""
+    chain = F.when(t["dt"] == XSD_DECIMAL, F.lit(1))
+    chain = chain.when(t["dt"] == XSD_FLOAT, F.lit(2))
+    chain = chain.when(t["dt"] == XSD_DOUBLE, F.lit(3))
+    chain = chain.when(t["dt"].isin(*_INTEGER_DTS), F.lit(0))
+    return F.when(is_literal(t), chain)
+
+
+def dt_for_level(level: Column) -> Column:
+    """Promotion level -> result datatype IRI."""
+    return F.element_at(F.array(*[F.lit(d) for d in _LEVEL_DT]), level.cast("int") + 1)
+
+
+def format_numeric_lex(value: Column, level: Column) -> Column:
+    """Canonical-ish lexical form for a computed numeric value.
+
+    Integer level -> no decimal point; decimal -> trailing zeros trimmed
+    (keeping integer-valued decimals as e.g. ``10``); float/double -> Spark's
+    double rendering. Downstream arithmetic re-parses via cast('double'), so
+    this only affects displayed/STR()'d output.
+    """
+    as_long = value.cast("long").cast("string")
+    as_dec = F.regexp_replace(
+        F.regexp_replace(value.cast("decimal(38,10)").cast("string"), r"0+$", ""),
+        r"\.$",
+        "",
+    )
+    return (
+        F.when(level == 0, as_long)
+        .when(level == 1, as_dec)
+        .otherwise(value.cast("string"))
+    )
+
+
+def make_numeric_term(value: Column, level: Column) -> Column:
+    """Build a numeric literal term from a double value + promotion level.
+    NULL value or NULL level -> NULL term (error propagation)."""
+    return F.when(
+        value.isNotNull() & level.isNotNull(),
+        make_term(
+            F.lit(KIND_LITERAL),
+            format_numeric_lex(value, level),
+            dt_for_level(level),
+            F.lit(None),
+        ),
+    )
+
+
+def sort_key(t: Column) -> Column:
+    """Total-order sort key mirroring rdf4j's ValueComparator intent
+    (reference: ValueEvaluators.scala:29-52): BNode < IRI < Literal; numeric
+    literals compared by value; non-numeric literals by datatype then
+    lexical form then language. Cross-class (numeric vs non-numeric literal)
+    ordering is implementation-defined in SPARQL; we put numerics first and
+    keep the order total + deterministic.
+
+    NULL (unbound) terms order first under Spark's default
+    ``asc_nulls_first`` — matching SPARQL's 'unbound < everything'.
+    """
+    num = num_value(t)
+    return F.struct(
+        t["kind"].alias("k"),
+        F.when(num.isNotNull(), F.lit(0)).otherwise(F.lit(1)).alias("numrank"),
+        F.coalesce(num, F.lit(0.0)).alias("num"),
+        F.coalesce(t["dt"], F.lit("")).alias("dt"),
+        F.coalesce(t["lex"], F.lit("")).alias("lex"),
+        F.coalesce(t["lang"], F.lit("")).alias("lang"),
+    )
+
+
+def ebv(t: Column) -> Column:
+    """SPARQL effective boolean value -> Boolean Column, NULL = type error.
+
+    boolean literal -> its value (invalid lexical -> false per spec);
+    numeric -> value != 0 (NaN -> false); plain/xsd:string -> length > 0;
+    anything else -> error (NULL).
+    """
+    num = t["lex"].cast("double")
+    return (
+        F.when(~is_literal(t), F.lit(None).cast("boolean"))
+        .when(t["dt"] == XSD_BOOLEAN, t["lex"] == "true")
+        .when(t["dt"].isin(*NUMERIC_DTS), F.coalesce(num != 0.0, F.lit(False)))
+        .when(
+            (t["dt"] == XSD_STRING) | (t["dt"] == RDF_LANGSTRING),
+            F.length(t["lex"]) > 0,
+        )
+        .otherwise(F.lit(None).cast("boolean"))
+    )
