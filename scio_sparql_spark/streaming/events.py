@@ -1,0 +1,93 @@
+"""Event-stream operators: tumbling-window aggregation and sessionization.
+
+The reference has no streaming surface (Beam used strictly bounded —
+SURVEY.md §2.10); these are the beyond-reference stream operators a
+training-data pipeline needs, written so the SAME logic runs in both
+modes:
+
+- batch: plain DataFrame in, DataFrame out (oracle-checkable vs DuckDB)
+- streaming: `readStream` + watermark + windowed agg /
+  applyInPandasWithState-style sessionization via the shared helpers
+
+Scale notes: windowed agg is a keyed shuffle on (window, key) with
+partial aggregation; sessionization shuffles once on user_id and sorts
+within partitions (window function), no driver state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Tumbling-window count + value sum per key. Works identically on a
+    batch DF and a streaming DF (add .withWatermark upstream for late
+    data)."""
+    return (
+        events.groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col(key_col),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_windowed_counts(
+    spark,
+    path: str,
+    schema,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """File-source streaming variant: readStream -> watermark -> windowed
+    agg. Run with trigger(availableNow=True) for bounded verification."""
+    stream = spark.readStream.schema(schema).parquet(path)
+    return windowed_counts(
+        stream.withWatermark(ts_col, watermark), window, ts_col, key_col
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Session assignment: a new session starts when the gap to the
+    previous event of the same user exceeds `gap_minutes`. One shuffle on
+    user_id; cumulative-sum window for session ids."""
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    prev = F.lag(ts_col).over(w)
+    new_session = (
+        prev.isNull()
+        | (F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev) > gap_minutes * 60)
+    ).cast("int")
+    return events.withColumn("session_seq", F.sum(new_session).over(w))
+
+
+def session_stats(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Per-user session count + mean session length (events)."""
+    s = sessionize(events, gap_minutes, ts_col, user_col)
+    per_session = s.groupBy(user_col, "session_seq").agg(F.count(F.lit(1)).alias("n"))
+    return per_session.groupBy(user_col).agg(
+        F.max("session_seq").alias("n_sessions"),
+        F.round(F.avg("n"), 6).alias("avg_events_per_session"),
+    )

@@ -1,0 +1,496 @@
+"""Driver-contract workload: named queries + DuckDB oracle SQL.
+
+Each entry runs the same logical query two ways:
+- Spark: SPARQL over relationalized quads (sources/bridge.py) through the
+  engine, or a native extras operator — then projected to PLAIN columns
+  (strings/bigints/doubles) so the driver can value-hash against DuckDB.
+- DuckDB: ANSI SQL over the raw parquet views.
+
+Float discipline: only exact-reproducible numerics cross the oracle
+boundary — integer-valued double sums (exact in IEEE up to 2^53),
+single-value MIN/MAX, same-order scalar arithmetic — rounded to a safe
+digit count on BOTH sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .engine import execute_sparql
+from .extras import dedup, multimodal, similarity, textstats
+from .sources.bridge import load_table, tables_to_quads
+from .streaming import events as ev
+
+PREFIXES = "PREFIX col: <urn:col:>\nPREFIX ref: <urn:ref:>\n"
+
+
+def _sparql(tables, query, project):
+    """Build a queries() callable: tables -> quads -> SPARQL -> plain cols.
+
+    project: list of (out_name, var, kind) with kind in s|i|f|f4|f6.
+    """
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        quads = tables_to_quads(spark, sf_dir, tables)
+        df = execute_sparql(quads, PREFIXES + query)
+        cols = []
+        for out, var, kind in project:
+            lex = F.col(var)["lex"]
+            if kind == "s":
+                c = lex
+            elif kind == "i":
+                c = lex.cast("double").cast("bigint")
+            elif kind == "f":
+                c = lex.cast("double")
+            elif kind == "f4":
+                c = F.round(lex.cast("double"), 4)
+            elif kind == "f6":
+                c = F.round(lex.cast("double"), 6)
+            else:
+                raise ValueError(kind)
+            cols.append(c.alias(out))
+        return df.select(*cols)
+
+    return run
+
+
+def _table(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# SPARQL engine queries (SURVEY.md §2 operator coverage, one per operator)
+# ---------------------------------------------------------------------------
+
+SPARQL_QUERIES = {
+    # §2.2 scans + §2.3 inner join (BGP)
+    "sparql_bgp_join": (
+        ["nation", "region"],
+        """SELECT ?n_name ?r_name WHERE {
+             ?n col:n_name ?n_name ; ref:n_regionkey ?r .
+             ?r col:r_name ?r_name . }""",
+        [("n_name", "n_name", "s"), ("r_name", "r_name", "s")],
+        "SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey",
+    ),
+    # §2.2 Filter predicate
+    "sparql_filter": (
+        ["part"],
+        """SELECT ?p_name ?p_size WHERE {
+             ?p col:p_name ?p_name ; col:p_size ?p_size .
+             FILTER(?p_size < 15) }""",
+        [("p_name", "p_name", "s"), ("p_size", "p_size", "i")],
+        "SELECT p_name, p_size FROM part WHERE p_size < 15",
+    ),
+    # §2.3 LeftJoin (OPTIONAL)
+    "sparql_optional": (
+        ["customer", "orders"],
+        """SELECT ?c_name ?o_orderkey WHERE {
+             ?c col:c_name ?c_name .
+             OPTIONAL { ?o ref:o_custkey ?c ; col:o_orderkey ?o_orderkey } }""",
+        [("c_name", "c_name", "s"), ("o_orderkey", "o_orderkey", "i")],
+        "SELECT c_name, o_orderkey FROM customer LEFT JOIN orders ON o_custkey = c_custkey",
+    ),
+    # §2.4 SUM + GROUP BY
+    "sparql_agg_sum": (
+        ["lineitem"],
+        """SELECT ?flag (SUM(?q) AS ?sum_qty) WHERE {
+             ?l col:l_returnflag ?flag ; col:l_quantity ?q . }
+           GROUP BY ?flag""",
+        [("flag", "flag", "s"), ("sum_qty", "sum_qty", "i")],
+        "SELECT l_returnflag AS flag, CAST(SUM(l_quantity) AS BIGINT) AS sum_qty "
+        "FROM lineitem GROUP BY l_returnflag",
+    ),
+    # §2.4 COUNT
+    "sparql_agg_count": (
+        ["orders"],
+        """SELECT ?priority (COUNT(?o) AS ?n_orders) WHERE {
+             ?o col:o_orderpriority ?priority . }
+           GROUP BY ?priority""",
+        [("priority", "priority", "s"), ("n_orders", "n_orders", "i")],
+        "SELECT o_orderpriority AS priority, COUNT(*) AS n_orders "
+        "FROM orders GROUP BY o_orderpriority",
+    ),
+    # §2.4 AVG (exact: integer-valued doubles)
+    "sparql_agg_avg": (
+        ["lineitem"],
+        """SELECT ?status (AVG(?q) AS ?avg_qty) WHERE {
+             ?l col:l_linestatus ?status ; col:l_quantity ?q . }
+           GROUP BY ?status""",
+        [("status", "status", "s"), ("avg_qty", "avg_qty", "f6")],
+        "SELECT l_linestatus AS status, ROUND(AVG(l_quantity), 6) AS avg_qty "
+        "FROM lineitem GROUP BY l_linestatus",
+    ),
+    # §2.4 MIN/MAX
+    "sparql_agg_minmax": (
+        ["orders"],
+        """SELECT ?status (MIN(?p) AS ?min_price) (MAX(?p) AS ?max_price) WHERE {
+             ?o col:o_orderstatus ?status ; col:o_totalprice ?p . }
+           GROUP BY ?status""",
+        [
+            ("status", "status", "s"),
+            ("min_price", "min_price", "f"),
+            ("max_price", "max_price", "f"),
+        ],
+        "SELECT o_orderstatus AS status, MIN(o_totalprice) AS min_price, "
+        "MAX(o_totalprice) AS max_price FROM orders GROUP BY o_orderstatus",
+    ),
+    # §2.4 HAVING
+    "sparql_having": (
+        ["orders"],
+        """SELECT ?c (COUNT(?o) AS ?n) WHERE {
+             ?o ref:o_custkey ?c . }
+           GROUP BY ?c HAVING(COUNT(?o) >= 12)""",
+        [("c", "c", "s"), ("n", "n", "i")],
+        "SELECT 'urn:customer:' || CAST(o_custkey AS VARCHAR) AS c, COUNT(*) AS n "
+        "FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 12",
+    ),
+    # §2.4 aggregate-of-expression arithmetic
+    "sparql_agg_expr": (
+        ["part"],
+        """SELECT ?brand ((MIN(?rp) + MAX(?rp)) / 2 AS ?mid) WHERE {
+             ?p col:p_brand ?brand ; col:p_retailprice ?rp . }
+           GROUP BY ?brand""",
+        [("brand", "brand", "s"), ("mid", "mid", "f6")],
+        "SELECT p_brand AS brand, ROUND((MIN(p_retailprice) + MAX(p_retailprice)) / 2, 6) "
+        "AS mid FROM part GROUP BY p_brand",
+    ),
+    # §2.7 Union
+    "sparql_union": (
+        ["customer", "supplier"],
+        """SELECT ?name WHERE {
+             { ?c col:c_name ?name } UNION { ?s col:s_name ?name } }""",
+        [("name", "name", "s")],
+        "SELECT c_name AS name FROM customer UNION ALL SELECT s_name AS name FROM supplier",
+    ),
+    # §2.7 Distinct
+    "sparql_distinct": (
+        ["customer"],
+        "SELECT DISTINCT ?seg WHERE { ?c col:c_mktsegment ?seg . }",
+        [("seg", "seg", "s")],
+        "SELECT DISTINCT c_mktsegment AS seg FROM customer",
+    ),
+    # §2.1 VALUES (BindingSetAssignment) + broadcast join
+    "sparql_values": (
+        ["nation", "region"],
+        """SELECT ?n_name ?r_name WHERE {
+             VALUES ?r_name { "EUROPE" "ASIA" }
+             ?r col:r_name ?r_name .
+             ?n ref:n_regionkey ?r ; col:n_name ?n_name . }""",
+        [("n_name", "n_name", "s"), ("r_name", "r_name", "s")],
+        "SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey "
+        "WHERE r_name IN ('EUROPE', 'ASIA')",
+    ),
+    # §2.3 EXISTS (semi join)
+    "sparql_exists": (
+        ["customer", "orders"],
+        """SELECT ?ck WHERE {
+             ?c col:c_custkey ?ck .
+             FILTER EXISTS { ?o ref:o_custkey ?c } }""",
+        [("ck", "ck", "i")],
+        "SELECT c_custkey AS ck FROM customer WHERE EXISTS "
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
+    ),
+    # §2.3 NOT EXISTS (anti join)
+    "sparql_not_exists": (
+        ["customer", "orders"],
+        """SELECT ?ck WHERE {
+             ?c col:c_custkey ?ck .
+             FILTER NOT EXISTS { ?o ref:o_custkey ?c } }""",
+        [("ck", "ck", "i")],
+        "SELECT c_custkey AS ck FROM customer WHERE NOT EXISTS "
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
+    ),
+    # §2.3 MINUS (Difference — absent in the reference)
+    "sparql_minus": (
+        ["customer", "orders"],
+        """SELECT ?ck WHERE {
+             ?c col:c_custkey ?ck .
+             MINUS { ?o ref:o_custkey ?c . } }""",
+        [("ck", "ck", "i")],
+        "SELECT c_custkey AS ck FROM customer WHERE NOT EXISTS "
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
+    ),
+    # §2.6 ORDER BY + LIMIT (top-k)
+    "sparql_topk": (
+        ["customer"],
+        """SELECT ?name ?bal WHERE {
+             ?c col:c_name ?name ; col:c_acctbal ?bal . }
+           ORDER BY DESC(?bal) ?name LIMIT 10""",
+        [("name", "name", "s"), ("bal", "bal", "f")],
+        "SELECT c_name AS name, c_acctbal AS bal FROM customer "
+        "ORDER BY bal DESC, name LIMIT 10",
+    ),
+    # §2.8 BIND / Extension arithmetic
+    "sparql_bind": (
+        ["orders"],
+        """SELECT ?ok ?tax WHERE {
+             ?o col:o_orderkey ?ok ; col:o_totalprice ?p .
+             BIND(?p * 0.1 AS ?tax) }""",
+        [("ok", "ok", "i"), ("tax", "tax", "f4")],
+        "SELECT o_orderkey AS ok, ROUND(o_totalprice * 0.1, 4) AS tax FROM orders",
+    ),
+    # §2.12 property path (sequence)
+    "sparql_path_seq": (
+        ["supplier", "nation", "region"],
+        """SELECT ?s_name ?r_name WHERE {
+             ?s col:s_name ?s_name ;
+                ref:s_nationkey/ref:n_regionkey ?r .
+             ?r col:r_name ?r_name . }""",
+        [("s_name", "s_name", "s"), ("r_name", "r_name", "s")],
+        "SELECT s_name, r_name FROM supplier "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey",
+    ),
+    # §2.2 GRAPH (named graph scan; bridge puts each table in its graph)
+    "sparql_graph": (
+        ["customer", "nation"],
+        """SELECT (COUNT(?s) AS ?n) WHERE {
+             GRAPH <urn:graph:customer> { ?s col:c_custkey ?k } }""",
+        [("n", "n", "i")],
+        "SELECT COUNT(*) AS n FROM customer",
+    ),
+    # subselect (rdf4j algebra handles Projection anywhere; ours too)
+    "sparql_subselect": (
+        ["orders"],
+        """SELECT ?c ?n WHERE {
+             { SELECT ?c (COUNT(?o) AS ?n) WHERE { ?o ref:o_custkey ?c . }
+               GROUP BY ?c }
+             FILTER(?n >= 14) }""",
+        [("c", "c", "s"), ("n", "n", "i")],
+        "SELECT 'urn:customer:' || CAST(o_custkey AS VARCHAR) AS c, COUNT(*) AS n "
+        "FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 14",
+    ),
+}
+
+# ---------------------------------------------------------------------------
+# Extras: dedup / similarity / text / multimodal / events
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup(_table(spark, sf_dir, "documents"))
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(
+        _table(spark, sf_dir, "documents"), threshold=0.2, n=3
+    )
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    # rows-only check: LSH banding is the scale path; exactness is proven
+    # by q_dedup_ngram_jaccard against SQL
+    return dedup.minhash_lsh_pairs(
+        _table(spark, sf_dir, "documents"), threshold=0.2
+    ).select("id_a", "id_b")
+
+
+def q_dedup_simhash(spark, sf_dir):
+    # rows-only: 64-bit simhash values (bit-identical across runs)
+    return dedup.simhash(_table(spark, sf_dir, "documents"))
+
+
+def q_text_token_count(spark, sf_dir):
+    return textstats.token_count(_table(spark, sf_dir, "documents"))
+
+
+def q_text_quality(spark, sf_dir):
+    return textstats.quality_score(_table(spark, sf_dir, "documents"))
+
+
+def q_text_langid(spark, sf_dir):
+    return textstats.lang_id(_table(spark, sf_dir, "documents"))
+
+
+def q_text_fingerprint(spark, sf_dir):
+    return textstats.fingerprint(_table(spark, sf_dir, "documents"))
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    emb = _table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return similarity.cosine_topk(emb, list(qv), k=10)
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    # rows-only: approximate variant (bucket recall is data-dependent)
+    emb = _table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return similarity.lsh_cosine_topk(emb, list(qv), k=10, bits=4)
+
+
+def q_multimodal_features(spark, sf_dir):
+    media = multimodal.docs_as_media(_table(spark, sf_dir, "documents"))
+    return multimodal.extract_features(media).select("media_id", "n_bytes", "head_hex")
+
+
+def q_events_window(spark, sf_dir):
+    out = ev.windowed_counts(_table(spark, sf_dir, "events"), "1 hour")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+def q_events_sessions(spark, sf_dir):
+    return ev.session_stats(_table(spark, sf_dir, "events"), gap_minutes=30)
+
+
+_TOKS = r"list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '')"
+
+EXTRA_QUERIES = {
+    "dedup_exact": (
+        q_dedup_exact,
+        "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)",
+    ),
+    "dedup_ngram_jaccard": (
+        q_dedup_ngram_jaccard,
+        f"""WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            s AS (SELECT doc_id,
+                         list_distinct(list_transform(
+                           generate_series(1, greatest(len(toks) - 3, 0) + 1),
+                           i -> array_to_string(toks[i:i+2], ' '))) AS sh
+                  FROM t)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                         / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                  / len(list_distinct(a.sh || b.sh)) >= 0.2""",
+    ),
+    "dedup_minhash_lsh": (q_dedup_minhash_lsh, None),
+    "dedup_simhash": (q_dedup_simhash, None),
+    "text_token_count": (
+        q_text_token_count,
+        f"""SELECT doc_id, len({_TOKS}) AS n_tokens,
+                   CAST(floor(length(text) / 4) AS BIGINT) AS est_bpe_tokens
+            FROM documents""",
+    ),
+    "text_quality": (
+        q_text_quality,
+        f"""SELECT doc_id,
+                   ROUND(CAST(length(text) AS DOUBLE) / len({_TOKS}), 6) AS mean_token_len,
+                   ROUND(CAST(len(list_filter({_TOKS},
+                         t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t)))
+                         AS DOUBLE) / len({_TOKS}), 6) AS stopword_ratio,
+                   ROUND(CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+                         AS DOUBLE) / length(text), 6) AS punct_ratio
+            FROM documents""",
+    ),
+    "text_langid": (
+        q_text_langid,
+        f"""SELECT doc_id,
+                   CASE WHEN len(list_filter({_TOKS}, t -> list_contains(
+                             ['the','a','of','and','to','in','is','it','that','for'], t)))
+                           > len(list_filter({_TOKS}, t -> list_contains(
+                             ['el','la','de','y','que','en','un','es','se','no'], t)))
+                        THEN 'en'
+                        WHEN len(list_filter({_TOKS}, t -> list_contains(
+                             ['el','la','de','y','que','en','un','es','se','no'], t)))
+                           > len(list_filter({_TOKS}, t -> list_contains(
+                             ['the','a','of','and','to','in','is','it','that','for'], t)))
+                        THEN 'es'
+                        ELSE 'unknown' END AS lang_pred
+            FROM documents""",
+    ),
+    "text_fingerprint": (
+        q_text_fingerprint,
+        f"""SELECT doc_id,
+                   md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS fingerprint
+            FROM documents""",
+    ),
+    "ann_cosine_topk": (
+        q_ann_cosine_topk,
+        """WITH q AS (SELECT unnest(embedding) AS qv,
+                             generate_subscripts(embedding, 1) AS i
+                      FROM embeddings WHERE vec_id = 0),
+                e AS (SELECT vec_id, unnest(embedding) AS ev,
+                             generate_subscripts(embedding, 1) AS i
+                      FROM embeddings),
+                d AS (SELECT vec_id,
+                             SUM(CAST(ev AS DOUBLE) * CAST(qv AS DOUBLE)) AS dot,
+                             SUM(CAST(ev AS DOUBLE) * CAST(ev AS DOUBLE)) AS ne,
+                             SUM(CAST(qv AS DOUBLE) * CAST(qv AS DOUBLE)) AS nq
+                      FROM e JOIN q USING (i) GROUP BY vec_id)
+           SELECT vec_id, ROUND(dot / (sqrt(ne) * sqrt(nq)), 6) AS score
+           FROM d ORDER BY score DESC, vec_id LIMIT 10""",
+    ),
+    "ann_lsh_topk": (q_ann_lsh_topk, None),
+    "multimodal_features": (
+        q_multimodal_features,
+        """SELECT doc_id AS media_id,
+                  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                  lower(substr(hex(encode(text)), 1, 8)) AS head_hex
+           FROM documents""",
+    ),
+    "events_window": (
+        q_events_window,
+        """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+                  event_type, COUNT(*) AS n_events,
+                  ROUND(SUM(value), 4) AS sum_value
+           FROM events GROUP BY 1, 2""",
+    ),
+    "events_sessions": (
+        q_events_sessions,
+        """WITH x AS (
+             SELECT user_id, ts,
+                    CASE WHEN lag(ts) OVER w IS NULL
+                              OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                         THEN 1 ELSE 0 END AS ns
+             FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+           s AS (SELECT user_id,
+                        SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+                 FROM x),
+           p AS (SELECT user_id, sid, COUNT(*) AS n FROM s GROUP BY user_id, sid)
+           SELECT user_id, CAST(MAX(sid) AS BIGINT) AS n_sessions,
+                  ROUND(AVG(n), 6) AS avg_events_per_session
+           FROM p GROUP BY user_id""",
+    ),
+}
+
+
+def build_queries() -> dict:
+    out = {}
+    for name, (tables, q, proj, _sql) in SPARQL_QUERIES.items():
+        out[name] = _sparql(tables, q, proj)
+    for name, (fn, _sql) in EXTRA_QUERIES.items():
+        out[name] = fn
+    return out
+
+
+def build_oracles() -> dict:
+    out = {}
+    for name, (_tables, _q, _proj, sql) in SPARQL_QUERIES.items():
+        out[name] = sql
+    for name, (_fn, sql) in EXTRA_QUERIES.items():
+        if sql is not None:
+            out[name] = sql
+    return out
+
+
+FLAGSHIP = """
+PREFIX col: <urn:col:>
+PREFIX ref: <urn:ref:>
+SELECT ?r_name (COUNT(?o) AS ?n_orders) WHERE {
+  ?o ref:o_custkey ?c .
+  ?c ref:c_nationkey/ref:n_regionkey ?r .
+  ?r col:r_name ?r_name .
+}
+GROUP BY ?r_name
+ORDER BY DESC(?n_orders) ?r_name
+"""
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship query: BGP chain + property path + GROUP BY + ORDER BY —
+    orders per region."""
+    quads = tables_to_quads(spark, sf_dir, ["orders", "customer", "nation", "region"])
+    df = execute_sparql(quads, FLAGSHIP)
+    return df.select(
+        F.col("r_name")["lex"].alias("r_name"),
+        F.col("n_orders")["lex"].cast("bigint").alias("n_orders"),
+    )
