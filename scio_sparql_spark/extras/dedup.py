@@ -112,9 +112,8 @@ def minhash_lsh_pairs(
     Jaccard (signature agreement). shingle -> minhash -> band -> bucket
     join: only same-bucket docs ever meet (no quadratic blowup)."""
     rows = num_hashes // bands
-    sig = minhash_signatures(
-        docs, num_hashes, n, text_col, id_col
-    ).localCheckpoint()  # signatures reused by bucket join + verify
+    sig = minhash_signatures(docs, num_hashes, n, text_col, id_col).cache()
+    # signatures reused by the bucket join and the verify join
     banded = sig.select(
         "id",
         F.posexplode(

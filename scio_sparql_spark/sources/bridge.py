@@ -84,7 +84,12 @@ def table_to_quads(
     fks = fks or {}
     dtypes = dict(df.dtypes)
     if not unique_pk:
-        df = df.withColumn("__rid", F.monotonically_increasing_id()).localCheckpoint()
+        # Bag table: subjects carry a row uniquifier. The base df must be
+        # cached/materialized by the caller (see tables_to_quads) so
+        # monotonically_increasing_id is consistent across the per-column
+        # branches. Branch pruning on predicate-bound patterns still
+        # applies (the filter folds against each branch's constant
+        # predicate), so a pattern scans ONE cached column, not all.
         subj = _iri(subject_iri(table, F.col("__rid")))
     else:
         subj = _iri(subject_iri(table, *[F.col(k) for k in pk]))
@@ -158,12 +163,34 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# (sf_dir, table) -> cached base df with __rid, for bag tables whose
+# subjects need a stable row uniquifier. One small cached table per bag
+# source; at warehouse scale you would materialize the quads parquet once
+# instead (write_triples).
+_RID_CACHE: dict = {}
+
+
+def _uniquified(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    key = (sf_dir, table)
+    if key not in _RID_CACHE:
+        df = load_table(spark, sf_dir, table).withColumn(
+            "__rid", F.monotonically_increasing_id()
+        )
+        df = df.cache()
+        df.count()  # materialize so ids are frozen for all consumers
+        _RID_CACHE[key] = df
+    return _RID_CACHE[key]
+
+
 def tables_to_quads(spark: SparkSession, sf_dir: str, tables: list[str]) -> DataFrame:
     """Load + relationalize a set of testdata tables into one quads DF."""
     out = None
     for t in tables:
-        df = load_table(spark, sf_dir, t)
         pk, fks, uniq = TPCH_META[t]
+        if uniq:
+            df = load_table(spark, sf_dir, t)
+        else:
+            df = _uniquified(spark, sf_dir, t)
         q = table_to_quads(df, t, pk, fks, unique_pk=uniq)
         out = q if out is None else out.unionByName(q)
     return out
