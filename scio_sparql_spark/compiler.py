@@ -216,7 +216,7 @@ class Compiler:
 
     # --- joins ---
     def _join_cond(self, lnode, rnode, la: str, ra: str):
-        """(equi+null-tolerant ON condition, shared var list). Assured shared
+        """(equi+null-tolerant ON condition, equi key list). Assured shared
         vars -> plain equality (hash join); maybe-unbound shared vars ->
         null-tolerant (UNDEF/OPTIONAL compatibility, ValuesTest UNDEF case)."""
         shared = sorted(lnode.vars & rnode.vars)
@@ -230,7 +230,7 @@ class Compiler:
             lc, rc = F.col(f"{la}.{v}"), F.col(f"{ra}.{v}")
             c = lc.isNull() | rc.isNull() | (lc == rc)
             cond = c if cond is None else cond & c
-        return cond, shared
+        return cond, keys
 
     def _merged_select(self, lnode, rnode, la, ra):
         cols = []
@@ -253,10 +253,16 @@ class Compiler:
         if isinstance(node.left, A.Values):
             ldf = F.broadcast(ldf)
         la, ra = f"__l{next(_alias_counter)}", f"__r{next(_alias_counter)}"
+        cond, keys = self._join_cond(node.left, node.right, la, ra)
+        if not keys:
+            # no hash-joinable key: force broadcast nested-loop. Without
+            # stats (e.g. RDD-backed inputs) Spark falls back to
+            # CartesianProduct, whose task count multiplies across a BGP
+            # chain; in SPARQL these keyless joins are constant-subject
+            # chains with tiny sides (the reference broadcast-NLJs the
+            # VALUES case for the same reason, Interpreter.scala:440-455)
+            rdf = F.broadcast(rdf)
         lal, ral = ldf.alias(la), rdf.alias(ra)
-        cond, shared = self._join_cond(node.left, node.right, la, ra)
-        if not node.left.vars:
-            return lal.crossJoin(ral).select(*self._merged_select(node.left, node.right, la, ra))
         if cond is None:
             joined = lal.crossJoin(ral)
         else:
@@ -267,8 +273,10 @@ class Compiler:
         ldf = self.compile(node.left)
         rdf = self.compile(node.right)
         la, ra = f"__l{next(_alias_counter)}", f"__r{next(_alias_counter)}"
+        cond, keys = self._join_cond(node.left, node.right, la, ra)
+        if not keys:
+            rdf = F.broadcast(rdf)
         lal, ral = ldf.alias(la), rdf.alias(ra)
-        cond, shared = self._join_cond(node.left, node.right, la, ra)
         if node.condition is not None:
             # OPTIONAL's FILTER sees both sides: compile it into the ON
             # clause (correct SPARQL scope; the reference only pre-filters
@@ -293,7 +301,9 @@ class Compiler:
         if not shared:
             return ldf
         la, ra = f"__l{next(_alias_counter)}", f"__r{next(_alias_counter)}"
-        cond, _ = self._join_cond(node.left, node.right, la, ra)
+        cond, keys = self._join_cond(node.left, node.right, la, ra)
+        if not keys:
+            rdf = F.broadcast(rdf)
         both_assured = any(
             v in node.left.assured and v in node.right.assured for v in shared
         )
@@ -330,7 +340,9 @@ class Compiler:
             sub_node = sub_node.input
         sub = self.compile(sub_node)
         la, ra = f"__l{next(_alias_counter)}", f"__r{next(_alias_counter)}"
-        cond, _ = self._join_cond(input_node, sub_node, la, ra)
+        cond, keys = self._join_cond(input_node, sub_node, la, ra)
+        if not keys:
+            sub = F.broadcast(sub)
         if lifted:
             env = {v: F.col(f"{la}.{v}") for v in input_node.vars}
             env.update({v: F.col(f"{ra}.{v}") for v in sub_node.vars})

@@ -233,7 +233,9 @@ def quads_df_from_list(spark: SparkSession, quads: list[tuple]) -> DataFrame:
     rows = [
         tuple(t.as_tuple() if t is not None else None for t in q) for q in quads
     ]
-    return spark.createDataFrame(rows, QUADS_SCHEMA)
+    # single partition: driver-side lists are small, and one partition keeps
+    # task counts flat when patterns over them are cross-joined
+    return spark.createDataFrame(rows, QUADS_SCHEMA).coalesce(1)
 
 
 # --- distributed N-Triples/N-Quads parse (native Columns, splittable) ------
