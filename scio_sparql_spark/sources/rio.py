@@ -139,7 +139,29 @@ class TurtleParser:
     def parse_subject(self, g) -> Term:
         if self.at_op("["):
             return self.parse_bnode_props(g)
+        if self.at_op("("):
+            return self.parse_collection(g)
         return self.parse_term()
+
+    def parse_collection(self, g) -> Term:
+        """RDF collection ``( e1 e2 ... )`` -> rdf:first/rest bnode chain."""
+        self.eat_op("(")
+        items = []
+        while not self.at_op(")"):
+            items.append(self.parse_object(g))
+        self.eat_op(")")
+        rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        if not items:
+            return Term.iri(rdf + "nil")
+        nodes = []
+        for _ in items:
+            self._anon += 1
+            nodes.append(Term.bnode(f"genid{self._anon}"))
+        for i, (node, item) in enumerate(zip(nodes, items)):
+            self.quads.append((node, Term.iri(rdf + "first"), item, g))
+            rest = nodes[i + 1] if i + 1 < len(nodes) else Term.iri(rdf + "nil")
+            self.quads.append((node, Term.iri(rdf + "rest"), rest, g))
+        return nodes[0]
 
     def parse_bnode_props(self, g) -> Term:
         self.eat_op("[")
@@ -177,6 +199,8 @@ class TurtleParser:
     def parse_object(self, g) -> Term:
         if self.at_op("["):
             return self.parse_bnode_props(g)
+        if self.at_op("("):
+            return self.parse_collection(g)
         return self.parse_term()
 
     def parse_term(self) -> Term:

@@ -526,9 +526,34 @@ class Parser:
                 break
         return node if node is not None else A.Singleton()
 
+    def parse_collection_pattern(self):
+        """``( e1 e2 ... )`` in a pattern -> rdf:first/rest chain over
+        fresh vars (rdf4j's parser does the same lowering)."""
+        self.eat_op("(")
+        items = []
+        while not self.at_op(")"):
+            items.append(self.parse_object())
+        self.eat_op(")")
+        if not items:
+            return [], Term.iri(RDF_NIL)
+        chain = [A.Var(self.fresh_var("col")) for _ in items]
+        out: list = []
+        for i, ((obj_nodes, o), node) in enumerate(zip(items, chain)):
+            out.extend(obj_nodes)
+            out.append(A.StatementPattern(node, Term.iri(RDF_FIRST), o))
+            rest = chain[i + 1] if i + 1 < len(items) else Term.iri(RDF_NIL)
+            out.append(A.StatementPattern(node, Term.iri(RDF_REST), rest))
+        return out, chain[0]
+
     def parse_node_with_props(self):
-        """Subject position: var/term or [ props ] / []. Returns
-        (algebra-from-inner-props | None, PatTerm)."""
+        """Subject position: var/term, [ props ] / [], or ( collection ).
+        Returns (algebra-from-inner-props | None, PatTerm)."""
+        if self.at_op("("):
+            nodes, v = self.parse_collection_pattern()
+            node = None
+            for part in nodes:
+                node = part if node is None else A.Join(node, part)
+            return node, v
         if self.at_op("["):
             self.eat_op("[")
             v = A.Var(self.fresh_var("b"))
@@ -570,6 +595,8 @@ class Parser:
         if self.at_op("["):
             node, v = self.parse_node_with_props()
             return ([node] if node else []), v
+        if self.at_op("("):
+            return self.parse_collection_pattern()
         return [], self.parse_var_or_term()
 
     def parse_verb(self):
