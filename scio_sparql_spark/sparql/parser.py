@@ -453,6 +453,10 @@ class Parser:
             elif self.at_kw("VALUES"):
                 self.next()
                 join(self.parse_values_body())
+            elif self.at_kw("SERVICE"):
+                # parity: the reference's federation resolver throws
+                # (README.md:69-70, Interpreter.scala:40-42)
+                raise SyntaxError("SERVICE / federated queries are not supported")
             elif self.at_op("{"):
                 inner = self.parse_ggp()
                 while self.at_kw("UNION"):

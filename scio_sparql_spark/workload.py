@@ -307,6 +307,13 @@ def q_text_fingerprint(spark, sf_dir):
     return textstats.fingerprint(_table(spark, sf_dir, "documents"))
 
 
+def q_dedup_embedding_cosine(spark, sf_dir):
+    # embedding-space near-duplicate pairs (exact all-pairs baseline)
+    return similarity.all_pairs_above(
+        _table(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     emb = _table(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
@@ -401,6 +408,21 @@ EXTRA_QUERIES = {
         f"""SELECT doc_id,
                    md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS fingerprint
             FROM documents""",
+    ),
+    "dedup_embedding_cosine": (
+        q_dedup_embedding_cosine,
+        """WITH e AS (SELECT vec_id, unnest(embedding) AS v,
+                             generate_subscripts(embedding, 1) AS i
+                      FROM embeddings),
+                d AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                             SUM(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS dot,
+                             SUM(CAST(a.v AS DOUBLE) * CAST(a.v AS DOUBLE)) AS na,
+                             SUM(CAST(b.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS nb
+                      FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+                      GROUP BY 1, 2)
+           SELECT id_a, id_b, ROUND(dot / (sqrt(na) * sqrt(nb)), 6) AS score
+           FROM d
+           WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.4""",
     ),
     "ann_cosine_topk": (
         q_ann_cosine_topk,

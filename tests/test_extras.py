@@ -165,3 +165,36 @@ def test_streaming_windowed_counts(spark, tmp_path):
     got = {(str(r["window_start"]), r["event_type"]): r["n_events"] for r in out}
     assert got[("2024-01-01 10:00:00", "click")] == 2
     assert got[("2024-01-01 11:00:00", "view")] == 1
+
+
+def test_stateful_session_counts(spark, tmp_path):
+    # applyInPandasWithState custom stateful operator
+    from scio_sparql_spark.streaming.stateful import session_counts_stateful
+
+    rows = [
+        (1, "2024-01-01 10:00:00"),
+        (1, "2024-01-01 10:10:00"),
+        (1, "2024-01-01 11:30:00"),
+        (2, "2024-01-01 09:00:00"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"]).withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    src = str(tmp_path / "ev")
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = session_counts_stateful(stream, gap_minutes=30)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_stateful")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in spark.sql("select * from sess_stateful").collect()
+    }
+    assert got == {1: (2, 3), 2: (1, 1)}
