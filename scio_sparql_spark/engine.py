@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from . import algebra as A
 from .compiler import compile_query
+from .optimize import reorder_joins
 from .sparql.parser import parse_query
 from .terms import Term
 
@@ -27,7 +28,7 @@ def execute_sparql(quads: DataFrame, query: str, bindings: dict | None = None) -
     VALUES at the algebra level is the injection-safe equivalent).
     """
     q = parse_query(query)
-    root = q.algebra
+    root = reorder_joins(q.algebra)
     if bindings:
         names = tuple(bindings.keys())
         row = tuple(bindings[n] for n in names)
