@@ -16,11 +16,17 @@ from . import algebra as A
 from .compiler import compile_query
 from .optimize import reorder_joins
 from .sparql.parser import parse_query
-from .terms import Term
+from .terms import KIND_IRI, KIND_LITERAL, Term, bnode_term, null_term
 
 
 def execute_sparql(quads: DataFrame, query: str, bindings: dict | None = None) -> DataFrame:
-    """Run a SPARQL 1.1 SELECT query over a quads DataFrame.
+    """Run a SPARQL 1.1 query over a quads DataFrame.
+
+    SELECT returns one term-struct column per projected variable. The
+    other three forms (upgrades — the reference parses only tuple
+    queries, Interpreter.scala:196-201) return:
+    ASK -> single-row ``ask: boolean``; CONSTRUCT / DESCRIBE -> triples
+    as term-struct columns ``s, p, o``.
 
     ``bindings`` maps variable name -> Term and restricts solutions on the
     projected variables (the reference splices initial bindings into the
@@ -34,7 +40,91 @@ def execute_sparql(quads: DataFrame, query: str, bindings: dict | None = None) -
         row = tuple(bindings[n] for n in names)
         values = A.Values(names, (row,))
         root = _join_beneath_projection(root, values)
-    return compile_query(quads, root)
+    df = compile_query(quads, root)
+    if q.form == "ask":
+        # limit(1) stops the scan at the first solution; the count-agg is
+        # over at most one row
+        return df.limit(1).agg(F.count(F.lit(1)).alias("n")).select(
+            (F.col("n") > 0).alias("ask")
+        )
+    if q.form == "construct":
+        return _construct(df, q.template)
+    if q.form == "describe":
+        return _describe(df, q.template, quads)
+    return df
+
+
+def _construct(df: DataFrame, template: tuple) -> DataFrame:
+    """Instantiate template triples per solution; invalid triples (unbound
+    position, literal subject, non-IRI predicate) are dropped per spec
+    §16.2. Template bnode labels mint a fresh bnode per solution row."""
+    has_bnodes = any(
+        isinstance(v, tuple) for spo in template for v in spo
+    )
+    if has_bnodes:
+        df = df.withColumn("__rid", F.monotonically_increasing_id())
+    parts = []
+    for s, p, o in template:
+        cols = []
+        for name, val in (("s", s), ("p", p), ("o", o)):
+            if isinstance(val, A.Var):
+                c = F.col(val.name) if val.name in df.columns else null_term()
+            elif isinstance(val, Term):
+                c = val.to_column()
+            else:  # ("bnode", label)
+                c = bnode_term(
+                    F.concat(F.lit(f"c_{val[1]}_"), F.col("__rid").cast("string"))
+                )
+            cols.append(c.alias(name))
+        parts.append(df.select(*cols))
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    valid = (
+        F.col("s").isNotNull()
+        & (F.col("s")["kind"] != KIND_LITERAL)
+        & F.col("p").isNotNull()
+        & (F.col("p")["kind"] == KIND_IRI)
+        & F.col("o").isNotNull()
+    )
+    # graph (set) semantics — but fresh bnodes never collide, so dedup
+    # only affects ground duplicates
+    return out.filter(valid).dropDuplicates()
+
+
+def _describe(df: DataFrame, targets: tuple, quads: DataFrame) -> DataFrame:
+    """Simple subject-outgoing description (CBD without bnode closure —
+    the DESCRIBE form is implementation-defined, spec §16.4): all triples
+    whose subject is a described resource. The resource set is typically
+    tiny; AQE broadcasts it from runtime stats, so the quad scan is never
+    shuffled."""
+    spark = quads.sparkSession
+    parts = []
+    for tgt in targets:
+        if isinstance(tgt, A.Var):
+            if tgt.name in df.columns:
+                parts.append(df.select(F.col(tgt.name).alias("r")))
+        else:
+            parts.append(spark.range(1).select(tgt.to_column().alias("r")))
+    if not parts:
+        return quads.select(
+            F.col("subject").alias("s"),
+            F.col("predicate").alias("p"),
+            F.col("object").alias("o"),
+        ).limit(0)
+    res = parts[0]
+    for part in parts[1:]:
+        res = res.unionByName(part)
+    res = res.filter(F.col("r").isNotNull()).dropDuplicates()
+    return (
+        quads.join(res, quads["subject"] == res["r"])
+        .select(
+            F.col("subject").alias("s"),
+            F.col("predicate").alias("p"),
+            F.col("object").alias("o"),
+        )
+        .dropDuplicates()
+    )
 
 
 def _join_beneath_projection(node: A.Node, values: A.Values) -> A.Node:

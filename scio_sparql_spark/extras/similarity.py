@@ -1,22 +1,34 @@
 """Similarity search over embedding columns (array<float>).
 
 Brute-force cosine top-k as the exact baseline; LSH-bucketed (random
-hyperplane) variant as the scale path. Dot products run as native
-``F.zip_with``/``F.aggregate`` over the array — JVM-side, no Python.
+hyperplane) and IVF (k-means coarse quantizer) variants as the scale
+paths.
 
 Scale notes (100 TB): brute force is a single narrow scan + top-k
-(TakeOrderedAndProject — no full sort). The LSH variant buckets on a
-signature so each probe touches ~1/2^bits of the data; hyperplanes are
-derived deterministically (seeded hash) so signatures never need a
-driver-side model object.
+(TakeOrderedAndProject — no full sort). Constant-query dot products are
+UNROLLED into dim multiply-adds (whole-stage codegen) — the
+zip_with/aggregate formulation is kept only for variable x variable
+pairs, since higher-order-function lambdas evaluate interpreted. The
+LSH variant buckets on a signature so each probe touches ~1/2^bits of
+the data; hyperplanes are derived deterministically (seeded hash) so
+signatures never need a driver-side model object. The IVF variant
+prunes to nprobe/n_centroids of the table; at warehouse scale you'd
+persist the centroid assignment as a partition/bucket column so probes
+become partition pruning.
 """
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, functions as F
+
+from .util import spread
 
 
 def _dot(a, b):
+    """Variable x variable dot product (interpreted HOF — fine on
+    candidate sets, avoid in full-scan hot paths)."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -32,6 +44,22 @@ def cosine(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _dot_const(vec_col, query_vec: list[float]):
+    """vec . const-query as dim unrolled multiply-adds — stays inside
+    whole-stage codegen (~10x the interpreted HOF on full scans)."""
+    return sum(
+        F.element_at(vec_col, i + 1).cast("double") * float(x)
+        for i, x in enumerate(query_vec)
+    )
+
+
+def _norm_sq_unrolled(vec_col, dim: int):
+    return sum(
+        F.element_at(vec_col, i + 1).cast("double") * F.element_at(vec_col, i + 1).cast("double")
+        for i in range(dim)
+    )
+
+
 def cosine_topk(
     emb: DataFrame,
     query_vec: list[float],
@@ -40,13 +68,13 @@ def cosine_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact top-k by cosine to a constant query vector. Plan: scan ->
-    per-row dot (codegen) -> TakeOrderedAndProject(k). No shuffle of the
-    full table."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    scored = emb.select(
-        F.col(id_col),
-        F.round(cosine(F.col(vec_col), q), 6).alias("score"),
+    per-row unrolled dot (codegen) -> TakeOrderedAndProject(k). No
+    shuffle of the full table; the query norm folds to a constant."""
+    qn = math.sqrt(sum(float(x) * float(x) for x in query_vec)) or 1.0
+    score = _dot_const(F.col(vec_col), query_vec) / (
+        F.sqrt(_norm_sq_unrolled(F.col(vec_col), len(query_vec))) * qn
     )
+    scored = spread(emb).select(F.col(id_col), F.round(score, 6).alias("score"))
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
 
 
@@ -71,6 +99,44 @@ def random_hyperplane_signature(vec_col, dim: int, bits: int = 16, seed: int = 4
     return sig
 
 
+def _hyperplanes(spark, dim: int, bits: int, seed: int) -> list[list[float]]:
+    """Evaluate the deterministic +-1 hyperplane components once (tiny
+    driver-side job — same seeded-xxhash derivation as
+    random_hyperplane_signature, so signatures stay identical)."""
+    row = (
+        spark.range(1)
+        .select(
+            *[
+                F.array(
+                    *[
+                        F.when(
+                            F.xxhash64(F.lit(f"{seed}:{b}:{i}")) % 2 == 0, F.lit(1.0)
+                        ).otherwise(F.lit(-1.0))
+                        for i in range(dim)
+                    ]
+                ).alias(f"p{b}")
+                for b in range(bits)
+            ]
+        )
+        .collect()[0]
+    )
+    return [list(row[f"p{b}"]) for b in range(bits)]
+
+
+def _signature_unrolled(vec_col, planes: list[list[float]]):
+    """Signature against known-constant planes: bits x dim unrolled
+    multiply-adds, whole-stage codegen (the Column-derived plane variant
+    runs the dot as an interpreted HOF on every scanned row)."""
+    sig = F.lit(0).cast("long")
+    for b, plane in enumerate(planes):
+        bit = F.when(
+            _dot_const(vec_col, plane) >= 0,
+            F.shiftleft(F.lit(1).cast("long"), b),
+        ).otherwise(F.lit(0).cast("long"))
+        sig = sig.bitwiseOR(bit)
+    return sig
+
+
 def lsh_cosine_topk(
     emb: DataFrame,
     query_vec: list[float],
@@ -85,16 +151,63 @@ def lsh_cosine_topk(
     cosine within the bucket. Recall grows with multi-probe (not
     implemented) or fewer bits."""
     dim = len(query_vec)
-    qsig_df = emb.sparkSession.range(1).select(
-        random_hyperplane_signature(
-            F.array(*[F.lit(float(x)) for x in query_vec]), dim, bits, seed
-        ).alias("qsig")
-    )
-    qsig = qsig_df.collect()[0]["qsig"]
-    bucket = emb.filter(
-        random_hyperplane_signature(F.col(vec_col), dim, bits, seed) == F.lit(qsig)
+    planes = _hyperplanes(emb.sparkSession, dim, bits, seed)
+    qsig = 0
+    for b, plane in enumerate(planes):
+        if sum(float(x) * p for x, p in zip(query_vec, plane)) >= 0:
+            qsig |= 1 << b
+    bucket = spread(emb).filter(
+        _signature_unrolled(F.col(vec_col), planes) == F.lit(qsig)
     )
     return cosine_topk(bucket, query_vec, k, id_col, vec_col)
+
+
+def ivf_cosine_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    train_fraction: float | None = None,
+) -> DataFrame:
+    """IVF-style approximate top-k: k-means coarse quantizer (distributed
+    pyspark.ml KMeans fit, optionally on a sample), assign every vector
+    to its nearest centroid (one map pass), then probe only the nprobe
+    centroids nearest the query and run exact cosine inside them.
+
+    Touches ~nprobe/n_centroids of the data per query. At warehouse
+    scale, materialize the `prediction` column once (partition/bucket by
+    it) so a probe is partition pruning, not a scan."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = spread(emb).select(
+        F.col(id_col),
+        F.col(vec_col),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    train = feats.sample(train_fraction, seed=seed) if train_fraction else feats
+    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(train)
+    centroids = [list(c) for c in model.clusterCenters()]
+
+    def cos(u, v):
+        d = sum(x * y for x, y in zip(u, v))
+        nu = math.sqrt(sum(x * x for x in u))
+        nv = math.sqrt(sum(x * x for x in v))
+        return d / (nu * nv) if nu and nv else 0.0
+
+    probes = sorted(
+        range(len(centroids)), key=lambda c: -cos(query_vec, centroids[c])
+    )[:nprobe]
+    cand = (
+        model.transform(feats)
+        .filter(F.col("prediction").isin([int(p) for p in probes]))
+        .select(F.col(id_col), F.col(vec_col))
+    )
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)
 
 
 def all_pairs_above(
@@ -102,12 +215,32 @@ def all_pairs_above(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact all-pairs cosine >= threshold (a < b) — small-SF oracle
-    baseline for near-duplicate embeddings; quadratic, use LSH at scale."""
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    baseline for near-duplicate embeddings; quadratic, use LSH at scale.
+    Pass ``dim`` to unroll the pair dot product into codegen (the HOF
+    fallback evaluates interpreted — 1e8 pair dots notice)."""
+    norm_sq = _norm_sq_unrolled(F.col(vec_col), dim) if dim else _dot(F.col(vec_col), F.col(vec_col))
+    base = spread(emb).select(
+        F.col(id_col), F.col(vec_col), F.sqrt(norm_sq).alias("__n")
+    )
+    a = base.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col("__n").alias("na")
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col("__n").alias("nb")
+    )
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    return pairs.select(
-        "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("score")
-    ).filter(F.col("score") >= threshold)
+    if dim:
+        dot = sum(
+            F.element_at(F.col("va"), i + 1).cast("double")
+            * F.element_at(F.col("vb"), i + 1).cast("double")
+            for i in range(dim)
+        )
+    else:
+        dot = _dot(F.col("va"), F.col("vb"))
+    score = F.round(dot / (F.col("na") * F.col("nb")), 6)
+    return pairs.select("id_a", "id_b", score.alias("score")).filter(
+        F.col("score") >= threshold
+    )

@@ -84,6 +84,13 @@ class PNeg:
 class Query:
     algebra: A.Node
     visible_vars: list
+    # query form: select | ask | construct | describe (the reference parses
+    # only tuple/SELECT queries — Interpreter.scala:196-201; the other three
+    # forms are strict upgrades)
+    form: str = "select"
+    # construct: tuple of (s, p, o) template triples where each position is
+    # A.Var | Term | ("bnode", label); describe: tuple of A.Var | Term targets
+    template: tuple = ()
 
 
 class Parser:
@@ -202,11 +209,140 @@ class Parser:
     # --- query ---
     def parse_query(self) -> Query:
         self.parse_prologue()
-        q = self.parse_select_query()
+        if self.at_kw("SELECT"):
+            q = self.parse_select_query()
+        elif self.at_kw("ASK"):
+            q = self.parse_ask_query()
+        elif self.at_kw("CONSTRUCT"):
+            q = self.parse_construct_query()
+        elif self.at_kw("DESCRIBE"):
+            q = self.parse_describe_query()
+        else:
+            t = self.peek()
+            raise SyntaxError(
+                f"expected SELECT/ASK/CONSTRUCT/DESCRIBE at {t.pos}: {t.value!r}"
+            )
         if self.peek().kind != "EOF":
             t = self.peek()
             raise SyntaxError(f"trailing input at {t.pos}: {t.value!r}")
         return q
+
+    def parse_ask_query(self) -> Query:
+        self.eat_kw("ASK")
+        if self.at_kw("WHERE"):
+            self.next()
+        G = self.parse_ggp()
+        return Query(G, ["ask"], form="ask")
+
+    def parse_construct_query(self) -> Query:
+        self.eat_kw("CONSTRUCT")
+        if self.at_op("{"):
+            template = self.parse_template()
+            if self.at_kw("WHERE"):
+                self.next()
+            G = self.parse_ggp()
+        else:
+            # short form: CONSTRUCT WHERE { <template = pattern> }
+            self.eat_kw("WHERE")
+            template = self.parse_template()
+            G: A.Node = A.Singleton()
+            for s, p, o in template:
+                sp = A.StatementPattern(
+                    self._template_pos_to_pattern(s),
+                    self._template_pos_to_pattern(p),
+                    self._template_pos_to_pattern(o),
+                )
+                G = sp if isinstance(G, A.Singleton) else A.Join(G, sp)
+        limit = offset = None
+        while self.at_kw("LIMIT", "OFFSET"):
+            kw = self.eat_kw("LIMIT", "OFFSET")
+            n = self.next()
+            if n.kind != "NUMBER":
+                raise SyntaxError(f"expected number after {kw} at {n.pos}")
+            if kw == "LIMIT":
+                limit = int(n.value)
+            else:
+                offset = int(n.value)
+        if limit is not None or offset:
+            G = A.Slice(G, limit, offset or 0)
+        return Query(G, ["s", "p", "o"], form="construct", template=tuple(template))
+
+    @staticmethod
+    def _template_pos_to_pattern(v):
+        if isinstance(v, tuple) and v and v[0] == "bnode":
+            return A.Var("__b_" + v[1])
+        return v
+
+    def parse_template(self) -> list:
+        """``{ s p o ; p2 o2 , o3 . ... }`` — plain triples only (vars,
+        IRIs, literals, bnode labels); no paths/brackets/collections."""
+        self.eat_op("{")
+        triples: list = []
+        while not self.at_op("}"):
+            s = self.parse_template_node()
+            while True:
+                p = self.parse_template_verb()
+                while True:
+                    o = self.parse_template_node()
+                    triples.append((s, p, o))
+                    if not self.try_op(","):
+                        break
+                if not self.try_op(";"):
+                    break
+            if not self.try_op("."):
+                break
+        self.eat_op("}")
+        return triples
+
+    def parse_template_node(self):
+        t = self.peek()
+        if t.kind == "BLANK":
+            self.next()
+            return ("bnode", t.value)
+        if t.kind == "VAR":
+            self.next()
+            self.note_var(t.value)
+            return A.Var(t.value)
+        if t.kind in ("IRIREF", "PNAME"):
+            return self.parse_iri()
+        return self.parse_literal()
+
+    def parse_template_verb(self):
+        t = self.peek()
+        if t.kind == "VAR":
+            self.next()
+            self.note_var(t.value)
+            return A.Var(t.value)
+        if t.kind == "KEYWORD" and t.value == "a":
+            self.next()
+            return Term.iri(RDF_TYPE)
+        return self.parse_iri()
+
+    def parse_describe_query(self) -> Query:
+        self.eat_kw("DESCRIBE")
+        targets: list = []
+        star = self.try_op("*")
+        if not star:
+            while True:
+                t = self.peek()
+                if t.kind == "VAR":
+                    self.next()
+                    self.note_var(t.value)
+                    targets.append(A.Var(t.value))
+                elif t.kind in ("IRIREF", "PNAME"):
+                    targets.append(self.parse_iri())
+                else:
+                    break
+            if not targets:
+                raise SyntaxError(f"expected var/IRI/* after DESCRIBE at {t.pos}")
+        G: A.Node = A.Singleton()
+        if self.at_kw("WHERE") or self.at_op("{"):
+            if self.at_kw("WHERE"):
+                self.next()
+            G = self.parse_ggp()
+        if star:
+            targets = [A.Var(v) for v in sorted(G.vars) if not v.startswith("__")]
+        return Query(G, ["s", "p", "o"], form="describe", template=tuple(targets))
 
     def parse_prologue(self):
         while self.at_kw("PREFIX", "BASE"):

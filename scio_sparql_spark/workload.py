@@ -310,7 +310,7 @@ def q_text_fingerprint(spark, sf_dir):
 def q_dedup_embedding_cosine(spark, sf_dir):
     # embedding-space near-duplicate pairs (exact all-pairs baseline)
     return similarity.all_pairs_above(
-        _table(spark, sf_dir, "embeddings"), threshold=0.4
+        _table(spark, sf_dir, "embeddings"), threshold=0.4, dim=64
     )
 
 
@@ -325,6 +325,13 @@ def q_ann_lsh_topk(spark, sf_dir):
     emb = _table(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     return similarity.lsh_cosine_topk(emb, list(qv), k=10, bits=4)
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    # rows-only: approximate variant (k-means probe recall is data-dependent)
+    emb = _table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return similarity.ivf_cosine_topk(emb, list(qv), k=10, n_centroids=8, nprobe=3)
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -348,7 +355,63 @@ def q_events_sessions(spark, sf_dir):
 
 _TOKS = r"list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '')"
 
+def q_sparql_ask(spark, sf_dir):
+    quads = tables_to_quads(spark, sf_dir, ["region"])
+    return execute_sparql(quads, PREFIXES + 'ASK { ?r col:r_name "EUROPE" }')
+
+
+def q_sparql_construct(spark, sf_dir):
+    quads = tables_to_quads(spark, sf_dir, ["nation"])
+    q = (
+        PREFIXES
+        + """PREFIX v: <urn:v:>
+        CONSTRUCT { ?n v:inRegion ?r . ?n v:label ?name . }
+        WHERE { ?n ref:n_regionkey ?r ; col:n_name ?name . }"""
+    )
+    df = execute_sparql(quads, q)
+    return df.select(
+        F.col("s")["lex"].alias("s"),
+        F.col("p")["lex"].alias("p"),
+        F.col("o")["lex"].alias("o"),
+    )
+
+
+def q_sparql_describe(spark, sf_dir):
+    quads = tables_to_quads(spark, sf_dir, ["region"])
+    df = execute_sparql(quads, "DESCRIBE <urn:region:0>")
+    return df.select(
+        F.col("s")["lex"].alias("s"),
+        F.col("p")["lex"].alias("p"),
+        F.col("o")["lex"].alias("o"),
+    )
+
+
 EXTRA_QUERIES = {
+    # §2.13 upgrades: ASK / CONSTRUCT / DESCRIBE query forms
+    "sparql_ask": (
+        q_sparql_ask,
+        "SELECT (COUNT(*) > 0) AS ask FROM region WHERE r_name = 'EUROPE'",
+    ),
+    "sparql_construct": (
+        q_sparql_construct,
+        """SELECT 'urn:nation:' || CAST(n_nationkey AS VARCHAR) AS s,
+                  'urn:v:inRegion' AS p,
+                  'urn:region:' || CAST(n_regionkey AS VARCHAR) AS o
+           FROM nation
+           UNION
+           SELECT 'urn:nation:' || CAST(n_nationkey AS VARCHAR),
+                  'urn:v:label', n_name
+           FROM nation""",
+    ),
+    "sparql_describe": (
+        q_sparql_describe,
+        """SELECT 'urn:region:0' AS s, 'urn:col:r_regionkey' AS p,
+                  CAST(r_regionkey AS VARCHAR) AS o
+           FROM region WHERE r_regionkey = 0
+           UNION ALL
+           SELECT 'urn:region:0', 'urn:col:r_name', r_name
+           FROM region WHERE r_regionkey = 0""",
+    ),
     "dedup_exact": (
         q_dedup_exact,
         "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)",
@@ -441,6 +504,7 @@ EXTRA_QUERIES = {
            FROM d ORDER BY score DESC, vec_id LIMIT 10""",
     ),
     "ann_lsh_topk": (q_ann_lsh_topk, None),
+    "ann_ivf_topk": (q_ann_ivf_topk, None),
     "multimodal_features": (
         q_multimodal_features,
         """SELECT doc_id AS media_id,

@@ -143,14 +143,16 @@ def test_offset_without_order(spark):
     assert len(out) == 1
 
 
-def test_ask_construct_rejected(spark):
-    # parity with the reference: only SELECT parses
-    # (parseTupleQuery, Interpreter.scala:196-201)
-    import pytest
+def test_ask_construct_supported(spark):
+    # upgrade over the reference (which only parses tuple queries —
+    # parseTupleQuery, Interpreter.scala:196-201): ASK/CONSTRUCT/DESCRIBE
+    # now execute; full coverage in tests/test_query_forms.py
+    from scio_sparql_spark import execute_sparql, parse_turtle, quads_df_from_list
 
-    for q in ("ASK { ?s ?p ?o }", "CONSTRUCT { ?s ?p ?o } WHERE { ?s ?p ?o }"):
-        with pytest.raises(SyntaxError):
-            run_sparql(spark, TTL, q)
+    quads = quads_df_from_list(spark, parse_turtle(TTL))
+    assert execute_sparql(quads, "ASK { ?s ?p ?o }").collect()[0]["ask"] is True
+    n = execute_sparql(quads, "CONSTRUCT { ?s ?p ?o } WHERE { ?s ?p ?o }").count()
+    assert n > 0
 
 
 def test_zero_length_path_in_named_graph(spark):

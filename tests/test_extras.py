@@ -198,3 +198,33 @@ def test_stateful_session_counts(spark, tmp_path):
         for r in spark.sql("select * from sess_stateful").collect()
     }
     assert got == {1: (2, 3), 2: (1, 1)}
+
+
+def test_ivf_topk_finds_query_cluster(spark):
+    import random
+
+    random.seed(11)
+    # three well-separated clusters of 30 vectors each
+    centers = [[10.0, 0.0, 0.0], [0.0, 10.0, 0.0], [0.0, 0.0, 10.0]]
+    rows = []
+    for ci, c in enumerate(centers):
+        for j in range(30):
+            rows.append(
+                (ci * 30 + j, [x + random.gauss(0, 0.1) for x in c])
+            )
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = centers[1]
+    out = similarity.ivf_cosine_topk(emb, q, k=5, n_centroids=3, nprobe=1).collect()
+    assert len(out) == 5
+    # every hit comes from the query's cluster
+    assert all(30 <= r["vec_id"] < 60 for r in out)
+    brute = [r["vec_id"] for r in similarity.cosine_topk(emb, q, k=5).collect()]
+    assert [r["vec_id"] for r in out] == brute  # nprobe=1 on clean clusters: exact
+
+
+def test_all_pairs_dim_unrolled_matches_hof(spark):
+    rows = [(0, [1.0, 0.0]), (1, [1.0, 0.01]), (2, [0.0, 1.0])]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    hof = {(r["id_a"], r["id_b"], r["score"]) for r in similarity.all_pairs_above(emb, 0.5).collect()}
+    unr = {(r["id_a"], r["id_b"], r["score"]) for r in similarity.all_pairs_above(emb, 0.5, dim=2).collect()}
+    assert hof == unr

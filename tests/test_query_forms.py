@@ -1,0 +1,134 @@
+"""ASK / CONSTRUCT / DESCRIBE query forms (strict upgrades — the
+reference parses only tuple/SELECT queries, Interpreter.scala:196-201)."""
+
+from scio_sparql_spark import execute_sparql, parse_turtle, quads_df_from_list
+
+TTL = """
+@prefix : <urn:f:> .
+@prefix foaf: <http://xmlns.com/foaf/0.1/> .
+:alice foaf:name "Alice" ; foaf:mbox <mailto:alice@example.org> ; foaf:age 30 .
+:bob   foaf:name "Bob" .
+"""
+
+
+def _quads(spark):
+    return quads_df_from_list(spark, parse_turtle(TTL))
+
+
+def _triples(df):
+    return {
+        (r["s"]["lex"], r["p"]["lex"], (r["o"]["kind"], r["o"]["lex"]))
+        for r in df.collect()
+    }
+
+
+def test_ask_true_false(spark):
+    quads = _quads(spark)
+    q = "PREFIX foaf: <http://xmlns.com/foaf/0.1/> ASK { ?s foaf:name \"Alice\" }"
+    assert [r["ask"] for r in execute_sparql(quads, q).collect()] == [True]
+    q2 = "PREFIX foaf: <http://xmlns.com/foaf/0.1/> ASK { ?s foaf:name \"Nobody\" }"
+    assert [r["ask"] for r in execute_sparql(quads, q2).collect()] == [False]
+
+
+def test_construct_template(spark):
+    quads = _quads(spark)
+    q = """
+    PREFIX foaf: <http://xmlns.com/foaf/0.1/>
+    PREFIX v: <urn:v:>
+    CONSTRUCT { ?p v:label ?n . ?p a v:Person . }
+    WHERE { ?p foaf:name ?n }
+    """
+    got = _triples(execute_sparql(quads, q))
+    assert got == {
+        ("urn:f:alice", "urn:v:label", (2, "Alice")),
+        ("urn:f:bob", "urn:v:label", (2, "Bob")),
+        ("urn:f:alice", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", (1, "urn:v:Person")),
+        ("urn:f:bob", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", (1, "urn:v:Person")),
+    }
+
+
+def test_construct_unbound_optional_dropped(spark):
+    # bob has no mbox -> his v:contact triple is invalid (unbound) and dropped
+    quads = _quads(spark)
+    q = """
+    PREFIX foaf: <http://xmlns.com/foaf/0.1/>
+    PREFIX v: <urn:v:>
+    CONSTRUCT { ?p v:contact ?m }
+    WHERE { ?p foaf:name ?n . OPTIONAL { ?p foaf:mbox ?m } }
+    """
+    got = _triples(execute_sparql(quads, q))
+    assert got == {("urn:f:alice", "urn:v:contact", (1, "mailto:alice@example.org"))}
+
+
+def test_construct_short_form(spark):
+    quads = _quads(spark)
+    q = """
+    PREFIX foaf: <http://xmlns.com/foaf/0.1/>
+    CONSTRUCT WHERE { ?p foaf:name ?n }
+    """
+    got = _triples(execute_sparql(quads, q))
+    assert got == {
+        ("urn:f:alice", "http://xmlns.com/foaf/0.1/name", (2, "Alice")),
+        ("urn:f:bob", "http://xmlns.com/foaf/0.1/name", (2, "Bob")),
+    }
+
+
+def test_construct_bnode_fresh_per_solution(spark):
+    quads = _quads(spark)
+    q = """
+    PREFIX foaf: <http://xmlns.com/foaf/0.1/>
+    PREFIX v: <urn:v:>
+    CONSTRUCT { _:card v:of ?p . _:card v:name ?n . }
+    WHERE { ?p foaf:name ?n }
+    """
+    rows = execute_sparql(quads, q).collect()
+    assert len(rows) == 4
+    # the two triples of one solution share a bnode; across solutions differ
+    by_subj = {}
+    for r in rows:
+        assert r["s"]["kind"] == 0  # bnode
+        by_subj.setdefault(r["s"]["lex"], []).append(r["p"]["lex"])
+    assert len(by_subj) == 2
+    for preds in by_subj.values():
+        assert sorted(preds) == ["urn:v:name", "urn:v:of"]
+
+
+def test_construct_dedups_ground_triples(spark):
+    quads = _quads(spark)
+    q = """
+    PREFIX foaf: <http://xmlns.com/foaf/0.1/>
+    PREFIX v: <urn:v:>
+    CONSTRUCT { v:g v:has v:people }
+    WHERE { ?p foaf:name ?n }
+    """
+    rows = execute_sparql(quads, q).collect()
+    assert len(rows) == 1  # two solutions, one ground triple
+
+
+def test_describe_iri(spark):
+    quads = _quads(spark)
+    q = "PREFIX : <urn:f:> DESCRIBE :alice"
+    got = _triples(execute_sparql(quads, q))
+    assert got == {
+        ("urn:f:alice", "http://xmlns.com/foaf/0.1/name", (2, "Alice")),
+        ("urn:f:alice", "http://xmlns.com/foaf/0.1/mbox", (1, "mailto:alice@example.org")),
+        ("urn:f:alice", "http://xmlns.com/foaf/0.1/age", (2, "30")),
+    }
+
+
+def test_describe_var_where(spark):
+    quads = _quads(spark)
+    q = """
+    PREFIX foaf: <http://xmlns.com/foaf/0.1/>
+    DESCRIBE ?p WHERE { ?p foaf:mbox ?m }
+    """
+    got = _triples(execute_sparql(quads, q))
+    assert {s for s, _, _ in got} == {"urn:f:alice"}
+    assert len(got) == 3
+
+
+def test_select_still_rejects_garbage(spark):
+    import pytest
+
+    with pytest.raises(SyntaxError):
+        execute_sparql(_quads(spark), "FROB { ?s ?p ?o }")
