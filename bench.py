@@ -29,6 +29,8 @@ BENCH_QUERIES = [
     "sparql_path_seq",
     "sparql_exists",
     "sparql_having",
+    "sparql_construct",
+    "sparql_from_graph",
     # training-data pipeline operators
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -36,6 +38,7 @@ BENCH_QUERIES = [
     "text_quality",
     "text_fingerprint",
     "ann_cosine_topk",
+    "ann_ivf_topk",
     "events_window",
     "events_sessions",
 ]

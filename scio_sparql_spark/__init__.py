@@ -7,7 +7,13 @@ declarative plans, Catalyst optimization, Tungsten execution.
 """
 
 from .engine import execute_sparql  # noqa: F401
-from .sources.rio import parse_turtle, quads_df_from_list, read_triples, write_triples  # noqa: F401
+from .sources.rio import (  # noqa: F401
+    parse_turtle,
+    quads_df_from_list,
+    read_triples,
+    read_triples_stream,
+    write_triples,
+)
 from .terms import QUADS_SCHEMA, TERM_TYPE, Term  # noqa: F401
 
 __version__ = "0.1.0"

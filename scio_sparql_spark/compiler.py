@@ -53,9 +53,14 @@ def _flatten_and(cond) -> list:
 
 
 class Compiler:
-    def __init__(self, quads: DataFrame):
+    def __init__(self, quads: DataFrame, strict_default: bool = False):
         self.quads = quads
         self.spark = quads.sparkSession
+        # strict_default: an explicit FROM/FROM NAMED dataset is in force —
+        # non-GRAPH patterns match only default-graph (graph IS NULL) rows
+        # instead of the union-default semantics used without a dataset
+        # clause (reference: Interpreter.scala:215)
+        self.strict_default = strict_default
 
     # --- dispatch ---
     def compile(self, node: A.Node) -> DataFrame:
@@ -76,6 +81,8 @@ class Compiler:
             else:
                 cond = cond & F.col("graph").isNotNull()
                 positions.append(("graph", node.graph))
+        elif self.strict_default:
+            cond = cond & F.col("graph").isNull()
         for colname, pat in positions:
             if isinstance(pat, Term):
                 cond = cond & self._term_eq(colname, pat)
@@ -111,6 +118,8 @@ class Compiler:
                 df = df.filter(self._term_eq("graph", graph))
             else:
                 df = df.filter(F.col("graph").isNotNull())
+        elif self.strict_default:
+            df = df.filter(F.col("graph").isNull())
         return df
 
     def _c_zerolengthpath(self, node: A.ZeroLengthPath) -> DataFrame:
@@ -535,5 +544,5 @@ class Compiler:
         return out.withColumn(out_name, term).drop(*drops)
 
 
-def compile_query(quads: DataFrame, node: A.Node) -> DataFrame:
-    return Compiler(quads).compile(node)
+def compile_query(quads: DataFrame, node: A.Node, strict_default: bool = False) -> DataFrame:
+    return Compiler(quads, strict_default).compile(node)

@@ -16,7 +16,7 @@ from . import algebra as A
 from .compiler import compile_query
 from .optimize import reorder_joins
 from .sparql.parser import parse_query
-from .terms import KIND_IRI, KIND_LITERAL, Term, bnode_term, null_term
+from .terms import KIND_IRI, KIND_LITERAL, TERM_TYPE, Term, bnode_term, null_term
 
 
 def execute_sparql(quads: DataFrame, query: str, bindings: dict | None = None) -> DataFrame:
@@ -40,7 +40,11 @@ def execute_sparql(quads: DataFrame, query: str, bindings: dict | None = None) -
         row = tuple(bindings[n] for n in names)
         values = A.Values(names, (row,))
         root = _join_beneath_projection(root, values)
-    df = compile_query(quads, root)
+    frm, named = q.dataset
+    strict = bool(frm or named)
+    if strict:
+        quads = _apply_dataset(quads, frm, named)
+    df = compile_query(quads, root, strict_default=strict)
     if q.form == "ask":
         # limit(1) stops the scan at the first solution; the count-agg is
         # over at most one row
@@ -52,6 +56,27 @@ def execute_sparql(quads: DataFrame, query: str, bindings: dict | None = None) -
     if q.form == "describe":
         return _describe(df, q.template, quads)
     return df
+
+
+def _apply_dataset(quads: DataFrame, frm: tuple, named: tuple) -> DataFrame:
+    """Build the explicit dataset (spec §13.2): default graph = union of
+    FROM graphs (relabeled to the NULL graph), named graphs = the FROM
+    NAMED set. A single-sided clause leaves the other side empty. The
+    graph-IRI IN-list filter is a pushdown-friendly scan predicate."""
+    g = F.col("graph")["lex"]
+    parts = []
+    if frm:
+        parts.append(
+            quads.filter(F.col("graph").isNotNull() & g.isin(list(frm))).withColumn(
+                "graph", F.lit(None).cast(TERM_TYPE)
+            )
+        )
+    if named:
+        parts.append(quads.filter(F.col("graph").isNotNull() & g.isin(list(named))))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def _construct(df: DataFrame, template: tuple) -> DataFrame:

@@ -314,7 +314,12 @@ def _term_from_ntoken(tok):
 
 
 def _read_ntriples(spark: SparkSession, path: str, quads: bool) -> DataFrame:
-    lines = spark.read.text(path)
+    return _project_ntriples(spark.read.text(path), quads)
+
+
+def _project_ntriples(lines: DataFrame, quads: bool) -> DataFrame:
+    """text lines -> quad term structs, pure native Columns (works
+    identically over batch ``read.text`` and ``readStream.text``)."""
     line = F.trim(F.col("value"))
     lines = lines.filter((line != "") & ~line.startswith("#"))
     term_re = rf"({_IRI}|{_BNODE}|{_LIT})"
@@ -351,6 +356,22 @@ def read_triples(spark: SparkSession, path: str) -> DataFrame:
                 all_quads.extend(parse_turtle(fh.read()))
         return quads_df_from_list(spark, all_quads)
     raise ValueError(f"unsupported RDF input: {path}")
+
+
+def read_triples_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Structured-Streaming NT/NQ ingest: ``readStream.text`` over a
+    directory + the same native-regex projection as the batch reader.
+    New files landing in ``path`` become quad micro-batches — the
+    continuous-ingest path the reference lacks (Beam bounded mode only,
+    SURVEY.md §2.10). Combine with ``writeStream`` into a parquet quad
+    store, or window/sessionize downstream."""
+    if path.endswith(".nq"):
+        quads = True
+    elif path.endswith(".nt") or os.path.isdir(path):
+        quads = False
+    else:
+        raise ValueError(f"unsupported streaming RDF input: {path}")
+    return _project_ntriples(spark.readStream.text(path), quads)
 
 
 def write_triples(df: DataFrame, path: str, partition_by_predicate: bool = False):

@@ -91,6 +91,9 @@ class Query:
     # construct: tuple of (s, p, o) template triples where each position is
     # A.Var | Term | ("bnode", label); describe: tuple of A.Var | Term targets
     template: tuple = ()
+    # explicit dataset: (FROM iri strings, FROM NAMED iri strings);
+    # both empty = no dataset clause (union-default semantics)
+    dataset: tuple = ((), ())
 
 
 class Parser:
@@ -227,22 +230,41 @@ class Parser:
             raise SyntaxError(f"trailing input at {t.pos}: {t.value!r}")
         return q
 
+    def parse_dataset(self) -> tuple:
+        """``FROM <g>`` / ``FROM NAMED <g>`` clauses (rdf4j parses these;
+        the reference ignores the parsed dataset — honoring it is an
+        upgrade)."""
+        frm: list = []
+        named: list = []
+        while self.at_kw("FROM"):
+            self.next()
+            if self.at_kw("NAMED"):
+                self.next()
+                named.append(self.parse_iri().lex)
+            else:
+                frm.append(self.parse_iri().lex)
+        return (tuple(frm), tuple(named))
+
     def parse_ask_query(self) -> Query:
         self.eat_kw("ASK")
+        dataset = self.parse_dataset()
         if self.at_kw("WHERE"):
             self.next()
         G = self.parse_ggp()
-        return Query(G, ["ask"], form="ask")
+        return Query(G, ["ask"], form="ask", dataset=dataset)
 
     def parse_construct_query(self) -> Query:
         self.eat_kw("CONSTRUCT")
+        dataset = ((), ())
         if self.at_op("{"):
             template = self.parse_template()
+            dataset = self.parse_dataset()
             if self.at_kw("WHERE"):
                 self.next()
             G = self.parse_ggp()
         else:
-            # short form: CONSTRUCT WHERE { <template = pattern> }
+            # short form: CONSTRUCT [dataset] WHERE { <template = pattern> }
+            dataset = self.parse_dataset()
             self.eat_kw("WHERE")
             template = self.parse_template()
             G: A.Node = A.Singleton()
@@ -265,7 +287,9 @@ class Parser:
                 offset = int(n.value)
         if limit is not None or offset:
             G = A.Slice(G, limit, offset or 0)
-        return Query(G, ["s", "p", "o"], form="construct", template=tuple(template))
+        return Query(
+            G, ["s", "p", "o"], form="construct", template=tuple(template), dataset=dataset
+        )
 
     @staticmethod
     def _template_pos_to_pattern(v):
@@ -335,6 +359,7 @@ class Parser:
                     break
             if not targets:
                 raise SyntaxError(f"expected var/IRI/* after DESCRIBE at {t.pos}")
+        dataset = self.parse_dataset()
         G: A.Node = A.Singleton()
         if self.at_kw("WHERE") or self.at_op("{"):
             if self.at_kw("WHERE"):
@@ -342,7 +367,9 @@ class Parser:
             G = self.parse_ggp()
         if star:
             targets = [A.Var(v) for v in sorted(G.vars) if not v.startswith("__")]
-        return Query(G, ["s", "p", "o"], form="describe", template=tuple(targets))
+        return Query(
+            G, ["s", "p", "o"], form="describe", template=tuple(targets), dataset=dataset
+        )
 
     def parse_prologue(self):
         while self.at_kw("PREFIX", "BASE"):
@@ -391,6 +418,7 @@ class Parser:
                     self.eat_op(")")
                 else:
                     break
+        dataset = self.parse_dataset()
         if self.at_kw("WHERE"):
             self.next()
         where = self.parse_ggp()
@@ -467,10 +495,10 @@ class Parser:
             else:
                 break
 
-        return self.assemble(modifier, proj, where, group_keys, having, order, limit, offset, values_clause)
+        return self.assemble(modifier, proj, where, group_keys, having, order, limit, offset, values_clause, dataset)
 
     # --- assembly (spec §18.2.4) ---
-    def assemble(self, modifier, proj, where, group_keys, having, order, limit, offset, values_clause) -> Query:
+    def assemble(self, modifier, proj, where, group_keys, having, order, limit, offset, values_clause, dataset=((), ())) -> Query:
         G = where
         if values_clause is not None:
             G = A.Join(G, values_clause)
@@ -531,7 +559,7 @@ class Parser:
 
         if limit is not None or offset:
             G = A.Slice(G, limit, offset)
-        return Query(G, visible)
+        return Query(G, visible, dataset=dataset)
 
     # --- group graph pattern ---
     def parse_ggp(self) -> A.Node:

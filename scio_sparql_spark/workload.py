@@ -73,6 +73,16 @@ SPARQL_QUERIES = {
         [("n_name", "n_name", "s"), ("r_name", "r_name", "s")],
         "SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey",
     ),
+    # §13.2 explicit dataset (upgrade): FROM restricts the default graph —
+    # nation quads are loaded but must not match
+    "sparql_from_graph": (
+        ["nation", "region"],
+        """SELECT ?s FROM <urn:graph:region> WHERE { ?s ?p ?o }""",
+        [("s", "s", "s")],
+        "SELECT 'urn:region:' || CAST(r_regionkey AS VARCHAR) AS s FROM region "
+        "UNION ALL "
+        "SELECT 'urn:region:' || CAST(r_regionkey AS VARCHAR) FROM region",
+    ),
     # §2.2 Filter predicate
     "sparql_filter": (
         ["part"],

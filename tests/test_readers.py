@@ -116,3 +116,34 @@ def test_turtle_anon_bnode_object(spark):
     assert len(quads) == 2
     kinds = sorted((q[1].lex, q[2].kind) for q in quads)
     assert kinds[0][1] == 0  # :knows -> bnode object
+
+
+def test_streaming_ntriples_ingest(spark, tmp_path):
+    # readStream.text over a directory of .nt files -> quad micro-batches
+    from scio_sparql_spark import read_triples_stream
+
+    d = tmp_path / "ntdir"
+    d.mkdir()
+    (d / "a.nt").write_text(
+        '<urn:s:1> <urn:p:name> "Alice" .\n'
+        '<urn:s:2> <urn:p:name> "Bob"@en .\n'
+        '<urn:s:2> <urn:p:age> "30"^^<http://www.w3.org/2001/XMLSchema#integer> .\n'
+    )
+    stream = read_triples_stream(spark, str(d))
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("nt_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = spark.sql("select * from nt_stream").collect()
+    got = {(r["subject"]["lex"], r["predicate"]["lex"], r["object"]["lex"],
+            r["object"]["dt"], r["object"]["lang"]) for r in rows}
+    assert got == {
+        ("urn:s:1", "urn:p:name", "Alice", "http://www.w3.org/2001/XMLSchema#string", None),
+        ("urn:s:2", "urn:p:name", "Bob", "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString", "en"),
+        ("urn:s:2", "urn:p:age", "30", "http://www.w3.org/2001/XMLSchema#integer", None),
+    }
