@@ -44,20 +44,25 @@ def cosine(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
-def _dot_const(vec_col, query_vec: list[float]):
-    """vec . const-query as dim unrolled multiply-adds — stays inside
-    whole-stage codegen (~10x the interpreted HOF on full scans)."""
-    return sum(
-        F.element_at(vec_col, i + 1).cast("double") * float(x)
+def _dot_const(vec_col_name: str, query_vec: list[float]):
+    """vec . const-query as dim unrolled multiply-adds — inside
+    whole-stage codegen, unlike an interpreted HOF lambda. Generated as
+    ONE SQL string: building the same tree from Python Column operators
+    costs 256+ py4j round trips (~1.5s of driver time per query)."""
+    sql = " + ".join(
+        f"CAST(element_at(`{vec_col_name}`, {i + 1}) AS DOUBLE) * {float(x)!r}"
         for i, x in enumerate(query_vec)
     )
+    return F.expr(sql)
 
 
-def _norm_sq_unrolled(vec_col, dim: int):
-    return sum(
-        F.element_at(vec_col, i + 1).cast("double") * F.element_at(vec_col, i + 1).cast("double")
+def _norm_sq_unrolled(vec_col_name: str, dim: int):
+    sql = " + ".join(
+        f"CAST(element_at(`{vec_col_name}`, {i + 1}) AS DOUBLE)"
+        f" * CAST(element_at(`{vec_col_name}`, {i + 1}) AS DOUBLE)"
         for i in range(dim)
     )
+    return F.expr(sql)
 
 
 def cosine_topk(
@@ -71,8 +76,8 @@ def cosine_topk(
     per-row unrolled dot (codegen) -> TakeOrderedAndProject(k). No
     shuffle of the full table; the query norm folds to a constant."""
     qn = math.sqrt(sum(float(x) * float(x) for x in query_vec)) or 1.0
-    score = _dot_const(F.col(vec_col), query_vec) / (
-        F.sqrt(_norm_sq_unrolled(F.col(vec_col), len(query_vec))) * qn
+    score = _dot_const(vec_col, query_vec) / (
+        F.sqrt(_norm_sq_unrolled(vec_col, len(query_vec))) * qn
     )
     scored = spread(emb).select(F.col(id_col), F.round(score, 6).alias("score"))
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
@@ -123,14 +128,14 @@ def _hyperplanes(spark, dim: int, bits: int, seed: int) -> list[list[float]]:
     return [list(row[f"p{b}"]) for b in range(bits)]
 
 
-def _signature_unrolled(vec_col, planes: list[list[float]]):
+def _signature_unrolled(vec_col_name: str, planes: list[list[float]]):
     """Signature against known-constant planes: bits x dim unrolled
     multiply-adds, whole-stage codegen (the Column-derived plane variant
     runs the dot as an interpreted HOF on every scanned row)."""
     sig = F.lit(0).cast("long")
     for b, plane in enumerate(planes):
         bit = F.when(
-            _dot_const(vec_col, plane) >= 0,
+            _dot_const(vec_col_name, plane) >= 0,
             F.shiftleft(F.lit(1).cast("long"), b),
         ).otherwise(F.lit(0).cast("long"))
         sig = sig.bitwiseOR(bit)
@@ -157,7 +162,7 @@ def lsh_cosine_topk(
         if sum(float(x) * p for x, p in zip(query_vec, plane)) >= 0:
             qsig |= 1 << b
     bucket = spread(emb).filter(
-        _signature_unrolled(F.col(vec_col), planes) == F.lit(qsig)
+        _signature_unrolled(vec_col, planes) == F.lit(qsig)
     )
     return cosine_topk(bucket, query_vec, k, id_col, vec_col)
 
@@ -190,7 +195,11 @@ def ivf_cosine_topk(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
     )
     train = feats.sample(train_fraction, seed=seed) if train_fraction else feats
-    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(train)
+    # coarse quantizer only needs rough centroids: cap the iteration count
+    # (recall comes from nprobe, not quantizer quality)
+    model = KMeans(
+        k=n_centroids, seed=seed, featuresCol="features", maxIter=8, tol=1e-3
+    ).fit(train)
     centroids = [list(c) for c in model.clusterCenters()]
 
     def cos(u, v):
@@ -219,9 +228,12 @@ def all_pairs_above(
 ) -> DataFrame:
     """Exact all-pairs cosine >= threshold (a < b) — small-SF oracle
     baseline for near-duplicate embeddings; quadratic, use LSH at scale.
-    Pass ``dim`` to unroll the pair dot product into codegen (the HOF
-    fallback evaluates interpreted — 1e8 pair dots notice)."""
-    norm_sq = _norm_sq_unrolled(F.col(vec_col), dim) if dim else _dot(F.col(vec_col), F.col(vec_col))
+    Pass ``dim`` to unroll the per-row norms into codegen. The pair dot
+    stays a HOF on purpose: Catalyst pushes the score filter into the
+    nested-loop join condition, which is evaluated INTERPRETED — there a
+    single-loop HOF beats walking a dim-node expression tree (measured
+    2.6s vs 14s at sf0.1)."""
+    norm_sq = _norm_sq_unrolled(vec_col, dim) if dim else _dot(F.col(vec_col), F.col(vec_col))
     base = spread(emb).select(
         F.col(id_col), F.col(vec_col), F.sqrt(norm_sq).alias("__n")
     )
@@ -232,14 +244,7 @@ def all_pairs_above(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col("__n").alias("nb")
     )
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    if dim:
-        dot = sum(
-            F.element_at(F.col("va"), i + 1).cast("double")
-            * F.element_at(F.col("vb"), i + 1).cast("double")
-            for i in range(dim)
-        )
-    else:
-        dot = _dot(F.col("va"), F.col("vb"))
+    dot = _dot(F.col("va"), F.col("vb"))
     score = F.round(dot / (F.col("na") * F.col("nb")), 6)
     return pairs.select("id_a", "id_b", score.alias("score")).filter(
         F.col("score") >= threshold
