@@ -76,3 +76,63 @@ def extract_features(media: DataFrame) -> DataFrame:
             yield out
 
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+def resize_stub(payload: bytes, width: int, height: int) -> bytes:
+    """Placeholder for a real resize (PIL Image.resize + re-encode).
+    Deterministic fake: truncate/pad the payload to width*height bytes so
+    output size is a pure function of the target dimensions."""
+    target = width * height
+    return payload[:target].ljust(target, b"\0")
+
+
+def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
+    """1:1 mapInPandas resize stage: same media schema out, new
+    dimensions. Swap resize_stub for a real decoder+resizer; the Arrow
+    batch shape, schema, and partitioning are what production uses."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf["payload"] = [resize_stub(p, width, height) for p in pdf["payload"]]
+            pdf["width"] = width
+            pdf["height"] = height
+            yield pdf
+
+    return media.mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4, frame_bytes: int = 64) -> DataFrame:
+    """1:N mapInPandas frame sampling (the video path): each input row
+    fans out to up to n_frames rows. Stub 'decoder' chunks the payload at
+    evenly spaced offsets — deterministic, so tests pin exact output.
+    Swap for pyav/ffmpeg keyframe extraction; the row-explosion shape,
+    schema, and Arrow batching stay identical."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, payloads = [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                n = len(p)
+                if n == 0:
+                    continue
+                k = min(n_frames, max(1, n // frame_bytes))
+                for f in range(k):
+                    off = (n * f) // k
+                    ids.append(mid)
+                    idxs.append(f)
+                    payloads.append(p[off : off + frame_bytes])
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "payload": payloads}
+            )
+
+    return media.mapInPandas(batches, schema=FRAME_SCHEMA)

@@ -349,6 +349,16 @@ def q_multimodal_features(spark, sf_dir):
     return multimodal.extract_features(media).select("media_id", "n_bytes", "head_hex")
 
 
+def q_multimodal_frames(spark, sf_dir):
+    media = multimodal.docs_as_media(_table(spark, sf_dir, "documents"))
+    frames = multimodal.sample_frames(media, n_frames=4, frame_bytes=64)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        F.length("payload").cast("bigint").alias("n_bytes"),
+    )
+
+
 def q_events_window(spark, sf_dir):
     out = ev.windowed_counts(_table(spark, sf_dir, "events"), "1 hour")
     return out.select(
@@ -521,6 +531,16 @@ EXTRA_QUERIES = {
                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                   lower(substr(hex(encode(text)), 1, 8)) AS head_hex
            FROM documents""",
+    ),
+    "multimodal_frames": (
+        q_multimodal_frames,
+        """WITH m AS (SELECT doc_id AS media_id, encode(text) AS p FROM documents),
+                k AS (SELECT media_id, p, octet_length(p) AS n,
+                             LEAST(4, GREATEST(1, octet_length(p) // 64)) AS kk
+                      FROM m WHERE octet_length(p) > 0)
+           SELECT media_id, CAST(f - 1 AS INTEGER) AS frame_idx,
+                  CAST(LEAST(64, n - (n * (f - 1)) // kk) AS BIGINT) AS n_bytes
+           FROM k, generate_series(1, 4) AS t(f) WHERE f <= kk""",
     ),
     "events_window": (
         q_events_window,

@@ -228,3 +228,31 @@ def test_all_pairs_dim_unrolled_matches_hof(spark):
     hof = {(r["id_a"], r["id_b"], r["score"]) for r in similarity.all_pairs_above(emb, 0.5).collect()}
     unr = {(r["id_a"], r["id_b"], r["score"]) for r in similarity.all_pairs_above(emb, 0.5, dim=2).collect()}
     assert hof == unr
+
+
+def test_multimodal_resize(spark, docs):
+    from scio_sparql_spark.extras import multimodal as mm
+
+    media = mm.docs_as_media(docs)
+    out = mm.resize_media(media, width=8, height=4).collect()
+    assert len(out) == media.count()
+    for r in out:
+        assert r["width"] == 8 and r["height"] == 4
+        assert len(r["payload"]) == 32  # width*height bytes, deterministic stub
+
+
+def test_multimodal_frame_sampling(spark, docs):
+    from scio_sparql_spark.extras import multimodal as mm
+
+    media = mm.docs_as_media(docs)
+    frames = mm.sample_frames(media, n_frames=3, frame_bytes=16)
+    rows = frames.collect()
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], []).append(r)
+    n_media = media.count()
+    assert len(by_media) == n_media  # every non-empty doc fans out
+    for mid, fr in by_media.items():
+        assert 1 <= len(fr) <= 3
+        assert sorted(f["frame_idx"] for f in fr) == list(range(len(fr)))
+        assert all(len(f["payload"]) <= 16 for f in fr)
