@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "ann_ivf_topk",
     "events_window",
     "events_sessions",
+    "multimodal_frames",
 ]
 
 
