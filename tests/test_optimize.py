@@ -67,3 +67,45 @@ def test_exists_under_not_reordered(spark):
     assert "CartesianProduct" not in plan
     out = run_sparql(spark, TTL, q)
     assert_bag_equal(out, [{"a": iri("urn:o:a1")}])
+
+
+def test_reorder_does_not_cross_optional_boundary(spark):
+    # patterns inside OPTIONAL must stay inside it: reordering may not
+    # hoist the optional pattern into the required BGP (which would turn
+    # a left join into an inner join)
+    ttl = """
+    @prefix : <urn:o:> .
+    :a1 :p :b1 . :a2 :p :b2 .
+    :b1 :q :c1 .
+    """
+    q = """
+    PREFIX : <urn:o:>
+    SELECT ?a ?c WHERE {
+      ?a :p ?b .
+      OPTIONAL { ?b :q ?c }
+    }"""
+    out = run_sparql(spark, ttl, q)
+    # a2 has no :q edge -> must still appear with unbound ?c
+    assert_bag_equal(
+        out,
+        [
+            {"a": iri("urn:o:a1"), "c": iri("urn:o:c1")},
+            {"a": iri("urn:o:a2"), "c": None},
+        ],
+    )
+
+
+def test_reorder_keeps_minus_semantics(spark):
+    ttl = """
+    @prefix : <urn:o:> .
+    :a1 :p 1 . :a2 :p 2 .
+    :a1 :x 9 .
+    """
+    q = """
+    PREFIX : <urn:o:>
+    SELECT ?a WHERE {
+      ?a :p ?v .
+      MINUS { ?a :x ?w }
+    }"""
+    out = run_sparql(spark, ttl, q)
+    assert_bag_equal(out, [{"a": iri("urn:o:a2")}])
