@@ -381,10 +381,46 @@ class Compiler:
         return df.select(*cols)
 
     def _c_distinct(self, node: A.Distinct) -> DataFrame:
-        return self.compile(node.input).dropDuplicates()
+        return self._dedup(node.input)
 
     def _c_reduced(self, node: A.Reduced) -> DataFrame:
-        return self.compile(node.input).dropDuplicates()
+        return self._dedup(node.input)
+
+    def _dedup(self, inner: A.Node) -> DataFrame:
+        """Distinct/Reduced compile to dropDuplicates, which SHUFFLES —
+        a sort compiled below it is destroyed (and Catalyst may eliminate
+        it outright). For Distinct(Project(OrderBy(X))) / Distinct(OrderBy)
+        we instead compute the sort keys as hidden columns before the
+        projection, dedup on the visible columns only, and re-sort after:
+        dedup-then-sort, equivalent because ORDER BY applies to the
+        distinct solution sequence (spec §15.3.1)."""
+        proj = inner if isinstance(inner, A.Project) else None
+        ob = proj.input if proj is not None else inner
+        if not isinstance(ob, A.OrderBy):
+            return self.compile(inner).dropDuplicates()
+        df = self.compile(ob.input)
+        env = _env(df)
+        sort_cols, hidden = [], []
+        for i, (e, asc) in enumerate(ob.keys):
+            h = f"__ord{i}"
+            hidden.append(h)
+            df = df.withColumn(h, sort_key(compile_value(e, env)))
+            sort_cols.append(
+                F.col(h).asc_nulls_first() if asc else F.col(h).desc_nulls_last()
+            )
+        if proj is not None:
+            names = list(proj.names)
+            cols = [
+                F.col(v) if v in df.columns else null_term().alias(v) for v in names
+            ]
+            df = df.select(*cols, *[F.col(h) for h in hidden])
+        else:
+            names = [c for c in df.columns if c not in hidden]
+        # dropDuplicates(subset) keeps an arbitrary row's hidden keys per
+        # distinct tuple — fine: ordering a deduped row by a non-projected
+        # expression is implementation-defined anyway
+        df = df.dropDuplicates(names)
+        return df.orderBy(*sort_cols).select(*names)
 
     def _c_union(self, node: A.Union) -> DataFrame:
         ldf = self.compile(node.left)
@@ -459,7 +495,17 @@ class Compiler:
             sub = gb2.agg(*self._agg_exprs(agg, argc, out_name))
             sub = self._finalize_one(sub, out_name, agg)
             if key_cols:
-                out = out.join(sub, on=key_cols, how="inner")
+                # null-safe join: an unbound (NULL) group key is a real
+                # group and must survive the join-back
+                for k in key_cols:
+                    sub = sub.withColumnRenamed(k, f"__rk_{k}")
+                cond = None
+                for k in key_cols:
+                    c = F.col(k).eqNullSafe(F.col(f"__rk_{k}"))
+                    cond = c if cond is None else (cond & c)
+                out = out.join(sub, on=cond, how="inner").drop(
+                    *[f"__rk_{k}" for k in key_cols]
+                )
             else:
                 out = out.crossJoin(sub)
         drop = [c for c in out.columns if c == "__dummy"]

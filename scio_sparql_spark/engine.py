@@ -66,11 +66,14 @@ def _apply_dataset(quads: DataFrame, frm: tuple, named: tuple) -> DataFrame:
     g = F.col("graph")["lex"]
     parts = []
     if frm:
-        parts.append(
-            quads.filter(F.col("graph").isNotNull() & g.isin(list(frm))).withColumn(
-                "graph", F.lit(None).cast(TERM_TYPE)
-            )
+        dflt = quads.filter(F.col("graph").isNotNull() & g.isin(list(frm))).withColumn(
+            "graph", F.lit(None).cast(TERM_TYPE)
         )
+        if len(frm) > 1:
+            # spec §13.2: default graph is the RDF merge (set union) of the
+            # FROM graphs — a triple in several FROM graphs appears once
+            dflt = dflt.dropDuplicates()
+        parts.append(dflt)
     if named:
         parts.append(quads.filter(F.col("graph").isNotNull() & g.isin(list(named))))
     out = parts[0]

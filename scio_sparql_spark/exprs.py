@@ -132,7 +132,13 @@ def _compare(op: str, l: Column, r: Column) -> Column:
         out = out.when(same_class, f(l["lex"], r["lex"]))
         # identical unknown-typed literals are equal; same-dt/different-lex
         # stays a type error (NULL) per strict operator mapping
-        ident = is_literal(l) & is_literal(r) & (l["dt"] == r["dt"]) & (l["lex"] == r["lex"])
+        ident = (
+            is_literal(l)
+            & is_literal(r)
+            & (l["dt"] == r["dt"])
+            & (l["lex"] == r["lex"])
+            & l["lang"].eqNullSafe(r["lang"])
+        )
         out = out.when(ident, F.lit(op == "="))
         # cross-kind terms are never equal
         cross = l["kind"] != r["kind"]

@@ -32,7 +32,9 @@ _TOKEN_RES = [
     ("BLANK", re.compile(r"_:([A-Za-z0-9_][A-Za-z0-9_.-]*)")),
     ("VAR", re.compile(r"[?$]([A-Za-z0-9_]+)")),
     ("LANGTAG", re.compile(r"@([A-Za-z]+(?:-[A-Za-z0-9]+)*)")),
-    ("NUMBER", re.compile(r"(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?")),
+    # DECIMAL requires digits after the dot (spec [79]): '1.' must stay
+    # NUMBER '1' + OP '.' so Turtle statements ending "... 1 ." parse.
+    ("NUMBER", re.compile(r"(?:\d+\.\d+|\.\d+|\d+)(?:[eE][+-]?\d+)?")),
     # PNAME: optional prefix part, ':', optional local part.  Local names may
     # contain dots but not end with one (spec PN_LOCAL).
     ("PNAME", re.compile(

@@ -1,0 +1,119 @@
+"""Regression tests for the round-1 ADVICE findings: DISTINCT/REDUCED
+above ORDER BY must preserve ordering; language tags participate in
+=/!=/IN term identity; DISTINCT-modified aggregates keep NULL group
+keys; Turtle DECIMAL must not swallow the statement dot; FROM over
+multiple graphs is a set union."""
+
+from .helpers import assert_bag_equal, num, s, run_sparql
+
+ORD_TTL = """
+@prefix : <urn:o:> .
+:a :p 5 . :b :p 1 . :c :p 7 . :d :p 1 . :e :p 5 . :f :p 3 .
+"""
+
+
+def test_distinct_preserves_order(spark):
+    q = "PREFIX : <urn:o:> SELECT DISTINCT ?v WHERE { ?x :p ?v } ORDER BY ?v"
+    rows = run_sparql(spark, ORD_TTL, q)
+    assert [r["v"] for r in rows] == [num(1), num(3), num(5), num(7)]
+
+
+def test_distinct_order_limit_takes_smallest(spark):
+    q = """PREFIX : <urn:o:>
+           SELECT DISTINCT ?v WHERE { ?x :p ?v } ORDER BY ?v LIMIT 3"""
+    rows = run_sparql(spark, ORD_TTL, q)
+    assert [r["v"] for r in rows] == [num(1), num(3), num(5)]
+
+
+def test_distinct_order_desc_offset(spark):
+    q = """PREFIX : <urn:o:>
+           SELECT DISTINCT ?v WHERE { ?x :p ?v } ORDER BY DESC(?v) OFFSET 1 LIMIT 2"""
+    rows = run_sparql(spark, ORD_TTL, q)
+    assert [r["v"] for r in rows] == [num(5), num(3)]
+
+
+def test_reduced_preserves_order(spark):
+    q = "PREFIX : <urn:o:> SELECT REDUCED ?v WHERE { ?x :p ?v } ORDER BY DESC(?v)"
+    rows = [r["v"] for r in run_sparql(spark, ORD_TTL, q)]
+    # REDUCED may drop dups but must keep descending order
+    assert rows == sorted(rows, key=lambda t: -t[0])
+
+
+def test_distinct_order_by_unprojected_var(spark):
+    # order key not in the projection: keys are computed pre-projection
+    q = "PREFIX : <urn:o:> SELECT DISTINCT ?x WHERE { ?x :p ?v } ORDER BY ?v ?x"
+    rows = [r["x"][0] for r in run_sparql(spark, ORD_TTL, q)]
+    assert rows == ["urn:o:b", "urn:o:d", "urn:o:f", "urn:o:a", "urn:o:e", "urn:o:c"]
+
+
+LANG_TTL = """
+@prefix : <urn:l:> .
+:a :label "hello"@fr .
+:b :label "hello"@en .
+:c :label "hello" .
+"""
+
+
+def test_eq_respects_lang_tag(spark):
+    q = 'PREFIX : <urn:l:> SELECT ?x WHERE { ?x :label ?l FILTER(?l = "hello"@fr) }'
+    rows = run_sparql(spark, LANG_TTL, q)
+    assert [r["x"] for r in rows] == [("urn:l:a", "http://www.w3.org/2001/XMLSchema#anyURI", None)]
+
+
+def test_in_respects_lang_tag(spark):
+    q = 'PREFIX : <urn:l:> SELECT ?x WHERE { ?x :label ?l FILTER(?l IN ("hello"@en)) }'
+    rows = run_sparql(spark, LANG_TTL, q)
+    assert [r["x"][0] for r in rows] == ["urn:l:b"]
+
+
+DIST_AGG_TTL = """
+@prefix : <urn:da:> .
+:a :v 1 . :a :v 2 . :a :g "k1" .
+:b :v 2 . :b :v 2 . :b :v 3 .
+"""
+
+
+def test_sum_distinct_keeps_null_group(spark):
+    # :b has no :g → NULL group key; it must survive the DISTINCT-agg join-back
+    q = """PREFIX : <urn:da:>
+           SELECT ?g (SUM(DISTINCT ?v) AS ?s) WHERE {
+             ?x :v ?v . OPTIONAL { ?x :g ?g }
+           } GROUP BY ?g"""
+    assert_bag_equal(
+        run_sparql(spark, DIST_AGG_TTL, q),
+        [{"g": s("k1"), "s": num(3)}, {"g": None, "s": num(5)}],
+    )
+
+
+def test_turtle_integer_before_statement_dot(spark):
+    from scio_sparql_spark import parse_turtle
+
+    quads = parse_turtle("@prefix : <urn:t:> .\n:a :v 1.")
+    assert len(quads) == 1
+    assert quads[0][2].lex == "1"
+
+    # and a decimal still parses as one token
+    quads = parse_turtle("@prefix : <urn:t:> .\n:a :v 1.5 .")
+    assert quads[0][2].lex == "1.5"
+
+
+def test_sparql_number_before_block_dot(spark):
+    q = "PREFIX : <urn:o:> SELECT ?x WHERE { ?x :p 1. :a :p ?y . }"
+    rows = run_sparql(spark, ORD_TTL, q)
+    assert sorted(r["x"][0] for r in rows) == ["urn:o:b", "urn:o:d"]
+
+
+MERGE_TRIG = """
+@prefix : <urn:m:> .
+:g1 { :x :p "shared" . :x :p "one" . }
+:g2 { :x :p "shared" . :x :p "two" . }
+"""
+
+
+def test_from_multiple_graphs_is_set_union(spark):
+    q = """PREFIX : <urn:m:>
+           SELECT ?v FROM <urn:m:g1> FROM <urn:m:g2> WHERE { ?x :p ?v }"""
+    assert_bag_equal(
+        run_sparql(spark, MERGE_TRIG, q),
+        [{"v": s("shared")}, {"v": s("one")}, {"v": s("two")}],
+    )
