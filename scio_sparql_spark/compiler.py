@@ -168,28 +168,45 @@ class Compiler:
         if node.graph_mode == "named" and isinstance(node.graph, A.Var):
             raise NotImplementedError("p*/p+ inside GRAPH ?var")
         inner = self.compile(node.path)
-        edges = (
-            inner.select(
-                F.col(node.start_var).alias("src"), F.col(node.end_var).alias("dst")
-            )
-            .distinct()
-            .localCheckpoint()
-        )
-        reach = edges
-        frontier = edges
-        while True:
-            new = (
-                frontier.alias("f")
-                .join(edges.alias("e"), F.col("f.dst") == F.col("e.src"))
-                .select(F.col("f.src").alias("src"), F.col("e.dst").alias("dst"))
+        # Constraint propagation must be off while the loop checkpoints:
+        # localCheckpoint produces LogicalRDDs whose captured constraints
+        # reference pre-checkpoint attribute ids, and planning a Union of
+        # them fails in rewriteConstraints ("key not found: src#N").
+        # Checkpoints taken with the conf off carry no constraints, so the
+        # frames stay safe downstream after the conf is restored.
+        conf_key = "spark.sql.constraintPropagation.enabled"
+        prev = self.spark.conf.get(conf_key, "true")
+        self.spark.conf.set(conf_key, "false")
+        try:
+            edges = (
+                inner.select(
+                    F.col(node.start_var).alias("src"),
+                    F.col(node.end_var).alias("dst"),
+                )
                 .distinct()
-                .subtract(reach)
                 .localCheckpoint()
             )
-            if new.isEmpty():
-                break
-            reach = reach.unionByName(new).localCheckpoint()
-            frontier = new
+            reach = edges
+            frontier = edges
+            while True:
+                # left_anti instead of subtract: EXCEPT over checkpointed
+                # self-join branches also trips attribute dedup; the
+                # anti-join on (src, dst) is the same set difference
+                # (endpoints are never NULL)
+                new = (
+                    frontier.alias("f")
+                    .join(edges.alias("e"), F.col("f.dst") == F.col("e.src"))
+                    .select(F.col("f.src").alias("src"), F.col("e.dst").alias("dst"))
+                    .distinct()
+                    .join(reach, on=["src", "dst"], how="left_anti")
+                    .localCheckpoint()
+                )
+                if new.isEmpty():
+                    break
+                reach = reach.unionByName(new).localCheckpoint()
+                frontier = new
+        finally:
+            self.spark.conf.set(conf_key, prev)
         if node.min_length == 0:
             base = self._graph_scoped_quads(node.graph_mode, node.graph)
             nodes_df = (

@@ -271,6 +271,157 @@ SPARQL_QUERIES = {
         "SELECT 'urn:customer:' || CAST(o_custkey AS VARCHAR) AS c, COUNT(*) AS n "
         "FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 14",
     ),
+    # §2.4 SAMPLE (Interpreter.scala:521-567) — deterministic gate: every
+    # group has exactly one value, so SAMPLE must return it
+    "sparql_sample": (
+        ["nation"],
+        """SELECT ?n (SAMPLE(?r) AS ?reg) WHERE {
+             ?n ref:n_regionkey ?r . } GROUP BY ?n""",
+        [("n", "n", "s"), ("reg", "reg", "s")],
+        "SELECT 'urn:nation:' || CAST(n_nationkey AS VARCHAR) AS n, "
+        "'urn:region:' || CAST(n_regionkey AS VARCHAR) AS reg FROM nation",
+    ),
+    # §2.4 GROUP_CONCAT(sep) (Interpreter.scala:761-821) — our impl sorts
+    # the pieces (piece order is implementation-defined, spec §18.5.1.7),
+    # so STRING_AGG ... ORDER BY is an exact oracle
+    "sparql_group_concat": (
+        ["nation"],
+        """SELECT ?r (GROUP_CONCAT(?name; SEPARATOR="|") AS ?names) WHERE {
+             ?n ref:n_regionkey ?r ; col:n_name ?name . } GROUP BY ?r""",
+        [("r", "r", "s"), ("names", "names", "s")],
+        "SELECT 'urn:region:' || CAST(n_regionkey AS VARCHAR) AS r, "
+        "STRING_AGG(n_name, '|' ORDER BY n_name) AS names "
+        "FROM nation GROUP BY n_regionkey",
+    ),
+    # §2.6 ORDER BY + OFFSET (slice forms, Interpreter.scala:307-371);
+    # (bal DESC, name) is a total order so the skipped prefix is exact
+    "sparql_offset": (
+        ["customer"],
+        """SELECT ?name ?bal WHERE {
+             ?c col:c_name ?name ; col:c_acctbal ?bal . }
+           ORDER BY DESC(?bal) ?name OFFSET 20""",
+        [("name", "name", "s"), ("bal", "bal", "f")],
+        "SELECT c_name AS name, c_acctbal AS bal FROM customer "
+        "ORDER BY bal DESC, name OFFSET 20",
+    ),
+    # §2.6 ORDER BY + OFFSET + LIMIT (paging)
+    "sparql_offset_limit": (
+        ["customer"],
+        """SELECT ?name ?bal WHERE {
+             ?c col:c_name ?name ; col:c_acctbal ?bal . }
+           ORDER BY DESC(?bal) ?name OFFSET 5 LIMIT 10""",
+        [("name", "name", "s"), ("bal", "bal", "f")],
+        "SELECT c_name AS name, c_acctbal AS bal FROM customer "
+        "ORDER BY bal DESC, name OFFSET 5 LIMIT 10",
+    ),
+    # §2.7 REDUCED (Interpreter.scala:509-512) — our impl fully dedups
+    # (any multiplicity between DISTINCT and the bag is permitted), so
+    # SELECT DISTINCT is the oracle for the chosen semantics
+    "sparql_reduced": (
+        ["orders"],
+        "SELECT REDUCED ?prio WHERE { ?o col:o_orderpriority ?prio . }",
+        [("prio", "prio", "s")],
+        "SELECT DISTINCT o_orderpriority AS prio FROM orders",
+    ),
+    # §2.12 alternative path p1|p2 (PropertyPathsTest.scala)
+    "sparql_path_alt": (
+        ["nation"],
+        "SELECT ?n ?v WHERE { ?n col:n_name|col:n_nationkey ?v . }",
+        [("n", "n", "s"), ("v", "v", "s")],
+        "SELECT 'urn:nation:' || CAST(n_nationkey AS VARCHAR) AS n, n_name AS v "
+        "FROM nation UNION ALL "
+        "SELECT 'urn:nation:' || CAST(n_nationkey AS VARCHAR), "
+        "CAST(n_nationkey AS VARCHAR) FROM nation",
+    ),
+    # §2.12 inverse path ^p
+    "sparql_path_inv": (
+        ["nation"],
+        "SELECT ?r ?name WHERE { ?r ^ref:n_regionkey ?n . ?n col:n_name ?name . }",
+        [("r", "r", "s"), ("name", "name", "s")],
+        "SELECT 'urn:region:' || CAST(n_regionkey AS VARCHAR) AS r, "
+        "n_name AS name FROM nation",
+    ),
+    # §2.12 negated property set !(p1|p2) — only col:n_name remains
+    "sparql_path_negated": (
+        ["nation"],
+        "SELECT ?n ?v WHERE { ?n !(col:n_nationkey|ref:n_regionkey) ?v . }",
+        [("n", "n", "s"), ("v", "v", "s")],
+        "SELECT 'urn:nation:' || CAST(n_nationkey AS VARCHAR) AS n, "
+        "n_name AS v FROM nation",
+    ),
+    # §2.12 zero-or-one p? (ZeroLengthPath ∪ one hop)
+    "sparql_path_zero_or_one": (
+        ["nation"],
+        """SELECT ?n ?x WHERE {
+             ?n col:n_name ?name . ?n (ref:n_regionkey)? ?x . }""",
+        [("n", "n", "s"), ("x", "x", "s")],
+        "SELECT 'urn:nation:' || CAST(n_nationkey AS VARCHAR) AS n, "
+        "'urn:nation:' || CAST(n_nationkey AS VARCHAR) AS x FROM nation "
+        "UNION ALL "
+        "SELECT 'urn:nation:' || CAST(n_nationkey AS VARCHAR), "
+        "'urn:region:' || CAST(n_regionkey AS VARCHAR) FROM nation",
+    ),
+    # §2.12 p+ transitive closure (upgrade — reference unsupported):
+    # supplier -(s_nationkey)-> nation -(n_regionkey)-> region
+    "sparql_path_plus": (
+        ["supplier", "nation", "region"],
+        """SELECT ?s ?x WHERE {
+             ?s col:s_name ?nm . ?s (ref:s_nationkey|ref:n_regionkey)+ ?x . }""",
+        [("s", "s", "s"), ("x", "x", "s")],
+        "SELECT 'urn:supplier:' || CAST(s_suppkey AS VARCHAR) AS s, "
+        "'urn:nation:' || CAST(s_nationkey AS VARCHAR) AS x FROM supplier "
+        "UNION ALL "
+        "SELECT 'urn:supplier:' || CAST(s_suppkey AS VARCHAR), "
+        "'urn:region:' || CAST(n_regionkey AS VARCHAR) FROM supplier "
+        "JOIN nation ON s_nationkey = n_nationkey",
+    ),
+    # §2.12 p* = zero-length ∪ p+
+    "sparql_path_star": (
+        ["supplier", "nation", "region"],
+        """SELECT ?s ?x WHERE {
+             ?s col:s_name ?nm . ?s (ref:s_nationkey|ref:n_regionkey)* ?x . }""",
+        [("s", "s", "s"), ("x", "x", "s")],
+        "SELECT 'urn:supplier:' || CAST(s_suppkey AS VARCHAR) AS s, "
+        "'urn:supplier:' || CAST(s_suppkey AS VARCHAR) AS x FROM supplier "
+        "UNION ALL "
+        "SELECT 'urn:supplier:' || CAST(s_suppkey AS VARCHAR), "
+        "'urn:nation:' || CAST(s_nationkey AS VARCHAR) FROM supplier "
+        "UNION ALL "
+        "SELECT 'urn:supplier:' || CAST(s_suppkey AS VARCHAR), "
+        "'urn:region:' || CAST(n_regionkey AS VARCHAR) FROM supplier "
+        "JOIN nation ON s_nationkey = n_nationkey",
+    ),
+    # §2.1 VALUES with UNDEF wildcard rows (null-tolerant broadcast join)
+    "sparql_values_undef": (
+        ["nation", "region"],
+        """SELECT ?n_name ?r_name WHERE {
+             VALUES (?r_name ?n_name) { ("EUROPE" UNDEF) ("ASIA" "NATION_2") }
+             ?r col:r_name ?r_name .
+             ?n ref:n_regionkey ?r ; col:n_name ?n_name . }""",
+        [("n_name", "n_name", "s"), ("r_name", "r_name", "s")],
+        "SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey "
+        "WHERE r_name = 'EUROPE' "
+        "UNION ALL "
+        "SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey "
+        "WHERE r_name = 'ASIA' AND n_name = 'NATION_2'",
+    ),
+    # §2.4 GROUP BY expression (hidden-var rewrite)
+    "sparql_group_by_expr": (
+        ["orders"],
+        """SELECT ?m (COUNT(?o) AS ?cnt) WHERE { ?o col:o_orderpriority ?p . }
+           GROUP BY (SUBSTR(?p, 1, 1) AS ?m)""",
+        [("m", "m", "s"), ("cnt", "cnt", "i")],
+        "SELECT SUBSTR(o_orderpriority, 1, 1) AS m, COUNT(*) AS cnt "
+        "FROM orders GROUP BY SUBSTR(o_orderpriority, 1, 1)",
+    ),
+    # §2.4 implicit group: COUNT over the empty solution set is one row 0
+    # (spec-correct upgrade; the reference's reduce returns no row)
+    "sparql_count_empty": (
+        ["orders"],
+        "SELECT (COUNT(?o) AS ?n) WHERE { ?o col:o_orderkey ?k . FILTER(?k < 0) }",
+        [("n", "n", "i")],
+        "SELECT COUNT(*) AS n FROM orders WHERE o_orderkey < 0",
+    ),
 }
 
 # ---------------------------------------------------------------------------
@@ -396,6 +547,47 @@ def q_sparql_construct(spark, sf_dir):
     )
 
 
+def q_quads_roundtrip(spark, sf_dir):
+    """§2.1 TriplesIO write→read: quads to predicate-partitioned parquet
+    (write_triples) and back (read_triples), then a BGP join over the
+    re-read store — the persisted-triple-store usage pattern
+    (TriplesReader.scala:34-48)."""
+    import os
+    import tempfile
+
+    from .sources.rio import read_triples, write_triples
+
+    quads = tables_to_quads(spark, sf_dir, ["nation", "region"])
+    path = os.path.join(tempfile.gettempdir(), "scio_sparql_quads_rt.parquet")
+    write_triples(quads, path, partition_by_predicate=True)
+    df = execute_sparql(
+        read_triples(spark, path),
+        PREFIXES
+        + """SELECT ?n_name ?r_name WHERE {
+              ?n col:n_name ?n_name ; ref:n_regionkey ?r .
+              ?r col:r_name ?r_name . }""",
+    )
+    return df.select(
+        F.col("n_name")["lex"].alias("n_name"),
+        F.col("r_name")["lex"].alias("r_name"),
+    )
+
+
+def q_sparql_bindings(spark, sf_dir):
+    """§2.1 executeSparql(query, bindings): the initial binding for a
+    non-projected variable restricts the solution set
+    (Interpreter.scala:191-205)."""
+    from .terms import Term
+
+    quads = tables_to_quads(spark, sf_dir, ["nation"])
+    df = execute_sparql(
+        quads,
+        PREFIXES + "SELECT ?n_name WHERE { ?n ref:n_regionkey ?r ; col:n_name ?n_name . }",
+        bindings={"r": Term.iri("urn:region:2")},
+    )
+    return df.select(F.col("n_name")["lex"].alias("n_name"))
+
+
 def q_sparql_describe(spark, sf_dir):
     quads = tables_to_quads(spark, sf_dir, ["region"])
     df = execute_sparql(quads, "DESCRIBE <urn:region:0>")
@@ -431,6 +623,16 @@ EXTRA_QUERIES = {
            UNION ALL
            SELECT 'urn:region:0', 'urn:col:r_name', r_name
            FROM region WHERE r_regionkey = 0""",
+    ),
+    # §2.1 TriplesIO write→read round-trip
+    "sparql_quads_roundtrip": (
+        q_quads_roundtrip,
+        "SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey",
+    ),
+    # §2.1 executeSparql(query, bindings)
+    "sparql_bindings": (
+        q_sparql_bindings,
+        "SELECT n_name FROM nation WHERE n_regionkey = 2",
     ),
     "dedup_exact": (
         q_dedup_exact,
