@@ -12,6 +12,9 @@ NULL cells emit no triple (RDF absence = SQL NULL).
 
 from __future__ import annotations
 
+import glob as _glob
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -77,19 +80,16 @@ def table_to_quads(
     (emitted as ``urn:ref:{col}`` IRI edges instead of literals).
 
     ``unique_pk=False``: the pk does not uniquely identify rows (bag
-    fact tables) — append a row uniquifier and snapshot with
-    localCheckpoint so all per-column branches see identical subjects.
-    (At warehouse scale you'd materialize the quads parquet once
-    instead of checkpointing per query.)"""
+    fact tables) — the caller supplies a deterministic ``__rid`` column
+    (file + row position, see ``_uniquified``) so every per-column
+    branch derives the same subject from a pure scan."""
     fks = fks or {}
     dtypes = dict(df.dtypes)
     if not unique_pk:
-        # Bag table: subjects carry a row uniquifier. The base df must be
-        # cached/materialized by the caller (see tables_to_quads) so
-        # monotonically_increasing_id is consistent across the per-column
-        # branches. Branch pruning on predicate-bound patterns still
-        # applies (the filter folds against each branch's constant
-        # predicate), so a pattern scans ONE cached column, not all.
+        # Bag table: subjects carry the scan-derived row uniquifier.
+        # Branch pruning on predicate-bound patterns still applies (the
+        # filter folds against each branch's constant predicate), so a
+        # pattern scans ONE column, not all.
         subj = _iri(subject_iri(table, F.col("__rid")))
     else:
         subj = _iri(subject_iri(table, *[F.col(k) for k in pk]))
@@ -145,17 +145,38 @@ TPCH_META = {
 }
 
 
+def _has_nanos_timestamp(path: str) -> bool:
+    """Driver-side parquet footer sniff (one footer, no Spark job): does
+    the file carry TIMESTAMP(NANOS), which Spark rejects by default?
+    Round 1 probed by letting a schema-resolution job fail and catching
+    it — that aborted stage printed an ERROR stack trace into every
+    bench log."""
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        f = path
+        if os.path.isdir(path):
+            cands = _glob.glob(os.path.join(path, "*.parquet"))
+            if not cands:
+                return False
+            f = sorted(cands)[0]
+        schema = pq.read_schema(f)
+        return any(
+            pa.types.is_timestamp(t) and t.unit == "ns" for t in schema.types
+        )
+    except Exception:
+        return False
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read a testdata table, tolerating TIMESTAMP(NANOS) parquet (which
     Spark rejects by default): read nanos as long, convert to timestamp
     (micro truncation — the same thing DuckDB does reading these files)."""
     path = f"{sf_dir}/{name}.parquet"
-    try:
-        df = spark.read.parquet(path)
-        df.schema  # force schema resolution
-    except Exception:
+    if _has_nanos_timestamp(path):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+    df = spark.read.parquet(path)
     # nanos timestamps surface as bigint under nanosAsLong: convert back
     for c, t in df.dtypes:
         if t == "bigint" and c == "ts":
@@ -163,27 +184,52 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-# (sf_dir, table) -> cached base df with __rid, for bag tables whose
-# subjects need a stable row uniquifier. One small cached table per bag
-# source; at warehouse scale you would materialize the quads parquet once
-# instead (write_triples).
-_RID_CACHE: dict = {}
-
-
 def _uniquified(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    key = (sf_dir, table)
-    if key not in _RID_CACHE:
-        df = load_table(spark, sf_dir, table).withColumn(
-            "__rid", F.monotonically_increasing_id()
-        )
-        df = df.cache()
-        df.count()  # materialize so ids are frozen for all consumers
-        _RID_CACHE[key] = df
-    return _RID_CACHE[key]
+    """Bag table with a deterministic row uniquifier: subject id =
+    parquet file name + row position within the file (the hidden
+    ``_metadata`` columns). Pure scan state — no shuffle, no cache, no
+    driver materialization — so every per-column quad branch derives the
+    SAME subject for a row independently, and the layout scales to
+    arbitrarily many files. (Round 1 used monotonically_increasing_id +
+    cache + count, which forced a full-table materialization before any
+    query — a non-starter at warehouse scale.)"""
+    df = load_table(spark, sf_dir, table)
+    # file_name used verbatim: a per-row regexp to strip the extension
+    # costs ~8x the whole scan (measured), and dots are legal in IRIs
+    return df.withColumn(
+        "__rid",
+        F.concat_ws("-", F.col("_metadata.file_name"), F.col("_metadata.row_index")),
+    )
+
+
+def tune_for_quads(spark: SparkSession) -> None:
+    """Join-size policy for quad plans: a narrow parquet scan expands
+    ~50x into term structs + subject strings, so Catalyst's file-size
+    estimate wildly undershoots and the static planner picks broadcast
+    joins that ship the whole fact table through the driver (measured:
+    12s vs 2s on sparql_agg_sum at sf0.1). Disable estimate-based
+    broadcasts and let AQE promote joins to broadcast from ACTUAL
+    runtime shuffle sizes — the measure-don't-guess policy that also
+    holds at warehouse scale. Explicit broadcast() hints (VALUES,
+    keyless joins) are unaffected."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10MB")
+
+
+def tune_for_tables(spark: SparkSession) -> None:
+    """Inverse of tune_for_quads, for operators over the RAW tables
+    (dedup/similarity/textstats/events): their scans don't have the 50x
+    struct-expansion problem, so Catalyst's file-size estimates are
+    honest and static broadcasts are the right call. Each workload entry
+    sets its own policy because the conf is session-global and plans are
+    resolved lazily at action time."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10MB")
 
 
 def tables_to_quads(spark: SparkSession, sf_dir: str, tables: list[str]) -> DataFrame:
     """Load + relationalize a set of testdata tables into one quads DF."""
+    tune_for_quads(spark)
     out = None
     for t in tables:
         pk, fks, uniq = TPCH_META[t]

