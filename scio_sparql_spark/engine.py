@@ -16,7 +16,15 @@ from . import algebra as A
 from .compiler import compile_query
 from .optimize import reorder_joins
 from .sparql.parser import parse_query
-from .terms import KIND_IRI, KIND_LITERAL, TERM_TYPE, Term, bnode_term, null_term
+from .terms import (
+    KIND_BNODE,
+    KIND_IRI,
+    KIND_LITERAL,
+    TERM_TYPE,
+    Term,
+    bnode_term,
+    null_term,
+)
 
 
 def execute_sparql(quads: DataFrame, query: str, bindings: dict | None = None) -> DataFrame:
@@ -121,11 +129,15 @@ def _construct(df: DataFrame, template: tuple) -> DataFrame:
 
 
 def _describe(df: DataFrame, targets: tuple, quads: DataFrame) -> DataFrame:
-    """Simple subject-outgoing description (CBD without bnode closure —
-    the DESCRIBE form is implementation-defined, spec §16.4): all triples
-    whose subject is a described resource. The resource set is typically
+    """Concise Bounded Description (the rdf4j behavior users expect —
+    DESCRIBE is implementation-defined, spec §16.4): all triples whose
+    subject is a described resource, plus, transitively, the description
+    of every *blank node* reached in object position (bnodes are
+    meaningless without their context). The resource set is typically
     tiny; AQE broadcasts it from runtime stats, so the quad scan is never
-    shuffled."""
+    shuffled. The closure loop runs driver-side over bnode frontiers —
+    bounded (depth 16) because bnode chains in real data are shallow;
+    each step is one small broadcast-joined scan."""
     spark = quads.sparkSession
     parts = []
     for tgt in targets:
@@ -144,15 +156,33 @@ def _describe(df: DataFrame, targets: tuple, quads: DataFrame) -> DataFrame:
     for part in parts[1:]:
         res = res.unionByName(part)
     res = res.filter(F.col("r").isNotNull()).dropDuplicates()
-    return (
-        quads.join(res, quads["subject"] == res["r"])
-        .select(
-            F.col("subject").alias("s"),
-            F.col("predicate").alias("p"),
-            F.col("object").alias("o"),
+
+    def outgoing(frontier: DataFrame) -> DataFrame:
+        return (
+            quads.join(frontier, quads["subject"] == frontier["r"])
+            .select(
+                F.col("subject").alias("s"),
+                F.col("predicate").alias("p"),
+                F.col("object").alias("o"),
+            )
+            .dropDuplicates()
         )
-        .dropDuplicates()
-    )
+
+    out = outgoing(res)
+    seen = res
+    for _ in range(16):
+        frontier = (
+            out.filter(F.col("o")["kind"] == KIND_BNODE)
+            .select(F.col("o").alias("r"))
+            .dropDuplicates()
+            .join(seen, on="r", how="left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if not frontier.take(1):
+            break
+        seen = seen.unionByName(frontier).localCheckpoint(eager=True)
+        out = out.unionByName(outgoing(frontier)).dropDuplicates()
+    return out
 
 
 def _join_beneath_projection(node: A.Node, values: A.Values) -> A.Node:

@@ -21,7 +21,6 @@ pattern scans prune partitions.
 
 from __future__ import annotations
 
-import glob as _glob
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -51,12 +50,16 @@ class TurtleParser:
     prefixes, a / ';' / ',' lists, typed+lang literals, bnode labels and
     [] property lists, TriG graph blocks."""
 
-    def __init__(self, text: str):
+    def __init__(self, text: str, bnode_scope: str = ""):
         self.toks = tokenize(text)
         self.i = 0
         self.prefixes: dict[str, str] = {}
         self.base = ""
         self._anon = 0
+        # bnode labels are file-scoped in RDF: when many files are parsed
+        # into one dataset (esp. in parallel on workers), a per-file scope
+        # prefix keeps `_:x` in file A distinct from `_:x` in file B
+        self.scope = bnode_scope
         self.quads: list[tuple] = []
 
     def peek(self, k=0) -> Tok:
@@ -156,7 +159,7 @@ class TurtleParser:
         nodes = []
         for _ in items:
             self._anon += 1
-            nodes.append(Term.bnode(f"genid{self._anon}"))
+            nodes.append(Term.bnode(f"{self.scope}genid{self._anon}"))
         for i, (node, item) in enumerate(zip(nodes, items)):
             self.quads.append((node, Term.iri(rdf + "first"), item, g))
             rest = nodes[i + 1] if i + 1 < len(nodes) else Term.iri(rdf + "nil")
@@ -166,7 +169,7 @@ class TurtleParser:
     def parse_bnode_props(self, g) -> Term:
         self.eat_op("[")
         self._anon += 1
-        node = Term.bnode(f"genid{self._anon}")
+        node = Term.bnode(f"{self.scope}genid{self._anon}")
         if not self.at_op("]"):
             self.parse_predicate_object_list(node, g)
         self.eat_op("]")
@@ -216,7 +219,7 @@ class TurtleParser:
                 raise SyntaxError(f"unknown prefix {pfx!r} at {t.pos}")
             return Term.iri(self.prefixes[pfx] + local)
         if t.kind == "BLANK":
-            return Term.bnode(t.value)
+            return Term.bnode(self.scope + t.value)
         if t.kind == "STRING":
             nxt = self.peek()
             if nxt.kind == "LANGTAG":
@@ -247,10 +250,97 @@ def _numeric(text: str) -> Term:
     return Term(KIND_LITERAL, text, XSD_INTEGER)
 
 
-def parse_turtle(text: str) -> list[tuple]:
+def parse_turtle(text: str, bnode_scope: str = "") -> list[tuple]:
     """Parse Turtle/TriG text -> list of (s, p, o, g) Term tuples
     (g None = default graph)."""
-    return TurtleParser(text).parse()
+    return TurtleParser(text, bnode_scope).parse()
+
+
+_XML_NS = "http://www.w3.org/XML/1998/namespace"
+
+
+def parse_rdfxml(text: str, bnode_scope: str = "") -> list[tuple]:
+    """Minimal RDF/XML parser -> list of (s, p, o, g=None) Term tuples.
+
+    Covers the striped syntax subset real data uses (the reference accepts
+    RDF/XML through rdf4j rio-rdfxml, picked by extension —
+    TriplesReader.scala:38-43, build.sbt): rdf:Description and typed node
+    elements, rdf:about / rdf:ID / rdf:nodeID / anonymous nodes,
+    property elements with rdf:resource / rdf:nodeID / rdf:datatype /
+    xml:lang / nested node elements / rdf:parseType="Resource", and
+    non-rdf attributes as string-literal properties."""
+    import xml.etree.ElementTree as ET
+
+    rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    quads: list[tuple] = []
+    anon = [0]
+
+    def fresh() -> Term:
+        anon[0] += 1
+        return Term.bnode(f"{bnode_scope}genid{anon[0]}")
+
+    def expand(tag: str) -> str:
+        if tag.startswith("{"):
+            ns, local = tag[1:].split("}", 1)
+            return ns + local
+        return tag
+
+    def subject_of(el) -> Term:
+        about = el.get(f"{{{rdf}}}about")
+        if about is not None:
+            return Term.iri(about)
+        rid = el.get(f"{{{rdf}}}ID")
+        if rid is not None:
+            return Term.iri("#" + rid)
+        nid = el.get(f"{{{rdf}}}nodeID")
+        if nid is not None:
+            return Term.bnode(bnode_scope + nid)
+        return fresh()
+
+    def node(el) -> Term:
+        subj = subject_of(el)
+        tag_iri = expand(el.tag)
+        if tag_iri != rdf + "Description":
+            quads.append((subj, Term.iri(RDF_TYPE), Term.iri(tag_iri), None))
+        for attr, val in el.attrib.items():
+            a = expand(attr)
+            if a.startswith(rdf) or a.startswith(_XML_NS):
+                continue
+            quads.append((subj, Term.iri(a), Term.literal(val), None))
+        props(subj, el)
+        return subj
+
+    def props(subj: Term, el):
+        for prop in el:
+            p = Term.iri(expand(prop.tag))
+            res = prop.get(f"{{{rdf}}}resource")
+            nid = prop.get(f"{{{rdf}}}nodeID")
+            dt = prop.get(f"{{{rdf}}}datatype")
+            lang = prop.get(f"{{{_XML_NS}}}lang")
+            ptype = prop.get(f"{{{rdf}}}parseType")
+            children = list(prop)
+            if res is not None:
+                quads.append((subj, p, Term.iri(res), None))
+            elif nid is not None:
+                quads.append((subj, p, Term.bnode(bnode_scope + nid), None))
+            elif ptype == "Resource":
+                b = fresh()
+                quads.append((subj, p, b, None))
+                props(b, prop)
+            elif children:
+                for child in children:
+                    quads.append((subj, p, node(child), None))
+            else:
+                lex = prop.text or ""
+                quads.append((subj, p, Term.literal(lex, dt=dt, lang=lang), None))
+
+    root = ET.fromstring(text)
+    if expand(root.tag) == rdf + "RDF":
+        for el in root:
+            node(el)
+    else:
+        node(root)
+    return quads
 
 
 def quads_df_from_list(spark: SparkSession, quads: list[tuple]) -> DataFrame:
@@ -340,21 +430,61 @@ def _project_ntriples(lines: DataFrame, quads: bool) -> DataFrame:
     return df
 
 
+def _term_dict(t):
+    if t is None:
+        return None
+    return {"kind": t.kind, "lex": t.lex, "dt": t.dt, "lang": t.lang}
+
+
+def _read_parsed_distributed(spark: SparkSession, path: str, fmt: str) -> DataFrame:
+    """Worker-side per-file parse for stateful grammars (Turtle / TriG /
+    RDF-XML), matching the reference's one-file-per-worker parallelism
+    (TriplesReader.scala:53-77) without ever holding all quads on the
+    driver: ``read.text(wholetext=True)`` ships each file's bytes to a
+    task (gzip decompressed by the Hadoop codec — the reference's
+    compression AUTO), and an Arrow-batched ``mapInPandas`` parses and
+    emits quad structs. Bnode labels get a per-file scope prefix so
+    ``_:x`` in different files stays distinct (RDF bnode scoping)."""
+    import zlib
+
+    parse = parse_rdfxml if fmt == "xml" else parse_turtle
+    files = spark.read.text(path, wholetext=True).select(
+        F.input_file_name().alias("__file"), "value"
+    )
+
+    def _parse_files(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"subject": [], "predicate": [], "object": [], "graph": []}
+            for fname, text in zip(pdf["__file"], pdf["value"]):
+                scope = "f%08x-" % (zlib.crc32(fname.encode()) & 0xFFFFFFFF)
+                for s, p, o, g in parse(text, bnode_scope=scope):
+                    rows["subject"].append(_term_dict(s))
+                    rows["predicate"].append(_term_dict(p))
+                    rows["object"].append(_term_dict(o))
+                    rows["graph"].append(_term_dict(g))
+            yield pd.DataFrame(rows)
+
+    return files.mapInPandas(_parse_files, QUADS_SCHEMA)
+
+
 def read_triples(spark: SparkSession, path: str) -> DataFrame:
     """Read RDF file(s) by extension -> quads DataFrame
-    (mirrors readTriples / TriplesIO.read, TriplesReader.scala:34-86)."""
-    if path.endswith(".parquet") or os.path.isdir(path):
+    (mirrors readTriples / TriplesIO.read, TriplesReader.scala:34-86).
+    A trailing ``.gz`` on any text format is transparently decompressed
+    (the reference's compression AUTO, TriplesReader.scala:38-43)."""
+    base = path[:-3] if path.endswith(".gz") else path
+    if base.endswith(".parquet") or os.path.isdir(path):
         return spark.read.schema(QUADS_SCHEMA).parquet(path)
-    if path.endswith(".nt"):
+    if base.endswith(".nt"):
         return _read_ntriples(spark, path, quads=False)
-    if path.endswith(".nq"):
+    if base.endswith(".nq"):
         return _read_ntriples(spark, path, quads=True)
-    if path.endswith((".ttl", ".trig")):
-        all_quads: list[tuple] = []
-        for f in sorted(_glob.glob(path)) or [path]:
-            with open(f, encoding="utf-8") as fh:
-                all_quads.extend(parse_turtle(fh.read()))
-        return quads_df_from_list(spark, all_quads)
+    if base.endswith((".ttl", ".trig")):
+        return _read_parsed_distributed(spark, path, "turtle")
+    if base.endswith((".rdf", ".owl", ".xml")):
+        return _read_parsed_distributed(spark, path, "xml")
     raise ValueError(f"unsupported RDF input: {path}")
 
 

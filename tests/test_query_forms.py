@@ -132,3 +132,33 @@ def test_select_still_rejects_garbage(spark):
 
     with pytest.raises(SyntaxError):
         execute_sparql(_quads(spark), "FROB { ?s ?p ?o }")
+
+
+def test_describe_cbd_bnode_closure(spark):
+    # Concise Bounded Description: bnode objects are expanded
+    # transitively; IRI objects are NOT (they stand on their own)
+    ttl = """
+@prefix : <urn:f:> .
+:alice :addr [ :city "Springfield" ; :geo [ :lat 1 ; :lon 2 ] ] .
+:alice :knows :bob .
+:bob :name "Bob" .
+"""
+    quads = quads_df_from_list(spark, parse_turtle(ttl))
+    got = _triples(execute_sparql(quads, "PREFIX : <urn:f:> DESCRIBE :alice"))
+    preds = {p for _, p, _ in got}
+    # outgoing + both bnode levels, but NOT bob's own properties
+    assert "urn:f:city" in preds and "urn:f:lat" in preds and "urn:f:lon" in preds
+    assert "urn:f:name" not in preds
+    assert len(got) == 6
+
+
+def test_describe_cbd_bnode_cycle_terminates(spark):
+    ttl = """
+@prefix : <urn:f:> .
+:a :p _:x .
+_:x :q _:y .
+_:y :q _:x .
+"""
+    quads = quads_df_from_list(spark, parse_turtle(ttl))
+    got = _triples(execute_sparql(quads, "PREFIX : <urn:f:> DESCRIBE :a"))
+    assert len(got) == 3

@@ -147,3 +147,106 @@ def test_streaming_ntriples_ingest(spark, tmp_path):
         ("urn:s:2", "urn:p:name", "Bob", "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString", "en"),
         ("urn:s:2", "urn:p:age", "30", "http://www.w3.org/2001/XMLSchema#integer", None),
     }
+
+
+def test_rdfxml(spark, tmp_path):
+    xml = """<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:foaf="http://xmlns.com/foaf/0.1/">
+  <foaf:Person rdf:about="urn:f:alice" foaf:nick="ally">
+    <foaf:name>Alice</foaf:name>
+    <foaf:age rdf:datatype="http://www.w3.org/2001/XMLSchema#integer">30</foaf:age>
+    <foaf:label xml:lang="es">hola</foaf:label>
+    <foaf:knows rdf:resource="urn:f:bob"/>
+    <foaf:addr rdf:parseType="Resource">
+      <foaf:city>Springfield</foaf:city>
+    </foaf:addr>
+    <foaf:pet>
+      <rdf:Description rdf:nodeID="rex">
+        <foaf:name>Rex</foaf:name>
+      </rdf:Description>
+    </foaf:pet>
+  </foaf:Person>
+</rdf:RDF>
+"""
+    p = tmp_path / "data.rdf"
+    p.write_text(xml)
+    df = read_triples(spark, str(p))
+    rows = df.collect()
+    foaf = "http://xmlns.com/foaf/0.1/"
+    # typed node element -> rdf:type triple
+    types = [r for r in rows if r["predicate"]["lex"].endswith("#type")]
+    assert any(r["object"]["lex"] == foaf + "Person" for r in types)
+    preds = {r["predicate"]["lex"]: r for r in rows}
+    # property attribute -> string literal
+    assert preds[foaf + "nick"]["object"]["lex"] == "ally"
+    age = preds[foaf + "age"]["object"]
+    assert age["lex"] == "30" and age["dt"].endswith("integer")
+    assert preds[foaf + "label"]["object"]["lang"] == "es"
+    assert preds[foaf + "knows"]["object"]["lex"] == "urn:f:bob"
+    # parseType=Resource and nested node element -> bnode-valued props
+    assert preds[foaf + "addr"]["object"]["kind"] == 0
+    assert preds[foaf + "pet"]["object"]["kind"] == 0
+    names = {r["object"]["lex"] for r in rows if r["predicate"]["lex"] == foaf + "name"}
+    assert names == {"Alice", "Rex"}
+    # queryable end-to-end: name of whatever alice knows' pet is Rex
+    out = execute_sparql(
+        df,
+        "PREFIX foaf: <http://xmlns.com/foaf/0.1/> "
+        "SELECT ?n WHERE { <urn:f:alice> foaf:pet ?b . ?b foaf:name ?n }",
+    ).collect()
+    assert [r["n"]["lex"] for r in out] == ["Rex"]
+
+
+def test_turtle_gzip(spark, tmp_path):
+    import gzip
+
+    ttl = '@prefix : <urn:x:> .\n:a :name "Zed" ; :age 7 .\n'
+    p = tmp_path / "data.ttl.gz"
+    with gzip.open(p, "wt", encoding="utf-8") as fh:
+        fh.write(ttl)
+    df = read_triples(spark, str(p))
+    got = {(r["predicate"]["lex"], r["object"]["lex"]) for r in df.collect()}
+    assert got == {("urn:x:name", "Zed"), ("urn:x:age", "7")}
+
+
+def test_ntriples_gzip(spark, tmp_path):
+    import gzip
+
+    p = tmp_path / "data.nt.gz"
+    with gzip.open(p, "wt", encoding="utf-8") as fh:
+        fh.write('<urn:s:1> <urn:p:name> "Alice" .\n')
+    df = read_triples(spark, str(p))
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0]["object"]["lex"] == "Alice"
+
+
+def test_turtle_directory_distributed_bnode_scoping(spark, tmp_path):
+    # two files each using the SAME bnode label must not be conflated;
+    # parse happens on workers (mapInPandas), never all-quads-on-driver
+    d = tmp_path / "ttldir"
+    d.mkdir()
+    (d / "a.ttl").write_text('@prefix : <urn:x:> .\n_:n :name "A" .\n_:n :age 1 .\n')
+    (d / "b.ttl").write_text('@prefix : <urn:x:> .\n_:n :name "B" .\n')
+    df = read_triples(spark, str(d / "*.ttl"))
+    rows = df.collect()
+    assert len(rows) == 3
+    subj_of = {r["object"]["lex"]: r["subject"]["lex"] for r in rows
+               if r["predicate"]["lex"] == "urn:x:name"}
+    assert subj_of["A"] != subj_of["B"]
+    # within a file the label is stable: age triple shares A's subject
+    age_subj = [r["subject"]["lex"] for r in rows if r["predicate"]["lex"] == "urn:x:age"]
+    assert age_subj == [subj_of["A"]]
+
+
+def test_trig_graph_blocks_distributed(spark, tmp_path):
+    trig = """@prefix : <urn:x:> .
+:g1 { :a :p "in-g1" . }
+{ :a :p "default" . }
+"""
+    p = tmp_path / "data.trig"
+    p.write_text(trig)
+    df = read_triples(spark, str(p))
+    got = {r["object"]["lex"]: (r["graph"]["lex"] if r["graph"] else None)
+           for r in df.collect()}
+    assert got == {"in-g1": "urn:x:g1", "default": None}
