@@ -237,3 +237,79 @@ def simhash_dup_pairs(docs: DataFrame, max_hamming: int = 3, **kw) -> DataFrame:
     return cand.select("id_a", "id_b", ham.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected edge list -> (node,
+    label) where label = the minimum node id reachable in the component.
+    The step dedup clustering needs after candidate-pair generation
+    (LSH/Jaccard emits PAIRS; keeping one doc per duplicate CLUSTER
+    requires the transitive closure of those pairs).
+
+    Hash-min label propagation: every node repeatedly adopts the
+    smallest label among itself and its neighbors; converges in
+    O(component diameter) rounds — near-dup clusters are shallow (a few
+    hops), so this terminates in a handful of iterations. Each round is
+    one equi-join shuffle + one groupBy shuffle on node id;
+    localCheckpoint truncates the growing lineage (same pattern as the
+    `p*`/`p+` property-path fixpoint, compiler.py). For graphs with
+    giant high-diameter components, swap in large-star/small-star
+    (O(log n) rounds) — not the dedup shape."""
+    sym = edges.select(
+        F.col(src_col).alias("node"), F.col(dst_col).alias("nbr")
+    ).union(edges.select(F.col(dst_col).alias("node"), F.col(src_col).alias("nbr")))
+    labels = (
+        sym.select("node")
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels.withColumnRenamed("node", "nbr"), on="nbr")
+            .groupBy("node")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new = (
+            labels.join(nbr_min, on="node", how="left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("label", "old"), on="node")
+            .filter(F.col("label") < F.col("old"))
+            .take(1)
+        )
+        labels = new
+        if not changed:
+            break
+    return labels
+
+
+def cluster_ids(
+    docs: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """(doc_id, cluster_id) for EVERY document: the component label for
+    docs that appear in a duplicate pair, the doc's own id for
+    singletons. Downstream dedup keeps `doc_id == cluster_id` rows."""
+    labels = connected_components(edges, src_col, dst_col)
+    return docs.select(id_col).join(
+        labels.withColumnRenamed("node", id_col), on=id_col, how="left"
+    ).select(
+        F.col(id_col),
+        F.coalesce("label", F.col(id_col)).alias("cluster_id"),
+    )

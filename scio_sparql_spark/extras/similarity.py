@@ -71,15 +71,21 @@ def cosine_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    spread_input: bool = True,
 ) -> DataFrame:
     """Exact top-k by cosine to a constant query vector. Plan: scan ->
     per-row unrolled dot (codegen) -> TakeOrderedAndProject(k). No
-    shuffle of the full table; the query norm folds to a constant."""
+    shuffle of the full table; the query norm folds to a constant.
+    ``spread_input=False`` skips the under-partitioning check (itself a
+    plan->RDD conversion, ~1s on a fresh DataFrame) when the caller
+    knows the input is already well-partitioned (e.g. the IVF probe's
+    bucketed parquet)."""
     qn = math.sqrt(sum(float(x) * float(x) for x in query_vec)) or 1.0
     score = _dot_const(vec_col, query_vec) / (
         F.sqrt(_norm_sq_unrolled(vec_col, len(query_vec))) * qn
     )
-    scored = spread(emb).select(F.col(id_col), F.round(score, 6).alias("score"))
+    src = spread(emb) if spread_input else emb
+    scored = src.select(F.col(id_col), F.round(score, 6).alias("score"))
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
 
 
@@ -242,7 +248,10 @@ def ivf_probe(
     cand = spark.read.parquet(f"{path}/vectors").filter(
         F.col("bucket").isin([int(p) for p in probes])
     )
-    return cosine_topk(cand.select(id_col, vec_col), query_vec, k, id_col, vec_col)
+    return cosine_topk(
+        cand.select(id_col, vec_col), query_vec, k, id_col, vec_col,
+        spread_input=False,
+    )
 
 
 def ivf_cosine_topk(

@@ -91,3 +91,45 @@ def session_stats(
         F.max("session_seq").alias("n_sessions"),
         F.round(F.avg("n"), 6).alias("avg_events_per_session"),
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    out_col: str = "asof_value",
+) -> DataFrame:
+    """As-of join: each left row picks the `value_col` of the LATEST
+    right row with ``right.ts <= left.ts`` for the same key (the
+    point-in-time lookup DuckDB spells ``ASOF JOIN`` and feature stores
+    call a temporal join). Left rows with no prior right row are dropped
+    (inner asof).
+
+    Spark-first plan: instead of a range join (O(n*m) candidate
+    explosion) or a per-key collect, tag both sides, union them, and run
+    ONE keyed window pass — `last(right_value, ignorenulls)` over rows
+    ordered by (ts, side) carries the most recent right value forward
+    into each left row. Exactly one shuffle on the key, linear work,
+    identical at any scale. Right rows are pre-aggregated to unique
+    (key, ts) so tie-breaking is deterministic on both engines."""
+    r = (
+        right.groupBy(key_col, ts_col)
+        .agg(F.max(value_col).alias("__rv"))
+        .withColumn("__side", F.lit(0))
+    )
+    l = left.withColumn("__side", F.lit(1)).withColumn("__rv", F.lit(None).cast(r.schema["__rv"].dataType))
+    u = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, "__side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = u.withColumn(
+        out_col, F.last(F.when(F.col("__side") == 0, F.col("__rv")), ignorenulls=True).over(w)
+    )
+    return (
+        carried.filter((F.col("__side") == 1) & F.col(out_col).isNotNull())
+        .drop("__side", "__rv")
+    )

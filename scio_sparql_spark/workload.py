@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .engine import execute_sparql
-from .extras import dedup, multimodal, similarity, textstats
+from .extras import dedup, multimodal, pipeline, similarity, textstats
 from .sources.bridge import load_table, tables_to_quads, tune_for_tables
 from .streaming import events as ev
 
@@ -556,6 +556,42 @@ def q_events_sessions(spark, sf_dir):
     return ev.session_stats(_table(spark, sf_dir, "events"), gap_minutes=30)
 
 
+def q_events_asof(spark, sf_dir):
+    """As-of join: each purchase looks up the value of the user's latest
+    click at-or-before the purchase (point-in-time feature lookup)."""
+    events = _table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase")
+    clicks = events.filter(F.col("event_type") == "click")
+    out = ev.asof_join(purchases, clicks, "user_id", "ts", "value")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("asof_value", 4).alias("asof_value"),
+    )
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Pairs -> clusters: connected components over the exact n-gram
+    Jaccard pair list; every doc labeled with its cluster's min doc_id."""
+    docs = _table(spark, sf_dir, "documents")
+    edges = dedup.ngram_jaccard_pairs(docs, threshold=0.2, n=3)
+    return dedup.cluster_ids(docs, edges)
+
+
+def q_sample_hash(spark, sf_dir):
+    return pipeline.deterministic_sample(
+        _table(spark, sf_dir, "documents"), fraction=0.25
+    ).select("doc_id")
+
+
+def q_doc_pack_shards(spark, sf_dir):
+    toks = textstats.token_count(_table(spark, sf_dir, "documents"))
+    out = pipeline.pack_shards(toks, budget=1000)
+    return out.select(
+        "doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens"), "shard"
+    )
+
+
 _TOKS = r"list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '')"
 
 def q_sparql_ask(spark, sf_dir):
@@ -782,6 +818,59 @@ EXTRA_QUERIES = {
                   event_type, COUNT(*) AS n_events,
                   ROUND(SUM(value), 4) AS sum_value
            FROM events GROUP BY 1, 2""",
+    ),
+    "events_asof": (
+        q_events_asof,
+        """WITH r AS (SELECT user_id, ts, MAX(value) AS rv
+                      FROM events WHERE event_type = 'click'
+                      GROUP BY user_id, ts),
+                l AS (SELECT event_id, user_id, ts
+                      FROM events WHERE event_type = 'purchase')
+           SELECT l.event_id, l.user_id, ROUND(r.rv, 4) AS asof_value
+           FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""",
+    ),
+    "dedup_clusters": (
+        q_dedup_clusters,
+        f"""WITH RECURSIVE
+            t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            s AS (SELECT doc_id,
+                         list_distinct(list_transform(
+                           generate_series(1, greatest(len(toks) - 3, 0) + 1),
+                           i -> array_to_string(toks[i:i+2], ' '))) AS sh
+                  FROM t),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM s a JOIN s b ON a.doc_id < b.doc_id
+              WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                    / len(list_distinct(a.sh || b.sh)) >= 0.2),
+            sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+                    UNION SELECT id_b, id_a FROM pairs),
+            reach AS (
+              SELECT a, b FROM sym
+              UNION
+              SELECT r.a, s2.b FROM reach r JOIN sym s2 ON r.b = s2.a)
+           SELECT d.doc_id,
+                  CAST(LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS BIGINT)
+                    AS cluster_id
+           FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+           GROUP BY d.doc_id""",
+    ),
+    "sample_hash": (
+        q_sample_hash,
+        # threshold = floor(0.25 * 0xFFFFFFFF) in 8-hex-digit form;
+        # md5 of the decimal key string is engine-portable
+        "SELECT doc_id FROM documents "
+        "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <= '3fffffff'",
+    ),
+    "doc_pack_shards": (
+        q_doc_pack_shards,
+        f"""WITH t AS (SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+                       FROM documents)
+           SELECT doc_id, n_tokens,
+                  CAST(FLOOR((SUM(n_tokens) OVER (ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) - n_tokens)
+                             / 1000.0) AS BIGINT) AS shard
+           FROM t""",
     ),
     "events_sessions": (
         q_events_sessions,

@@ -290,3 +290,70 @@ def test_ivf_build_probe_split(spark, tmp_path):
     # a 1-probe lookup touches one bucket and still finds the query itself
     one = [r["vec_id"] for r in similarity.ivf_probe(spark, path, q, k=5, nprobe=1).collect()]
     assert one[0] == 7
+
+
+def test_connected_components(spark):
+    # two components {1,2,3,9} (chain) and {5,7}; 8 is isolated (no edges)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 9), (5, 7)], ["id_a", "id_b"]
+    )
+    labels = {r["node"]: r["label"] for r in dedup.connected_components(edges).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 7: 5}
+
+
+def test_cluster_ids_singletons(spark):
+    docs = spark.createDataFrame([(i,) for i in range(6)], ["doc_id"])
+    edges = spark.createDataFrame([(0, 4), (4, 5)], ["id_a", "id_b"])
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup.cluster_ids(docs, edges).collect()}
+    assert got == {0: 0, 4: 0, 5: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_asof_join(spark):
+    from datetime import datetime
+
+    from scio_sparql_spark.streaming import events as ev
+
+    def t(s):
+        return datetime(2024, 1, 1, 0, 0, s)
+
+    left = spark.createDataFrame(
+        [(100, 1, t(10)), (101, 1, t(20)), (102, 2, t(5)), (103, 3, t(9))],
+        ["event_id", "user_id", "ts"],
+    )
+    right = spark.createDataFrame(
+        [(1, t(8), 1.0), (1, t(15), 2.0), (1, t(20), 3.0), (2, t(6), 9.0)],
+        ["user_id", "ts", "value"],
+    )
+    got = {
+        r["event_id"]: r["asof_value"]
+        for r in ev.asof_join(left, right).collect()
+    }
+    # 100: latest click <= :10 is :08 -> 1.0; 101: right at :20 exactly -> 3.0
+    # 102: right at :06 is AFTER :05 -> dropped; 103: user 3 has none -> dropped
+    assert got == {100: 1.0, 101: 3.0}
+
+
+def test_deterministic_sample(spark):
+    from scio_sparql_spark.extras import pipeline
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], ["doc_id"])
+    a = {r["doc_id"] for r in pipeline.deterministic_sample(df, 0.3).collect()}
+    b = {r["doc_id"] for r in pipeline.deterministic_sample(df, 0.3).collect()}
+    assert a == b  # reproducible
+    assert 0.2 < len(a) / 2000 < 0.4  # near the requested fraction
+    bigger = {r["doc_id"] for r in pipeline.deterministic_sample(df, 0.6).collect()}
+    assert a <= bigger  # nested: raising the fraction only adds rows
+
+
+def test_pack_shards(spark):
+    from scio_sparql_spark.extras import pipeline
+
+    rows = [(i, 10 * (i % 5 + 1)) for i in range(100)]  # 10..50 tokens each
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    got = {r["doc_id"]: r["shard"] for r in pipeline.pack_shards(df, budget=100).collect()}
+    # oracle: running sum in doc_id order
+    cum, expect = 0, {}
+    for i, n in rows:
+        expect[i] = cum // 100
+        cum += n
+    assert got == expect
