@@ -207,6 +207,29 @@ class StatementPattern(Node):
 
 
 @dataclass(frozen=True)
+class StarScan(Node):
+    """Fused subject-star BGP over declared single-valued predicates:
+    ``?s p1 ?o1 . ?s p2 ?o2 . ...`` compiles to ONE scan + ONE
+    groupBy(subject) instead of an (N-1)-way self-join on subject (the
+    property-table rewrite — see the S2RDF/vertical-partitioning
+    yardstick in PAPERS.md). Only created by the optimizer when every
+    predicate is in the caller-declared single-valued set (at most one
+    (s, p) row in the quads DF), which makes the group-by semantics
+    exactly equal to the join semantics."""
+
+    s: PatTerm  # always a Var
+    items: tuple  # of (Term predicate, PatTerm object)
+    graph_mode: str = "default"
+    graph: Optional[PatTerm] = None
+
+    @property
+    def vars(self) -> frozenset:
+        return _pat_vars(self.s, *[o for _, o in self.items])
+
+    assured = vars
+
+
+@dataclass(frozen=True)
 class ZeroLengthPath(Node):
     """``p?``'s zero-length arm: both ends bound to the same graph node
     (reference: Interpreter.scala:382-437)."""

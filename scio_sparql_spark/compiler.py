@@ -101,6 +101,46 @@ class Compiler:
             *[F.col(cols[0]).alias(v) for v, cols in var_positions.items()]
         )
 
+    def _c_starscan(self, node: A.StarScan) -> DataFrame:
+        """Fused subject star (see algebra.StarScan): one predicate-IN
+        scan + one groupBy(subject) with a conditional MAX per star
+        member replaces the (N-1)-way self-join on subject. Sound only
+        because the optimizer creates StarScan strictly for predicates
+        the source declared single-valued (at most one (s, p) row), so
+        MAX picks *the* value and presence == join success. At scale
+        this turns N shuffle-join legs over the fact table into a single
+        map-side-combined aggregation — the property-table plan."""
+        df = self.quads
+        if self.strict_default:
+            df = df.filter(F.col("graph").isNull())
+        pred_cond = None
+        for p, _ in node.items:
+            c = self._term_eq("predicate", p)
+            pred_cond = c if pred_cond is None else (pred_cond | c)
+        df = df.filter(pred_cond)
+        aggs = [
+            F.max(
+                F.when(self._term_eq("predicate", p), F.col("object"))
+            ).alias(f"__o{i}")
+            for i, (p, _) in enumerate(node.items)
+        ]
+        g = df.groupBy(F.col("subject").alias("__s")).agg(*aggs)
+        cond = F.lit(True)
+        sel: dict[str, Column] = {node.s.name: F.col("__s")}
+        for i, (_, o) in enumerate(node.items):
+            c = F.col(f"__o{i}")
+            cond = cond & c.isNotNull()
+            if isinstance(o, Term):
+                cond = cond & self._term_eq(f"__o{i}", o)
+            elif o.name in sel:
+                # repeated object var inside one star: values must agree
+                cond = cond & (sel[o.name] == c)
+            else:
+                sel[o.name] = c
+        return g.filter(cond).select(
+            *[c.alias(v) for v, c in sel.items()]
+        )
+
     @staticmethod
     def _term_eq(colname: str, t: Term) -> Column:
         """Field-level equality against a ground term — pushes down to the
@@ -342,13 +382,64 @@ class Compiler:
         return ldf.alias(la).join(rdf.alias(ra), cond, "left_anti")
 
     # --- filters (incl. EXISTS / NOT EXISTS) ---
+    def _compile_cse(self, df: DataFrame, expr, as_bool: bool = False):
+        """compile_value/compile_bool with nested-arithmetic
+        materialization. XPath-promotion typing makes every compiled
+        EArith reference each operand ~10 times (numeric-value,
+        promotion-level, error branches), so a depth-d arithmetic tree
+        grows ~10^d in the Catalyst plan — observed 663 KB (and seconds
+        of driver-side optimization per action) for ``(MIN(?x)+MAX(?x))/2``.
+        Binding every non-root EArith to a hidden column first keeps each
+        level referencing plain attributes: linear plan size, identical
+        semantics. Returns (df_with_temps, column, temp_names)."""
+        pulled: list = []
+
+        def rw(e, root):
+            if isinstance(e, A.EArith):
+                e2 = A.EArith(e.op, rw(e.left, False), rw(e.right, False))
+                if root:
+                    return e2
+                name = f"__cse{next(_alias_counter)}"
+                pulled.append((name, e2))
+                return A.EVar(name)
+            if isinstance(e, A.ENeg):
+                return A.ENeg(rw(e.arg, False))
+            if isinstance(e, A.ECall):
+                return A.ECall(e.name, tuple(rw(a, False) for a in e.args))
+            if isinstance(e, A.ECmp):
+                return A.ECmp(e.op, rw(e.left, False), rw(e.right, False))
+            if isinstance(e, A.EAnd):
+                return A.EAnd(rw(e.left, False), rw(e.right, False))
+            if isinstance(e, A.EOr):
+                return A.EOr(rw(e.left, False), rw(e.right, False))
+            if isinstance(e, A.ENot):
+                return A.ENot(rw(e.arg, False))
+            if isinstance(e, A.EIn):
+                return A.EIn(
+                    rw(e.arg, False),
+                    tuple(rw(x, False) for x in e.options),
+                    e.negated,
+                )
+            return e
+
+        top = rw(expr, True)
+        temps = []
+        for name, sub in pulled:  # children precede parents (post-order)
+            df = df.withColumn(name, compile_value(sub, _env(df)))
+            temps.append(name)
+        fn = compile_bool if as_bool else compile_value
+        return df, fn(top, _env(df)), temps
+
     def _c_filter(self, node: A.Filter) -> DataFrame:
         df = self.compile(node.input)
         for part in _flatten_and(node.condition):
             if isinstance(part, A.EExists):
                 df = self._exists(df, node.input, part)
             else:
-                df = df.filter(F.coalesce(compile_bool(part, _env(df)), F.lit(False)))
+                df, cond, temps = self._compile_cse(df, part, as_bool=True)
+                df = df.filter(F.coalesce(cond, F.lit(False)))
+                if temps:
+                    df = df.drop(*temps)
         return df
 
     def _exists(self, df: DataFrame, input_node: A.Node, e: A.EExists) -> DataFrame:
@@ -385,7 +476,9 @@ class Compiler:
         df = self.compile(node.input)
         if isinstance(node.expr, A.EExists):
             raise NotImplementedError("EXISTS inside BIND")
-        return df.withColumn(node.var, compile_value(node.expr, _env(df)))
+        df, col, temps = self._compile_cse(df, node.expr)
+        df = df.withColumn(node.var, col)
+        return df.drop(*temps) if temps else df
 
     def _c_project(self, node: A.Project) -> DataFrame:
         df = self.compile(node.input)
@@ -482,7 +575,8 @@ class Compiler:
             if expr is None:
                 df = df.withColumn(name, F.col(name) if name in df.columns else null_term())
             else:
-                df = df.withColumn(name, compile_value(expr, env))
+                df, col, _temps = self._compile_cse(df, expr)
+                df = df.withColumn(name, col)  # temps vanish at the agg
                 env = _env(df)
             key_cols.append(name)
 
@@ -493,7 +587,8 @@ class Compiler:
             if agg.arg is None:  # COUNT(*)
                 df = df.withColumn(argc, F.lit(1))
             else:
-                df = df.withColumn(argc, compile_value(agg.arg, _env(df)))
+                df, col, _temps = self._compile_cse(df, agg.arg)
+                df = df.withColumn(argc, col)  # temps vanish at the agg
             if agg.distinct and agg.fn != "COUNT":
                 distinct_aggs.append((out_name, agg, argc))
                 continue

@@ -27,7 +27,12 @@ from .terms import (
 )
 
 
-def execute_sparql(quads: DataFrame, query: str, bindings: dict | None = None) -> DataFrame:
+def execute_sparql(
+    quads: DataFrame,
+    query: str,
+    bindings: dict | None = None,
+    single_valued: set | frozenset | None = None,
+) -> DataFrame:
     """Run a SPARQL 1.1 query over a quads DataFrame.
 
     SELECT returns one term-struct column per projected variable. The
@@ -40,9 +45,16 @@ def execute_sparql(quads: DataFrame, query: str, bindings: dict | None = None) -
     projected variables (the reference splices initial bindings into the
     query text pre-parse — Interpreter.scala:191-205; joining a one-row
     VALUES at the algebra level is the injection-safe equivalent).
+
+    ``single_valued`` is an optional set of predicate IRIs the caller
+    guarantees appear at most once per subject in ``quads`` (e.g. the
+    relational bridge's column edges). It licenses the subject-star
+    fusion rewrite (optimize._fuse_stars -> algebra.StarScan): star BGPs
+    compile to one scan + one groupBy instead of self-joins. Results are
+    identical; only the plan changes.
     """
     q = parse_query(query)
-    root = reorder_joins(q.algebra)
+    root = reorder_joins(q.algebra, single_valued)
     if bindings:
         names = tuple(bindings.keys())
         row = tuple(bindings[n] for n in names)

@@ -17,7 +17,46 @@ associative over bag semantics, so this is always safe; LeftJoin / Minus
 from __future__ import annotations
 
 from . import algebra as A
-from .terms import Term
+from .terms import KIND_IRI, Term
+
+
+def _fusable(leaf, single_valued: frozenset) -> bool:
+    """A pattern joins into a subject star iff: variable subject,
+    constant IRI predicate declared single-valued, default-graph mode,
+    and the object is not the subject variable itself (a ?s p ?s
+    self-loop constrains within one row — keep the generic path)."""
+    return (
+        isinstance(leaf, A.StatementPattern)
+        and isinstance(leaf.s, A.Var)
+        and isinstance(leaf.p, Term)
+        and leaf.p.kind == KIND_IRI
+        and leaf.p.lex in single_valued
+        and leaf.graph_mode == "default"
+        and not (isinstance(leaf.o, A.Var) and leaf.o.name == leaf.s.name)
+    )
+
+
+def _fuse_stars(leaves: list, single_valued: frozenset) -> list:
+    """Replace each group of >=2 fusable patterns sharing a subject var
+    with one StarScan; keep original relative position of the group (at
+    its first member) so reordering sees a stable input."""
+    groups: dict[str, list] = {}
+    for leaf in leaves:
+        if _fusable(leaf, single_valued):
+            groups.setdefault(leaf.s.name, []).append(leaf)
+    out = []
+    emitted = set()
+    for leaf in leaves:
+        if _fusable(leaf, single_valued) and len(groups[leaf.s.name]) >= 2:
+            if leaf.s.name not in emitted:
+                emitted.add(leaf.s.name)
+                pats = groups[leaf.s.name]
+                out.append(
+                    A.StarScan(pats[0].s, tuple((p.p, p.o) for p in pats))
+                )
+            continue
+        out.append(leaf)
+    return out
 
 
 def _flatten_join(node) -> list:
@@ -33,6 +72,11 @@ def _selectivity_score(leaf) -> tuple:
         if leaf.graph_mode == "named" and leaf.graph is not None:
             positions.append(leaf.graph)
         ground = sum(1 for p in positions if isinstance(p, Term))
+        return (2, ground, -len(leaf.vars))
+    if isinstance(leaf, A.StarScan):
+        ground = len(leaf.items) + sum(
+            1 for _, o in leaf.items if isinstance(o, Term)
+        )
         return (2, ground, -len(leaf.vars))
     if isinstance(leaf, A.Values):
         return (3, len(leaf.names), -len(leaf.names))  # tiny: join early
@@ -57,10 +101,15 @@ def _order_leaves(leaves: list) -> list:
     return ordered
 
 
-def reorder_joins(node):
-    """Recursive rewrite: reorder every maximal pure-Join subtree."""
+def reorder_joins(node, single_valued: frozenset | None = None):
+    """Recursive rewrite: fuse subject stars (when the caller declared
+    single-valued predicates), then reorder every maximal pure-Join
+    subtree."""
+    sv = frozenset(single_valued) if single_valued else None
     if isinstance(node, A.Join):
-        leaves = [reorder_joins(l) for l in _flatten_join(node)]
+        leaves = [reorder_joins(l, sv) for l in _flatten_join(node)]
+        if sv:
+            leaves = _fuse_stars(leaves, sv)
         if len(leaves) > 2:
             leaves = _order_leaves(leaves)
         out = leaves[0]
@@ -68,60 +117,60 @@ def reorder_joins(node):
             out = A.Join(out, l)
         return out
     if isinstance(node, A.LeftJoin):
-        cond = _reorder_expr(node.condition) if node.condition is not None else None
-        return A.LeftJoin(reorder_joins(node.left), reorder_joins(node.right), cond)
+        cond = _reorder_expr(node.condition, sv) if node.condition is not None else None
+        return A.LeftJoin(reorder_joins(node.left, sv), reorder_joins(node.right, sv), cond)
     if isinstance(node, A.Minus):
-        return A.Minus(reorder_joins(node.left), reorder_joins(node.right))
+        return A.Minus(reorder_joins(node.left, sv), reorder_joins(node.right, sv))
     if isinstance(node, A.Union):
-        return A.Union(reorder_joins(node.left), reorder_joins(node.right))
+        return A.Union(reorder_joins(node.left, sv), reorder_joins(node.right, sv))
     if isinstance(node, A.Filter):
-        return A.Filter(reorder_joins(node.input), _reorder_expr(node.condition))
+        return A.Filter(reorder_joins(node.input, sv), _reorder_expr(node.condition, sv))
     if isinstance(node, A.Extend):
-        return A.Extend(reorder_joins(node.input), node.var, _reorder_expr(node.expr))
+        return A.Extend(reorder_joins(node.input, sv), node.var, _reorder_expr(node.expr, sv))
     if isinstance(node, A.Project):
-        return A.Project(reorder_joins(node.input), node.names)
+        return A.Project(reorder_joins(node.input, sv), node.names)
     if isinstance(node, A.Distinct):
-        return A.Distinct(reorder_joins(node.input))
+        return A.Distinct(reorder_joins(node.input, sv))
     if isinstance(node, A.Reduced):
-        return A.Reduced(reorder_joins(node.input))
+        return A.Reduced(reorder_joins(node.input, sv))
     if isinstance(node, A.Group):
-        return A.Group(reorder_joins(node.input), node.keys, node.aggs)
+        return A.Group(reorder_joins(node.input, sv), node.keys, node.aggs)
     if isinstance(node, A.OrderBy):
-        return A.OrderBy(reorder_joins(node.input), node.keys)
+        return A.OrderBy(reorder_joins(node.input, sv), node.keys)
     if isinstance(node, A.Slice):
-        return A.Slice(reorder_joins(node.input), node.limit, node.offset)
+        return A.Slice(reorder_joins(node.input, sv), node.limit, node.offset)
     if isinstance(node, A.ArbitraryLengthPath):
         return A.ArbitraryLengthPath(
-            node.s, node.o, reorder_joins(node.path), node.start_var,
+            node.s, node.o, reorder_joins(node.path, sv), node.start_var,
             node.end_var, node.min_length, node.graph_mode, node.graph,
         )
     return node
 
 
-def _reorder_expr(e):
+def _reorder_expr(e, sv=None):
     """Recurse into every expression container that can hold an EXISTS."""
     if isinstance(e, A.EExists):
-        return A.EExists(reorder_joins(e.pattern), e.negated)
+        return A.EExists(reorder_joins(e.pattern, sv), e.negated)
     if isinstance(e, A.EAnd):
-        return A.EAnd(_reorder_expr(e.left), _reorder_expr(e.right))
+        return A.EAnd(_reorder_expr(e.left, sv), _reorder_expr(e.right, sv))
     if isinstance(e, A.EOr):
-        return A.EOr(_reorder_expr(e.left), _reorder_expr(e.right))
+        return A.EOr(_reorder_expr(e.left, sv), _reorder_expr(e.right, sv))
     if isinstance(e, A.ENot):
         # !EXISTS{} == NOT EXISTS{} (EXISTS never errors, so 3VL negation
         # collapses) — normalizing here lets the compiler's top-level
         # semi/anti-join path handle it instead of raising.
         if isinstance(e.arg, A.EExists):
-            return A.EExists(reorder_joins(e.arg.pattern), not e.arg.negated)
-        return A.ENot(_reorder_expr(e.arg))
+            return A.EExists(reorder_joins(e.arg.pattern, sv), not e.arg.negated)
+        return A.ENot(_reorder_expr(e.arg, sv))
     if isinstance(e, A.ECall):
-        return A.ECall(e.name, tuple(_reorder_expr(a) for a in e.args))
+        return A.ECall(e.name, tuple(_reorder_expr(a, sv) for a in e.args))
     if isinstance(e, A.ECmp):
-        return A.ECmp(e.op, _reorder_expr(e.left), _reorder_expr(e.right))
+        return A.ECmp(e.op, _reorder_expr(e.left, sv), _reorder_expr(e.right, sv))
     if isinstance(e, A.EArith):
-        return A.EArith(e.op, _reorder_expr(e.left), _reorder_expr(e.right))
+        return A.EArith(e.op, _reorder_expr(e.left, sv), _reorder_expr(e.right, sv))
     if isinstance(e, A.ENeg):
-        return A.ENeg(_reorder_expr(e.arg))
+        return A.ENeg(_reorder_expr(e.arg, sv))
     if isinstance(e, A.EIn):
-        return A.EIn(_reorder_expr(e.arg),
-                     tuple(_reorder_expr(x) for x in e.options), e.negated)
+        return A.EIn(_reorder_expr(e.arg, sv),
+                     tuple(_reorder_expr(x, sv) for x in e.options), e.negated)
     return e

@@ -194,12 +194,29 @@ def _uniquified(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     cache + count, which forced a full-table materialization before any
     query — a non-starter at warehouse scale.)"""
     df = load_table(spark, sf_dir, table)
-    # file_name used verbatim: a per-row regexp to strip the extension
-    # costs ~8x the whole scan (measured), and dots are legal in IRIs
-    return df.withColumn(
-        "__rid",
-        F.concat_ws("-", F.col("_metadata.file_name"), F.col("_metadata.row_index")),
-    )
+    # Compact NUMERIC rid: (driver-side file index << 40) | row_index.
+    # Subjects become the join/shuffle keys of every BGP over this
+    # table, so a short "urn:lineitem:123" beats embedding the ~50-char
+    # parquet file name in every key (measured: long subjects cost ~25%
+    # on join-heavy aggregates). The file list comes from a driver-side
+    # directory listing — metadata only, no Spark job, no materialization
+    # — and stays deterministic because it is sorted.
+    path = f"{sf_dir}/{table}.parquet"
+    if os.path.isdir(path):
+        names = sorted(
+            os.path.basename(p) for p in _glob.glob(os.path.join(path, "*.parquet"))
+        )
+    else:
+        names = [os.path.basename(path)]
+    if len(names) == 1:
+        rid = F.col("_metadata.row_index")
+    else:
+        entries = []
+        for i, n in enumerate(names):
+            entries += [F.lit(n), F.lit(i)]
+        idx = F.element_at(F.create_map(*entries), F.col("_metadata.file_name"))
+        rid = F.shiftleft(idx.cast("long"), 40) + F.col("_metadata.row_index")
+    return df.withColumn("__rid", rid)
 
 
 def tune_for_quads(spark: SparkSession) -> None:
@@ -225,6 +242,20 @@ def tune_for_tables(spark: SparkSession) -> None:
     resolved lazily at action time."""
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10MB")
+
+
+def single_valued_predicates(
+    spark: SparkSession, sf_dir: str, tables: list[str]
+) -> frozenset:
+    """Every predicate the bridge emits is single-valued per subject (one
+    cell per row, one row per subject id) — the declaration that lets the
+    engine fuse subject-star BGPs into one groupBy scan (StarScan)."""
+    preds = set()
+    for t in tables:
+        _pk, fks, _uniq = TPCH_META[t]
+        for c in load_table(spark, sf_dir, t).columns:
+            preds.add(f"urn:ref:{c}" if c in fks else f"urn:col:{c}")
+    return frozenset(preds)
 
 
 def tables_to_quads(spark: SparkSession, sf_dir: str, tables: list[str]) -> DataFrame:

@@ -19,7 +19,12 @@ from pyspark.sql import functions as F
 
 from .engine import execute_sparql
 from .extras import dedup, multimodal, pipeline, similarity, textstats
-from .sources.bridge import load_table, tables_to_quads, tune_for_tables
+from .sources.bridge import (
+    load_table,
+    single_valued_predicates,
+    tables_to_quads,
+    tune_for_tables,
+)
 from .streaming import events as ev
 
 PREFIXES = "PREFIX col: <urn:col:>\nPREFIX ref: <urn:ref:>\n"
@@ -33,7 +38,8 @@ def _sparql(tables, query, project):
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         quads = tables_to_quads(spark, sf_dir, tables)
-        df = execute_sparql(quads, PREFIXES + query)
+        sv = single_valued_predicates(spark, sf_dir, tables)
+        df = execute_sparql(quads, PREFIXES + query, single_valued=sv)
         cols = []
         for out, var, kind in project:
             lex = F.col(var)["lex"]
@@ -927,8 +933,13 @@ ORDER BY DESC(?n_orders) ?r_name
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query: BGP chain + property path + GROUP BY + ORDER BY —
     orders per region."""
-    quads = tables_to_quads(spark, sf_dir, ["orders", "customer", "nation", "region"])
-    df = execute_sparql(quads, FLAGSHIP)
+    tables = ["orders", "customer", "nation", "region"]
+    quads = tables_to_quads(spark, sf_dir, tables)
+    df = execute_sparql(
+        quads,
+        FLAGSHIP,
+        single_valued=single_valued_predicates(spark, sf_dir, tables),
+    )
     return df.select(
         F.col("r_name")["lex"].alias("r_name"),
         F.col("n_orders")["lex"].cast("bigint").alias("n_orders"),

@@ -109,3 +109,79 @@ def test_reorder_keeps_minus_semantics(spark):
     }"""
     out = run_sparql(spark, ttl, q)
     assert_bag_equal(out, [{"a": iri("urn:o:a2")}])
+
+
+STAR_TTL = """
+@prefix : <urn:o:> .
+:a1 :p 1 ; :q "x" ; :m 7 .
+:a2 :p 2 ; :q "y" .
+:a3 :p 3 .
+:a4 :q "z" .
+"""
+
+STAR_Q = """
+PREFIX : <urn:o:>
+SELECT ?s ?v ?w WHERE { ?s :p ?v . ?s :q ?w }
+"""
+
+
+def _run(spark, q, sv=None):
+    quads = quads_df_from_list(spark, parse_turtle(STAR_TTL))
+    df = execute_sparql(quads, q, single_valued=sv)
+    return df
+
+
+def test_star_fusion_same_results_no_join(spark):
+    plain = sorted(map(str, _run(spark, STAR_Q).collect()))
+    fused_df = _run(spark, STAR_Q, sv={"urn:o:p", "urn:o:q"})
+    fused = sorted(map(str, fused_df.collect()))
+    assert plain == fused
+    plan = fused_df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan  # the star compiled to scan+groupBy
+
+
+def test_star_fusion_undeclared_predicate_not_fused(spark):
+    # :q not declared single-valued -> no fusion, join plan kept
+    df = _run(spark, STAR_Q, sv={"urn:o:p"})
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" in plan
+    assert sorted(map(str, df.collect())) == sorted(map(str, _run(spark, STAR_Q).collect()))
+
+
+def test_star_fusion_multivalued_safety(spark):
+    # a genuinely multi-valued predicate must NOT be declared; verify the
+    # unfused path keeps the cross-product semantics fusion would break
+    ttl = """
+    @prefix : <urn:o:> .
+    :a :tag "t1" , "t2" ; :name "A" .
+    """
+    quads = quads_df_from_list(spark, parse_turtle(ttl))
+    q = "PREFIX : <urn:o:> SELECT ?t ?n WHERE { ?a :tag ?t . ?a :name ?n }"
+    rows = execute_sparql(quads, q).collect()
+    assert len(rows) == 2  # one per tag value
+
+
+def test_star_fusion_ground_object_and_optional(spark):
+    q = """
+    PREFIX : <urn:o:>
+    SELECT ?s ?w ?m WHERE {
+      ?s :p 1 . ?s :q ?w . OPTIONAL { ?s :m ?m }
+    }"""
+    sv = {"urn:o:p", "urn:o:q", "urn:o:m"}
+    plain = sorted(map(str, _run(spark, q).collect()))
+    fused = sorted(map(str, _run(spark, q, sv).collect()))
+    assert plain == fused and len(fused) == 1
+
+
+def test_nested_arith_plan_stays_small(spark):
+    # (MIN+MAX)/2-style nested arithmetic used to expand ~10^depth in the
+    # optimized plan (663KB observed); CSE materialization keeps it linear
+    q = """
+    PREFIX : <urn:o:>
+    SELECT ?s (((?v + ?v) * (?v - 1)) / 2 AS ?e) WHERE { ?s :p ?v }
+    """
+    df = _run(spark, q)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert len(plan) < 200_000, f"plan blew up: {len(plan)} chars"
+    got = {r["s"]["lex"]: r["e"]["lex"] for r in df.collect()}
+    assert got == {"urn:o:a1": "0", "urn:o:a2": "2", "urn:o:a3": "6"}
