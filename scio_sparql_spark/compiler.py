@@ -31,6 +31,7 @@ from .terms import (
     Term,
     XSD_INTEGER,
     XSD_STRING,
+    bool_term,
     make_numeric_term,
     null_term,
     num_value,
@@ -50,6 +51,22 @@ def _flatten_and(cond) -> list:
     if isinstance(cond, A.EAnd):
         return _flatten_and(cond.left) + _flatten_and(cond.right)
     return [cond]
+
+
+def _contains_exists(e) -> bool:
+    if isinstance(e, A.EExists):
+        return True
+    if isinstance(e, (A.EAnd, A.EOr, A.ECmp, A.EArith)):
+        return _contains_exists(e.left) or _contains_exists(e.right)
+    if isinstance(e, (A.ENot, A.ENeg)):
+        return _contains_exists(e.arg)
+    if isinstance(e, A.ECall):
+        return any(_contains_exists(a) for a in e.args)
+    if isinstance(e, A.EIn):
+        return _contains_exists(e.arg) or any(
+            _contains_exists(x) for x in e.options
+        )
+    return False
 
 
 class Compiler:
@@ -204,9 +221,18 @@ class Compiler:
         of distributed self-joins with localCheckpoint to truncate lineage.
         Iterations = path diameter; each round is one shuffle over the
         frontier only (not the full closure). Unsupported in the reference
-        (README.md:60-63) — strict upgrade."""
-        if node.graph_mode == "named" and isinstance(node.graph, A.Var):
-            raise NotImplementedError("p*/p+ inside GRAPH ?var")
+        (README.md:60-63) — strict upgrade.
+
+        Under ``GRAPH ?g`` the closure is computed independently per
+        named graph: the graph-var column rides the edge list as a third
+        key (``__g``), every expansion join and dedup includes it, so a
+        path never crosses graph boundaries and ``?g`` binds to the graph
+        each chain lives in."""
+        graph_var = (
+            node.graph.name
+            if node.graph_mode == "named" and isinstance(node.graph, A.Var)
+            else None
+        )
         inner = self.compile(node.path)
         # Constraint propagation must be off while the loop checkpoints:
         # localCheckpoint produces LogicalRDDs whose captured constraints
@@ -218,14 +244,14 @@ class Compiler:
         prev = self.spark.conf.get(conf_key, "true")
         self.spark.conf.set(conf_key, "false")
         try:
-            edges = (
-                inner.select(
-                    F.col(node.start_var).alias("src"),
-                    F.col(node.end_var).alias("dst"),
-                )
-                .distinct()
-                .localCheckpoint()
-            )
+            ecols = [
+                F.col(node.start_var).alias("src"),
+                F.col(node.end_var).alias("dst"),
+            ]
+            if graph_var:
+                ecols.append(F.col(graph_var).alias("__g"))
+            key = ["src", "dst"] + (["__g"] if graph_var else [])
+            edges = inner.select(*ecols).distinct().localCheckpoint()
             reach = edges
             frontier = edges
             while True:
@@ -233,12 +259,19 @@ class Compiler:
                 # self-join branches also trips attribute dedup; the
                 # anti-join on (src, dst) is the same set difference
                 # (endpoints are never NULL)
+                step = F.col("f.dst") == F.col("e.src")
+                if graph_var:
+                    step = step & (F.col("f.__g") == F.col("e.__g"))
+                scols = [
+                    F.col("f.src").alias("src"),
+                    F.col("e.dst").alias("dst"),
+                ] + ([F.col("f.__g").alias("__g")] if graph_var else [])
                 new = (
                     frontier.alias("f")
-                    .join(edges.alias("e"), F.col("f.dst") == F.col("e.src"))
-                    .select(F.col("f.src").alias("src"), F.col("e.dst").alias("dst"))
+                    .join(edges.alias("e"), step)
+                    .select(*scols)
                     .distinct()
-                    .join(reach, on=["src", "dst"], how="left_anti")
+                    .join(reach, on=key, how="left_anti")
                     .localCheckpoint()
                 )
                 if new.isEmpty():
@@ -249,12 +282,17 @@ class Compiler:
             self.spark.conf.set(conf_key, prev)
         if node.min_length == 0:
             base = self._graph_scoped_quads(node.graph_mode, node.graph)
+            gcols = [F.col("graph").alias("__g")] if graph_var else []
             nodes_df = (
-                base.select(F.col("subject").alias("__t"))
-                .unionByName(base.select(F.col("object").alias("__t")))
+                base.select(F.col("subject").alias("__t"), *gcols)
+                .unionByName(base.select(F.col("object").alias("__t"), *gcols))
                 .distinct()
             )
-            zero = nodes_df.select(F.col("__t").alias("src"), F.col("__t").alias("dst"))
+            zero = nodes_df.select(
+                F.col("__t").alias("src"),
+                F.col("__t").alias("dst"),
+                *([F.col("__g")] if graph_var else []),
+            )
             reach = reach.unionByName(zero).distinct()
         # bind endpoints
         df = reach
@@ -270,6 +308,8 @@ class Compiler:
         if isinstance(node.s, A.Var) and isinstance(node.o, A.Var) and node.s == node.o:
             df = df.filter(F.col("src") == F.col("dst"))
             sel = [F.col("src").alias(node.s.name)]
+        if graph_var:
+            sel.append(F.col("__g").alias(graph_var))
         return df.select(*sel) if sel else df.select()
 
     def _c_values(self, node: A.Values) -> DataFrame:
@@ -436,10 +476,13 @@ class Compiler:
             if isinstance(part, A.EExists):
                 df = self._exists(df, node.input, part)
             else:
+                ex_temps: list[str] = []
+                if _contains_exists(part):
+                    df, part, ex_temps = self._rewrite_exists(df, node.input, part)
                 df, cond, temps = self._compile_cse(df, part, as_bool=True)
                 df = df.filter(F.coalesce(cond, F.lit(False)))
-                if temps:
-                    df = df.drop(*temps)
+                if ex_temps or temps:
+                    df = df.drop(*ex_temps, *temps)
         return df
 
     def _exists(self, df: DataFrame, input_node: A.Node, e: A.EExists) -> DataFrame:
@@ -471,14 +514,66 @@ class Compiler:
         how = "left_anti" if e.negated else "left_semi"
         return df.alias(la).join(sub.alias(ra), cond, how)
 
+    def _rewrite_exists(self, df: DataFrame, input_node: A.Node, expr):
+        """Make EXISTS usable anywhere inside a value expression (BIND,
+        IF, ``||``, IN, ...): each EXISTS{} subtree is materialized as a
+        hidden boolean-term column and replaced by a variable reference.
+        The column is produced by partitioning the bag with the same
+        semi/anti joins the FILTER path uses (semi rows get true, anti
+        rows get false, union preserves multiplicities), so the
+        evaluation semantics are identical to FILTER EXISTS — the
+        reference supports neither (rdf4j would, but Interpreter.scala's
+        ValueExprEvaluator has no Exists case). Returns
+        (df, rewritten_expr, temp_column_names)."""
+        state = {"df": df}
+        temps: list[str] = []
+
+        def walk(e):
+            if isinstance(e, A.EExists):
+                name = f"__ex{next(_alias_counter)}"
+                d = state["df"]
+                pos = self._exists(d, input_node, A.EExists(e.pattern, False))
+                neg = self._exists(d, input_node, A.EExists(e.pattern, True))
+                tv, fv = (False, True) if e.negated else (True, False)
+                state["df"] = pos.withColumn(name, bool_term(F.lit(tv))).unionByName(
+                    neg.withColumn(name, bool_term(F.lit(fv)))
+                )
+                temps.append(name)
+                return A.EVar(name)
+            if isinstance(e, A.EAnd):
+                return A.EAnd(walk(e.left), walk(e.right))
+            if isinstance(e, A.EOr):
+                return A.EOr(walk(e.left), walk(e.right))
+            if isinstance(e, A.ENot):
+                return A.ENot(walk(e.arg))
+            if isinstance(e, A.ENeg):
+                return A.ENeg(walk(e.arg))
+            if isinstance(e, A.ECmp):
+                return A.ECmp(e.op, walk(e.left), walk(e.right))
+            if isinstance(e, A.EArith):
+                return A.EArith(e.op, walk(e.left), walk(e.right))
+            if isinstance(e, A.ECall):
+                return A.ECall(e.name, tuple(walk(a) for a in e.args))
+            if isinstance(e, A.EIn):
+                return A.EIn(
+                    walk(e.arg), tuple(walk(x) for x in e.options), e.negated
+                )
+            return e
+
+        out = walk(expr)
+        return state["df"], out, temps
+
     # --- row-wise nodes ---
     def _c_extend(self, node: A.Extend) -> DataFrame:
         df = self.compile(node.input)
-        if isinstance(node.expr, A.EExists):
-            raise NotImplementedError("EXISTS inside BIND")
-        df, col, temps = self._compile_cse(df, node.expr)
+        expr = node.expr
+        ex_temps: list[str] = []
+        if _contains_exists(expr):
+            df, expr, ex_temps = self._rewrite_exists(df, node.input, expr)
+        df, col, temps = self._compile_cse(df, expr)
         df = df.withColumn(node.var, col)
-        return df.drop(*temps) if temps else df
+        drop = ex_temps + temps
+        return df.drop(*drop) if drop else df
 
     def _c_project(self, node: A.Project) -> DataFrame:
         df = self.compile(node.input)

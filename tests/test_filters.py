@@ -110,3 +110,45 @@ def test_minus(spark):
         out,
         [{"s": iri("http://example/alice")}, {"s": iri("http://example/carol")}],
     )
+
+
+EXISTS_BIND_TTL = """
+@prefix : <urn:eb:> .
+:a :p 1 ; :q "x" .
+:b :p 2 .
+:c :p 3 ; :q "y" .
+"""
+
+
+def test_exists_inside_bind(spark):
+    """BIND(EXISTS{} AS ?x): boolean column, not a filter — rdf4j
+    evaluates this but the reference's interpreter has no Exists value
+    case; upgrade."""
+    q = """
+    PREFIX : <urn:eb:>
+    SELECT ?s ?has WHERE { ?s :p ?v . BIND(EXISTS { ?s :q ?w } AS ?has) }"""
+    out = run_sparql(spark, EXISTS_BIND_TTL, q)
+    got = {d["s"][0]: d["has"][0] for d in out}
+    assert got == {"urn:eb:a": "true", "urn:eb:b": "false", "urn:eb:c": "true"}
+
+
+def test_not_exists_inside_bind_if(spark):
+    q = """
+    PREFIX : <urn:eb:>
+    SELECT ?s ?label WHERE {
+      ?s :p ?v .
+      BIND(IF(NOT EXISTS { ?s :q ?w }, "bare", "tagged") AS ?label)
+    }"""
+    out = run_sparql(spark, EXISTS_BIND_TTL, q)
+    got = {d["s"][0]: d["label"][0] for d in out}
+    assert got == {"urn:eb:a": "tagged", "urn:eb:b": "bare", "urn:eb:c": "tagged"}
+
+
+def test_exists_nested_in_or_filter(spark):
+    """EXISTS below an || (not top-level AND-part): rewritten to a hidden
+    boolean column, so the disjunction evaluates row-wise."""
+    q = """
+    PREFIX : <urn:eb:>
+    SELECT ?s WHERE { ?s :p ?v . FILTER(EXISTS { ?s :q ?w } || ?v > 2) }"""
+    out = run_sparql(spark, EXISTS_BIND_TTL, q)
+    assert {d["s"][0] for d in out} == {"urn:eb:a", "urn:eb:c"}
