@@ -313,3 +313,42 @@ def cluster_ids(
         F.col(id_col),
         F.coalesce("label", F.col(id_col)).alias("cluster_id"),
     )
+
+
+def contamination_hits(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train/test contamination check: for each corpus document, count
+    its distinct word ``n``-grams that also occur anywhere in the
+    benchmark set (the standard n-gram-overlap decontamination test —
+    only documents with at least one hit are returned; drop them, or
+    inspect ``n_hits`` for severity).
+
+    Beyond-reference surface (no counterpart in the reference engine).
+
+    Scale design (100 TB corpus, small benchmark): the benchmark side —
+    an eval suite, thousands of docs — collapses to a DISTINCT shingle
+    set and is explicitly broadcast, so the corpus side is a single
+    map-side pass: explode shingles, hash-join against the broadcast
+    set, one groupBy on doc id (partial count map-side). The corpus is
+    never shuffled by shingle; the only shuffle is the per-doc count on
+    ``id_col``.
+    """
+    bench_sh = (
+        spread(benchmark)
+        .select(F.explode(F.array_distinct(token_ngrams(F.col(text_col), n))).alias("g"))
+        .distinct()
+    )
+    corpus_sh = spread(corpus).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(token_ngrams(F.col(text_col), n))).alias("g"),
+    )
+    return (
+        corpus_sh.join(F.broadcast(bench_sh), on="g")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+    )

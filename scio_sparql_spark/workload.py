@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .engine import execute_sparql
-from .extras import dedup, multimodal, pipeline, similarity, textstats
+from .extras import dedup, multimodal, pipeline, retrieval, similarity, textstats
 from .sources.bridge import (
     load_table,
     single_valued_predicates,
@@ -229,6 +229,19 @@ SPARQL_QUERIES = {
         [("ck", "ck", "i")],
         "SELECT c_custkey AS ck FROM customer WHERE NOT EXISTS "
         "(SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
+    ),
+    # §2.8 EXISTS as a value expression (BIND) — rdf4j evaluates this
+    # but the reference interpreter has no Exists value case; upgrade.
+    # Compiled as a semi/anti-join bag partition, not a per-row subquery.
+    "sparql_bind_exists": (
+        ["nation", "customer"],
+        """SELECT ?n_name ?has WHERE {
+             ?n col:n_name ?n_name .
+             BIND(EXISTS { ?c ref:c_nationkey ?n } AS ?has) }""",
+        [("n_name", "n_name", "s"), ("has", "has", "s")],
+        "SELECT n_name, CASE WHEN EXISTS (SELECT 1 FROM customer "
+        "WHERE c_nationkey = n_nationkey) THEN 'true' ELSE 'false' END AS has "
+        "FROM nation",
     ),
     # §2.6 ORDER BY + LIMIT (top-k)
     "sparql_topk": (
@@ -598,6 +611,28 @@ def q_doc_pack_shards(spark, sf_dir):
     )
 
 
+def q_text_contamination(spark, sf_dir):
+    """Train/test contamination: every 20th doc is the 'benchmark' set;
+    count corpus docs' distinct 4-grams that appear in any benchmark
+    doc. Benchmark shingles broadcast; corpus never shuffles by shingle."""
+    docs = _table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    benchmark = docs.filter(F.col("doc_id") % 20 == 0)
+    return dedup.contamination_hits(corpus, benchmark, n=4)
+
+
+def q_retrieval_bm25(spark, sf_dir):
+    """BM25 top-10 for a 3-term probe query; query-term filter runs
+    map-side before any shuffle."""
+    return retrieval.bm25_topk(
+        _table(spark, sf_dir, "documents"), ["hash", "join", "spark"], k=10
+    )
+
+
+def q_retrieval_term_stats(spark, sf_dir):
+    return retrieval.term_doc_stats(_table(spark, sf_dir, "documents"), min_df=2)
+
+
 _TOKS = r"list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '')"
 
 def q_sparql_ask(spark, sf_dir):
@@ -877,6 +912,50 @@ EXTRA_QUERIES = {
                                 ROWS UNBOUNDED PRECEDING) - n_tokens)
                              / 1000.0) AS BIGINT) AS shard
            FROM t""",
+    ),
+    "text_contamination": (
+        q_text_contamination,
+        f"""WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            s AS (SELECT doc_id,
+                         list_distinct(list_transform(
+                           generate_series(1, greatest(len(toks) - 4, 0) + 1),
+                           i -> array_to_string(toks[i:i+3], ' '))) AS sh
+                  FROM t),
+            b AS (SELECT DISTINCT g
+                  FROM (SELECT unnest(sh) AS g FROM s WHERE doc_id % 20 = 0)),
+            c AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id % 20 <> 0)
+           SELECT c.doc_id, COUNT(*) AS n_hits
+           FROM c JOIN b USING (g) GROUP BY c.doc_id""",
+    ),
+    "retrieval_bm25": (
+        q_retrieval_bm25,
+        # constants written as the same arithmetic the Spark side does
+        # ((1.2 + 1.0), (1.0 - 0.75)) so both engines evaluate the
+        # bit-identical double before rounding
+        f"""WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            dl AS (SELECT doc_id, len(toks) AS dl FROM toks),
+            st AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+            tf AS (SELECT doc_id, t AS term, COUNT(*) AS tf
+                   FROM toks, unnest(toks) AS u(t)
+                   WHERE t IN ('hash', 'join', 'spark')
+                   GROUP BY doc_id, t),
+            dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+            sc AS (SELECT tf.doc_id,
+                          SUM(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                              * (tf * (1.2 + 1.0)
+                                 / (tf + 1.2 * (1.0 - 0.75
+                                                + 0.75 * dl / avgdl)))) AS score
+                   FROM tf JOIN dft USING (term) JOIN dl USING (doc_id)
+                   CROSS JOIN st
+                   GROUP BY tf.doc_id)
+           SELECT doc_id, ROUND(score, 6) AS score FROM sc
+           ORDER BY score DESC, doc_id LIMIT 10""",
+    ),
+    "retrieval_term_stats": (
+        q_retrieval_term_stats,
+        f"""WITH t AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+           SELECT term, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS total_tf
+           FROM t GROUP BY term HAVING COUNT(DISTINCT doc_id) >= 2""",
     ),
     "events_sessions": (
         q_events_sessions,
