@@ -357,3 +357,36 @@ def test_pack_shards(spark):
         expect[i] = cum // 100
         cum += n
     assert got == expect
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    from scio_sparql_spark.streaming.dedup import streaming_dedup_from_path
+
+    rows = [
+        (0, "2024-01-01 10:00:00", "alpha text"),
+        (1, "2024-01-01 10:00:30", "alpha text"),  # dup of 0, in horizon
+        (2, "2024-01-01 10:01:00", "beta text"),
+        (3, "2024-01-01 10:02:00", "gamma text"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "ts", "text"]).withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    src = str(tmp_path / "docs_parquet")
+    df.write.parquet(src)
+    stream = streaming_dedup_from_path(
+        spark, src, df.schema, watermark="10 minutes"
+    )
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    out = spark.sql("select doc_id, text from dedup_stream").collect()
+    texts = sorted(r["text"] for r in out)
+    assert texts == ["alpha text", "beta text", "gamma text"]
+    # only one of the alpha duplicates survives
+    assert len([r for r in out if r["text"] == "alpha text"]) == 1
