@@ -37,6 +37,8 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "text_quality",
     "text_fingerprint",
+    "text_contamination",
+    "retrieval_bm25",
     "ann_cosine_topk",
     "ann_ivf_topk",
     "events_window",
