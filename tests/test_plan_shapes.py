@@ -1,0 +1,132 @@
+"""Physical-plan shape regressions: the properties that make queries
+scale — top-k instead of global sort, broadcasts where intended, partial
+aggregation, no Python in hot paths, no nested-loop joins on keyed
+plans. These assert on the PLAN, not the result, so a future change that
+keeps answers right but silently de-scales (e.g. drops a broadcast hint
+or forces a CartesianProduct) fails loudly at small SF."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from scio_sparql_spark import execute_sparql, parse_turtle, quads_df_from_list
+from scio_sparql_spark.extras import dedup, retrieval
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture()
+def quads(spark):
+    ttl = "@prefix : <urn:p:> .\n" + "\n".join(
+        f":s{i} :name \"n{i}\" ; :val {i} ; :ref :s{(i + 1) % 40} ." for i in range(40)
+    )
+    return quads_df_from_list(spark, parse_turtle(ttl))
+
+
+def test_topk_compiles_to_take_ordered(spark, quads):
+    df = execute_sparql(
+        quads,
+        "PREFIX : <urn:p:> SELECT ?s ?v WHERE { ?s :val ?v } "
+        "ORDER BY DESC(?v) LIMIT 5",
+    )
+    assert "TakeOrderedAndProject" in _plan(df)
+
+
+def test_values_join_is_broadcast(spark, quads):
+    df = execute_sparql(
+        quads,
+        """PREFIX : <urn:p:>
+        SELECT ?s ?v WHERE {
+          VALUES ?v { 3 7 11 } ?s :val ?v . }""",
+    )
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_multi_aggregate_single_groupby_no_join(spark, quads):
+    """N aggregates of one GROUP BY must stay a single agg — the
+    reference runs one reduceByKey per aggregate and joins them back."""
+    df = execute_sparql(
+        quads,
+        """PREFIX : <urn:p:>
+        SELECT (SUM(?v) AS ?a) (MIN(?v) AS ?b) (MAX(?v) AS ?c)
+               (COUNT(?v) AS ?d) (AVG(?v) AS ?e)
+        WHERE { ?s :val ?v }""",
+    )
+    plan = _plan(df)
+    assert "Join" not in plan, plan
+    assert "partial_sum" in plan  # map-side combine before the shuffle
+
+
+def test_bgp_join_never_nested_loop(spark, quads):
+    """Assured-var equi-joins must hash/sort-merge join; a nested-loop
+    or cartesian here means the equi-keys were lost."""
+    df = execute_sparql(
+        quads,
+        """PREFIX : <urn:p:>
+        SELECT ?a ?n ?v WHERE {
+          ?a :ref ?b . ?b :name ?n . ?b :val ?v . }""",
+    )
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_no_python_eval_in_engine_paths(spark, quads):
+    """Hot-path queries are pure JVM: no row-at-a-time or Arrow Python
+    eval nodes anywhere in the plan (the multimodal ops are the only
+    sanctioned mapInPandas users)."""
+    engine_df = execute_sparql(
+        quads,
+        """PREFIX : <urn:p:>
+        SELECT ?s (UCASE(?n) AS ?u) (?v * 2 AS ?w) WHERE {
+          ?s :name ?n ; :val ?v . FILTER(REGEX(?n, "n[0-9]+")) }""",
+    )
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} tok{i+1} tok{i+2}") for i in range(30)],
+        ["doc_id", "text"],
+    )
+    for df in [
+        engine_df,
+        dedup.minhash_lsh_pairs(docs, threshold=0.1),
+        retrieval.bm25_topk(docs, ["tok3", "tok7"], k=5),
+    ]:
+        plan = _plan(df)
+        assert "BatchEvalPython" not in plan, plan
+        assert "ArrowEvalPython" not in plan, plan
+
+
+def test_bm25_term_filter_before_exchange(spark):
+    """The query-term isin filter must run in the scan stage (map-side),
+    upstream of the first shuffle — the corpus is never shuffled whole."""
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i}") for i in range(30)], ["doc_id", "text"]
+    )
+    plan = _plan(retrieval.bm25_topk(docs, ["alpha"], k=5))
+    first_exchange = plan.find("Exchange")
+    filter_pos = plan.find("alpha")
+    assert first_exchange != -1 and filter_pos != -1
+    # plan strings print root-first: the filter node must appear BELOW
+    # (after) the last Exchange feeding it -> its position is greater
+    # than the first Exchange's in the rendered tree
+    assert filter_pos > first_exchange, plan
+
+
+def test_contamination_benchmark_side_broadcast(spark):
+    docs = spark.createDataFrame(
+        [(i, f"a b c d e f{i}") for i in range(20)], ["doc_id", "text"]
+    )
+    bench = docs.filter(F.col("doc_id") < 2)
+    plan = _plan(dedup.contamination_hits(docs, bench, n=3))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_exact_dedup_partial_aggregation(spark):
+    docs = spark.createDataFrame(
+        [(i, f"text {i % 7}") for i in range(30)], ["doc_id", "text"]
+    )
+    plan = _plan(dedup.exact_dedup(docs))
+    assert "partial_min" in plan, plan  # map-side combine on the digest
