@@ -343,6 +343,168 @@ def parse_rdfxml(text: str, bnode_scope: str = "") -> list[tuple]:
     return quads
 
 
+_RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+_JSONLD_KEYWORDS = frozenset(
+    {"@context", "@id", "@type", "@value", "@language", "@list", "@set",
+     "@graph", "@base", "@vocab", "@container", "@reverse", "@index"}
+)
+
+
+def parse_jsonld(text: str, bnode_scope: str = "") -> list[tuple]:
+    """Minimal JSON-LD 1.0 parser -> list of (s, p, o, g) Term tuples.
+
+    The reference reads any Rio-registered format picked by file
+    extension (TriplesReader.scala:38-43), which includes JSON-LD.
+    Subset covered (the shapes real exports use): @context as prefix
+    map / term definitions (@id, @type coercion incl. "@id",
+    @language, @container "@list") / @vocab / @base / default
+    @language, node objects with @id/@type, compact IRIs, value
+    objects (@value/@type/@language), node references, nested node
+    objects, arrays, @set/@list (lists become rdf:first/rest chains),
+    and named graphs via node-level @graph under an @id."""
+    import json
+
+    quads: list[tuple] = []
+    anon = [0]
+
+    def fresh() -> Term:
+        anon[0] += 1
+        return Term.bnode(f"{bnode_scope}jgen{anon[0]}")
+
+    def merged_context(base_ctx: dict, raw) -> dict:
+        ctx = dict(base_ctx)
+        for part in raw if isinstance(raw, list) else [raw]:
+            if isinstance(part, dict):
+                ctx.update(part)
+        return ctx
+
+    def expand_iri(key: str, ctx: dict, vocab: bool) -> str | None:
+        if not isinstance(key, str) or key.startswith("@"):
+            return None
+        if key.startswith("_:"):
+            return key  # caller maps to bnode
+        td = ctx.get(key)
+        if isinstance(td, str):
+            return expand_iri(td, ctx, vocab) or td
+        if isinstance(td, dict) and "@id" in td:
+            return expand_iri(td["@id"], ctx, vocab) or td["@id"]
+        if ":" in key:
+            prefix, suffix = key.split(":", 1)
+            mapped = ctx.get(prefix)
+            if isinstance(mapped, str) and not suffix.startswith("//"):
+                return mapped + suffix
+            return key  # absolute IRI
+        if vocab and isinstance(ctx.get("@vocab"), str):
+            return ctx["@vocab"] + key
+        if not vocab and isinstance(ctx.get("@base"), str):
+            return ctx["@base"] + key
+        return key if vocab else key
+
+    def to_node_term(ref: str, ctx: dict) -> Term:
+        if ref.startswith("_:"):
+            return Term.bnode(bnode_scope + ref[2:])
+        return Term.iri(expand_iri(ref, ctx, vocab=False))
+
+    def scalar_term(v, ctx: dict, td: dict) -> Term:
+        if isinstance(v, bool):
+            return Term.boolean(v)
+        if isinstance(v, int):
+            return Term.integer(v)
+        if isinstance(v, float):
+            return Term.double(repr(v))
+        coerce = td.get("@type")
+        if coerce == "@id":
+            return to_node_term(v, ctx)
+        if isinstance(coerce, str):
+            return Term.literal(v, dt=expand_iri(coerce, ctx, vocab=True))
+        lang = td.get("@language", ctx.get("@language"))
+        return Term.literal(v, lang=lang) if lang else Term.literal(v)
+
+    def list_chain(items: list, ctx: dict, td: dict, g) -> Term:
+        if not items:
+            return Term.iri(_RDF_NS + "nil")
+        nodes = [fresh() for _ in items]
+        for i, item in enumerate(items):
+            quads.append((nodes[i], Term.iri(_RDF_NS + "first"),
+                          value_term(item, ctx, td, g), g))
+            rest = nodes[i + 1] if i + 1 < len(nodes) else Term.iri(_RDF_NS + "nil")
+            quads.append((nodes[i], Term.iri(_RDF_NS + "rest"), rest, g))
+        return nodes[0]
+
+    def value_term(v, ctx: dict, td: dict, g) -> Term:
+        if isinstance(v, dict):
+            if "@list" in v:
+                return list_chain(v["@list"], ctx, td, g)
+            if "@value" in v:
+                val = v["@value"]
+                if isinstance(val, bool):
+                    return Term.boolean(val)
+                if isinstance(val, (int, float)) and "@type" not in v:
+                    return (Term.integer(val) if isinstance(val, int)
+                            else Term.double(repr(val)))
+                dt = v.get("@type")
+                lang = v.get("@language")
+                return Term.literal(
+                    str(val),
+                    dt=expand_iri(dt, ctx, vocab=True) if dt else None,
+                    lang=lang,
+                )
+            return node(v, ctx, g)
+        return scalar_term(v, ctx, td)
+
+    def as_list(v) -> list:
+        return v if isinstance(v, list) else [v]
+
+    def node(obj: dict, ctx: dict, g) -> Term:
+        if "@context" in obj:
+            ctx = merged_context(ctx, obj["@context"])
+        ref = obj.get("@id")
+        subj = to_node_term(ref, ctx) if isinstance(ref, str) else fresh()
+        for key, val in obj.items():
+            if key == "@type":
+                for t in as_list(val):
+                    quads.append((subj, Term.iri(RDF_TYPE),
+                                  Term.iri(expand_iri(t, ctx, vocab=True)), g))
+            elif key == "@graph":
+                for child in as_list(val):
+                    node(child, ctx, subj)
+            elif key in _JSONLD_KEYWORDS:
+                continue
+            else:
+                pred = expand_iri(key, ctx, vocab=True)
+                if pred is None:
+                    continue
+                td = ctx.get(key) if isinstance(ctx.get(key), dict) else {}
+                p = Term.iri(pred)
+                values = as_list(val)
+                if td.get("@container") == "@list" and not (
+                    len(values) == 1 and isinstance(values[0], dict)
+                    and "@list" in values[0]
+                ):
+                    quads.append((subj, p, list_chain(values, ctx, td, g), g))
+                    continue
+                for v in values:
+                    if isinstance(v, dict) and "@set" in v:
+                        for inner in as_list(v["@set"]):
+                            quads.append((subj, p, value_term(inner, ctx, td, g), g))
+                    else:
+                        quads.append((subj, p, value_term(v, ctx, td, g), g))
+        return subj
+
+    data = json.loads(text)
+    ctx: dict = {}
+    if isinstance(data, dict) and "@context" in data:
+        ctx = merged_context({}, data["@context"])
+    if isinstance(data, dict) and "@graph" in data and "@id" not in data:
+        # top-level default-graph wrapper
+        for obj in as_list(data["@graph"]):
+            node(obj, ctx, None)
+    else:
+        for obj in as_list(data):
+            node(obj, ctx, None)
+    return quads
+
+
 def quads_df_from_list(spark: SparkSession, quads: list[tuple]) -> DataFrame:
     rows = [
         tuple(t.as_tuple() if t is not None else None for t in q) for q in quads
@@ -447,7 +609,11 @@ def _read_parsed_distributed(spark: SparkSession, path: str, fmt: str) -> DataFr
     ``_:x`` in different files stays distinct (RDF bnode scoping)."""
     import zlib
 
-    parse = parse_rdfxml if fmt == "xml" else parse_turtle
+    parse = {
+        "xml": parse_rdfxml,
+        "jsonld": parse_jsonld,
+        "turtle": parse_turtle,
+    }[fmt]
     files = spark.read.text(path, wholetext=True).select(
         F.input_file_name().alias("__file"), "value"
     )
@@ -485,6 +651,8 @@ def read_triples(spark: SparkSession, path: str) -> DataFrame:
         return _read_parsed_distributed(spark, path, "turtle")
     if base.endswith((".rdf", ".owl", ".xml")):
         return _read_parsed_distributed(spark, path, "xml")
+    if base.endswith((".jsonld", ".json")):
+        return _read_parsed_distributed(spark, path, "jsonld")
     raise ValueError(f"unsupported RDF input: {path}")
 
 

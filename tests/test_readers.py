@@ -250,3 +250,62 @@ def test_trig_graph_blocks_distributed(spark, tmp_path):
     got = {r["object"]["lex"]: (r["graph"]["lex"] if r["graph"] else None)
            for r in df.collect()}
     assert got == {"in-g1": "urn:x:g1", "default": None}
+
+
+JSONLD_DOC = """{
+  "@context": {
+    "ex": "urn:ex:",
+    "name": "ex:name",
+    "knows": {"@id": "ex:knows", "@type": "@id"},
+    "age": {"@id": "ex:age", "@type": "http://www.w3.org/2001/XMLSchema#integer"}
+  },
+  "@graph": [
+    {"@id": "urn:ex:alice", "@type": "ex:Person",
+     "name": "Alice", "age": "30", "knows": "urn:ex:bob",
+     "ex:note": {"@value": "hola", "@language": "es"}},
+    {"@id": "urn:ex:bob", "name": "Bob", "ex:score": 2.5}
+  ]
+}"""
+
+
+def test_jsonld(spark, tmp_path):
+    p = tmp_path / "data.jsonld"
+    p.write_text(JSONLD_DOC)
+    quads = read_triples(spark, str(p))
+    df = execute_sparql(
+        quads,
+        """PREFIX ex: <urn:ex:>
+        SELECT ?who ?age WHERE {
+          ?s ex:knows ?o ; ex:name ?who ; ex:age ?age . }""",
+    )
+    rows = df.collect()
+    assert len(rows) == 1
+    assert rows[0]["who"]["lex"] == "Alice"
+    assert rows[0]["age"]["lex"] == "30"
+    assert rows[0]["age"]["dt"].endswith("integer")
+    # typed coercion produced an IRI object, not a string literal
+    knows = [
+        r for r in quads.collect() if r["predicate"]["lex"] == "urn:ex:knows"
+    ]
+    assert knows[0]["object"]["kind"] == 1  # IRI
+    note = [r for r in quads.collect() if r["predicate"]["lex"] == "urn:ex:note"]
+    assert note[0]["object"]["lang"] == "es"
+
+
+def test_jsonld_directory_distributed(spark, tmp_path):
+    d = tmp_path / "jsonld_dir"
+    d.mkdir()
+    for i in range(3):
+        (d / f"part{i}.jsonld").write_text(
+            '{"@context": {"ex": "urn:ex:"}, "@id": "_:n",'
+            f'"ex:val": {i}, "ex:of": {{"@id": "urn:ex:doc{i}"}}}}'
+        )
+    quads = read_triples(spark, str(d) + "/*.jsonld")
+    rows = quads.collect()
+    # per-file bnode scoping: _:n in different files stays distinct
+    subs = {r["subject"]["lex"] for r in rows if r["predicate"]["lex"] == "urn:ex:val"}
+    assert len(subs) == 3
+    vals = sorted(
+        int(r["object"]["lex"]) for r in rows if r["predicate"]["lex"] == "urn:ex:val"
+    )
+    assert vals == [0, 1, 2]
