@@ -135,13 +135,33 @@ class Compiler:
             c = self._term_eq("predicate", p)
             pred_cond = c if pred_cond is None else (pred_cond | c)
         df = df.filter(pred_cond)
-        aggs = [
-            F.max(
-                F.when(self._term_eq("predicate", p), F.col("object"))
-            ).alias(f"__o{i}")
-            for i, (p, _) in enumerate(node.items)
-        ]
+        # Aggregate the four term FIELDS separately rather than
+        # max(struct): struct-typed aggregation buffers force Spark onto
+        # SortAggregate (a per-partition sort of the whole fact table);
+        # primitive-field maxes keep the plan on HashAggregate. Sound
+        # for the same reason the fusion itself is: at most one (s, p)
+        # row exists, so all four field-maxes come from that single row.
+        fields = ("kind", "lex", "dt", "lang")
+        aggs = []
+        for i, (p, _) in enumerate(node.items):
+            w = self._term_eq("predicate", p)
+            for fld in fields:
+                aggs.append(
+                    F.max(F.when(w, F.col("object")[fld])).alias(f"__o{i}_{fld}")
+                )
         g = df.groupBy(F.col("subject").alias("__s")).agg(*aggs)
+        # recompose term structs; presence == kind non-null (kind/lex are
+        # never null inside a present term, dt/lang legitimately are)
+        recomposed = [
+            F.when(
+                F.col(f"__o{i}_kind").isNotNull(),
+                F.struct(
+                    *[F.col(f"__o{i}_{fld}").alias(fld) for fld in fields]
+                ),
+            ).alias(f"__o{i}")
+            for i in range(len(node.items))
+        ]
+        g = g.select("__s", *recomposed)
         cond = F.lit(True)
         sel: dict[str, Column] = {node.s.name: F.col("__s")}
         for i, (_, o) in enumerate(node.items):
