@@ -207,8 +207,13 @@ def ivf_build_index(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
     )
     train = feats.sample(train_fraction, seed=seed) if train_fraction else feats
+    # the train sample is small; 8 fat partitions beat 32 slivers on
+    # per-iteration task overhead (KMeans launches jobs every iteration)
+    train = train.coalesce(8)
     model = KMeans(
-        k=n_centroids, seed=seed, featuresCol="features", maxIter=8, tol=1e-3
+        k=n_centroids, seed=seed, featuresCol="features", maxIter=8, tol=1e-3,
+        initMode="random",  # k-means|| init costs ~5 extra distributed passes;
+        # a coarse quantizer's recall is governed by nprobe, not init quality
     ).fit(train)
     assigned = model.transform(feats).select(
         F.col(id_col), F.col(vec_col), F.col("prediction").alias("bucket")
@@ -282,10 +287,15 @@ def ivf_cosine_topk(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
     )
     train = feats.sample(train_fraction, seed=seed) if train_fraction else feats
+    # the train sample is small; 8 fat partitions beat 32 slivers on
+    # per-iteration task overhead (KMeans launches jobs every iteration)
+    train = train.coalesce(8)
     # coarse quantizer only needs rough centroids: cap the iteration count
     # (recall comes from nprobe, not quantizer quality)
     model = KMeans(
-        k=n_centroids, seed=seed, featuresCol="features", maxIter=8, tol=1e-3
+        k=n_centroids, seed=seed, featuresCol="features", maxIter=8, tol=1e-3,
+        initMode="random",  # k-means|| init costs ~5 extra distributed passes;
+        # a coarse quantizer's recall is governed by nprobe, not init quality
     ).fit(train)
     centroids = [list(c) for c in model.clusterCenters()]
 
