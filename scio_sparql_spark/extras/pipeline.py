@@ -41,6 +41,37 @@ def deterministic_sample(
     )
 
 
+def domain_cap(
+    df: DataFrame,
+    cap: int,
+    domain_col: str = "source",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Keep at most `cap` rows per domain, chosen deterministically by
+    md5(key) rank within the domain — the "no single domain dominates
+    the corpus" quota step of a web-crawl pipeline.
+
+    One shuffle on the domain key (the window partition). Deterministic:
+    the same rows survive on any cluster/partitioning, and the selection
+    is engine-portable (md5 rank, no RNG). Skew note for 100 TB: a
+    mega-domain concentrates its rows on one partition; AQE skew-join
+    handling does not apply to windows, so for truly pathological
+    domains pre-filter with `deterministic_sample` (map-side) to knock
+    the per-domain row count down to O(cap * safety) before ranking —
+    sampling by the SAME md5 ordering keeps the final selection
+    identical."""
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    w = Window.partitionBy(domain_col).orderBy(
+        F.md5(F.col(key_col).cast("string")), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= cap)
+        .drop("__rk")
+    )
+
+
 def pack_shards(
     docs: DataFrame,
     budget: int,

@@ -61,6 +61,106 @@ def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     )
 
 
+def repetition_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1):
+
+    - ``dup_line_frac``: fraction of lines that repeat an earlier line
+      (1 - distinct/total), the strongest boilerplate signal.
+    - ``max_bigram_count``: occurrence count of the most frequent word
+      2-gram (Gopher filters on the char-fraction of the top n-gram; the
+      raw count is the deterministic core of that signal).
+    - ``dup_5gram_frac``: fraction of word-5-gram occurrences that are
+      duplicates of an earlier occurrence.
+
+    All three are per-document Column expressions — ZERO shuffle. The
+    top-bigram count uses a sorted-array run-length scan (F.aggregate
+    over array_sort) instead of explode+groupBy, so at 100 TB this stays
+    a map-only stage inside whole-stage codegen; no (doc, ngram) shuffle
+    ever materializes."""
+    text = F.col(text_col)
+    lines = F.filter(F.split(text, r"\n"), lambda l: F.trim(l) != "")
+    n_lines = F.size(lines)
+    dup_line_frac = F.when(
+        n_lines > 0,
+        F.round(
+            (n_lines - F.size(F.array_distinct(lines))).cast("double") / n_lines, 6
+        ),
+    ).otherwise(F.lit(0.0))
+
+    toks = _tokens(text)
+
+    def ngrams(arr, n):
+        # positions 0 .. size-n; concat with spaces
+        return F.when(
+            F.size(arr) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(arr) - n),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(arr, (i + j + 1).cast("int")) for j in range(n)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    bigrams = ngrams(toks, 2)
+    # max run length over the sorted bigram array == max bigram count,
+    # computed linearly without a shuffle
+    max_bigram = F.when(
+        F.size(bigrams) > 0,
+        F.aggregate(
+            F.array_sort(bigrams),
+            F.struct(
+                F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+            ),
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+                F.greatest(
+                    acc["best"],
+                    F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+                ).alias("best"),
+            ),
+            lambda acc: acc["best"],
+        ),
+    ).otherwise(F.lit(0))
+
+    five = ngrams(toks, 5)
+    n5 = F.size(five)
+    dup5 = F.when(
+        n5 > 0,
+        F.round((n5 - F.size(F.array_distinct(five))).cast("double") / n5, 6),
+    ).otherwise(F.lit(0.0))
+
+    return docs.select(
+        F.col(id_col),
+        dup_line_frac.alias("dup_line_frac"),
+        max_bigram.cast("bigint").alias("max_bigram_count"),
+        dup5.alias("dup_5gram_frac"),
+    )
+
+
+# Patterns chosen to parse identically under Java regex (Spark) and RE2
+# (DuckDB oracle): no backrefs, no lookaround.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+?\d[\d\- ]{7,}\d"
+
+
+def pii_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """PII pre-filter signals: counts of email / IPv4 / phone-shaped
+    spans, plus the text with emails redacted. Pure regexp Columns
+    (codegen, zero shuffle) — the shape of a Common-Crawl-style PII
+    scrub pass. A production scrubber swaps stricter patterns (or an
+    NER model via mapInPandas) into the same per-row plumbing."""
+    text = F.col(text_col)
+    return docs.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL))).alias("n_emails"),
+        F.size(F.regexp_extract_all(text, F.lit(PII_IPV4))).alias("n_ipv4"),
+        F.size(F.regexp_extract_all(text, F.lit(PII_PHONE))).alias("n_phones"),
+        F.regexp_replace(text, PII_EMAIL, "<EMAIL>").alias("redacted_text"),
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Order-insensitive content fingerprint: md5 over the sorted distinct
     token set — robust to shuffled word order, the cheap canonical-form

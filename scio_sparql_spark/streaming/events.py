@@ -133,3 +133,114 @@ def asof_join(
         carried.filter((F.col("__side") == 1) & F.col(out_col).isNotNull())
         .drop("__side", "__rv")
     )
+
+
+def funnel(
+    events: DataFrame,
+    steps: list,
+    within: str = "1 hour",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel analysis: per user, the earliest time each step in
+    `steps` completes, where step k must occur strictly AFTER step k-1
+    and the whole chain must finish within `within` of step 0. Returns
+    one row per user that completed step 0, with nullable per-step
+    completion timestamps and the deepest step reached.
+
+    Spark-first plan: ONE shuffle (groupBy user) with conditional-min
+    aggregates computed iteratively — min(ts of step_k where ts >
+    t_{k-1}) — via a per-user sorted event list folded step by step
+    with higher-order functions. No self-join per step (the naive
+    k-way-join funnel shuffles k times and explodes on hot users);
+    work is linear in events per user."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    interval = F.expr(f"INTERVAL {within}")
+    # per user: sorted (ts, type) list of only the event types in the funnel
+    ev = events.filter(F.col(type_col).isin(steps)).select(
+        F.col(user_col), F.col(ts_col).alias("__ts"), F.col(type_col).alias("__et")
+    )
+    per_user = ev.groupBy(user_col).agg(
+        F.array_sort(F.collect_list(F.struct("__ts", "__et"))).alias("__evs")
+    )
+    # fold: t0 = min ts of step0; t_k = min ts of step_k with ts > t_{k-1}
+    out = per_user
+    prev = None
+    for k, step in enumerate(steps):
+        col = f"step{k}_ts"
+        if k == 0:
+            expr = F.array_min(
+                F.transform(
+                    F.filter(F.col("__evs"), lambda e: e["__et"] == step),
+                    lambda e: e["__ts"],
+                )
+            )
+        else:
+            p = F.col(prev)
+            deadline = F.col("step0_ts") + interval
+            expr = F.when(
+                p.isNotNull(),
+                F.array_min(
+                    F.transform(
+                        F.filter(
+                            F.col("__evs"),
+                            lambda e: (e["__et"] == step)
+                            & (e["__ts"] > p)
+                            & (e["__ts"] <= deadline),
+                        ),
+                        lambda e: e["__ts"],
+                    )
+                ),
+            )
+        out = out.withColumn(col, expr)
+        prev = col
+    # deepest completed step: step k's ts is only set when step k-1
+    # completed, so the deepest non-null wins (checked deepest-first)
+    depth = F.lit(0)
+    for k in range(len(steps)):
+        depth = F.when(F.col(f"step{k}_ts").isNotNull(), F.lit(k + 1)).otherwise(depth)
+    return (
+        out.filter(F.col("step0_ts").isNotNull())
+        .select(
+            F.col(user_col),
+            *[F.col(f"step{k}_ts") for k in range(len(steps))],
+            depth.cast("int").alias("funnel_depth"),
+        )
+    )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    period_days: int = 7,
+    n_periods: int = 4,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention: users are cohorted by the period (day-bucket of
+    width `period_days`) of their first event; for each (cohort, period
+    offset 0..n_periods-1) count how many of the cohort's users were
+    active in that period.
+
+    Plan: one groupBy(user) for first-event cohort, one
+    distinct(user, period), one broadcast-friendly join back, one final
+    groupBy — aggregates shrink the data before every shuffle, so at
+    100 TB the heavy shuffles are over (user) and (user, period) pairs,
+    never raw events."""
+    day0 = F.lit("1970-01-01").cast("date")
+    period = (F.datediff(F.col(ts_col).cast("date"), day0) / period_days).cast("bigint")
+    firsts = (
+        events.select(F.col(user_col), period.alias("__p"))
+        .groupBy(user_col)
+        .agg(F.min("__p").alias("cohort_p"))
+    )
+    active = events.select(F.col(user_col), period.alias("__p")).distinct()
+    joined = active.join(firsts, on=user_col).withColumn(
+        "period_offset", (F.col("__p") - F.col("cohort_p")).cast("int")
+    )
+    return (
+        joined.filter(F.col("period_offset") < n_periods)
+        .groupBy(F.col("cohort_p").alias("cohort"), "period_offset")
+        .agg(F.countDistinct(user_col).alias("n_active_users"))
+    )
