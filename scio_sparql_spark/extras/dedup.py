@@ -352,3 +352,37 @@ def contamination_hits(
         .groupBy(id_col)
         .agg(F.count("*").alias("n_hits"))
     )
+
+
+def keep_best_per_cluster(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    score_col: str = "n_chars",
+) -> DataFrame:
+    """Canonical-document selection: group exact-content duplicates (by
+    content digest) and keep the highest-`score_col` doc from each group
+    (ties → lowest id), i.e. "of N copies, keep the best-scored one" —
+    the final step of a dedup pass, where quality signals decide which
+    copy survives.
+
+    Beyond-reference surface. One shuffle on the 16-byte digest (never
+    the text); the per-group argmax is a single `max_by` aggregate with
+    map-side partial combine, so a 100 TB corpus reduces to one
+    digest-keyed exchange of (digest, score, id) triples."""
+    digest = F.md5(F.col(text_col))
+    best = F.max_by(
+        F.struct(F.col(id_col), F.col(score_col)),
+        # order: score desc, then id asc — negate id for a single max_by
+        F.struct(F.col(score_col), (-F.col(id_col)).alias("neg_id")),
+    )
+    return (
+        docs.select(digest.alias("__digest"), F.col(id_col), F.col(score_col))
+        .groupBy("__digest")
+        .agg(best.alias("__best"), F.count("*").alias("n_copies"))
+        .select(
+            F.col("__best")[id_col].alias(id_col),
+            F.col("__best")[score_col].alias(score_col),
+            F.col("n_copies"),
+        )
+    )

@@ -72,6 +72,99 @@ def domain_cap(
     )
 
 
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict,
+    stratum_col: str = "lang",
+    key_col: str = "doc_id",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: each stratum keeps its own
+    md5-threshold fraction (e.g. downsample English, keep all of a rare
+    language — the standard corpus-rebalancing step). Same map-side,
+    shuffle-free, engine-portable selection as `deterministic_sample`;
+    the per-stratum threshold is a small CASE chain, so this stays a
+    single codegen'd filter at any scale."""
+    for f in list(fractions.values()) + [default_fraction]:
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fractions must be in [0, 1], got {f}")
+    expr = F.lit(format(int(default_fraction * 0xFFFFFFFF), "08x"))
+    for stratum, frac in sorted(fractions.items()):
+        expr = F.when(
+            F.col(stratum_col) == F.lit(stratum),
+            F.lit(format(int(frac * 0xFFFFFFFF), "08x")),
+        ).otherwise(expr)
+    return df.filter(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 8) <= expr
+    )
+
+
+def topk_per_group(
+    df: DataFrame,
+    k: int,
+    group_col: str = "source",
+    order_col: str = "n_chars",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the top-`k` rows per group ranked by `order_col` descending
+    (ties broken by `key_col` ascending for determinism) — "best N
+    documents per domain" curation. One shuffle on the group key; the
+    rank is a running row_number, so each group streams through its
+    window without materializing. At 100 TB with a skewed mega-group,
+    pre-aggregate with a per-partition partial top-k (groupBy +
+    `max_by`-style slicing) before the window if profiling shows one
+    straggler partition; the final selection is identical."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(order_col).desc(), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_chars: int = 256,
+    overlap: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into fixed-size character windows with
+    `overlap` characters of context carried between consecutive chunks —
+    the context-window packing step before tokenization/embedding.
+    Pure narrow plan: `posexplode(sequence(...))` + `substring`; no
+    shuffle, no Python, and chunk boundaries are a deterministic
+    function of (doc, offsets) so reruns produce identical chunk ids.
+    Output: (id, chunk_idx, chunk_text, chunk_chars_actual)."""
+    if chunk_chars <= overlap:
+        raise ValueError(
+            f"chunk_chars ({chunk_chars}) must exceed overlap ({overlap})"
+        )
+    step = chunk_chars - overlap
+    n = F.length(F.col(text_col))
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(step))
+    return (
+        docs.select(
+            F.col(id_col),
+            F.col(text_col),
+            F.posexplode(starts).alias("chunk_idx", "__start"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_idx"),
+            # substring is 1-based
+            F.col(text_col)
+            .substr(F.col("__start") + 1, F.lit(chunk_chars))
+            .alias("chunk_text"),
+        )
+        .withColumn("chunk_len", F.length("chunk_text"))
+    )
+
+
 def pack_shards(
     docs: DataFrame,
     budget: int,

@@ -244,3 +244,30 @@ def retention_cohorts(
         .groupBy(F.col("cohort_p").alias("cohort"), "period_offset")
         .agg(F.countDistinct(user_col).alias("n_active_users"))
     )
+
+
+def props_field_stats(
+    events: DataFrame,
+    field: str = "k",
+    props_col: str = "props",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Semi-structured property extraction + rollup: pull a numeric
+    field out of the JSON `props_col` (the ubiquitous "event payload is
+    a JSON string" shape) and aggregate it per event type.
+
+    `get_json_object` is a native JVM expression — the JSON parse stays
+    inside codegen, no Python, and unparseable/missing fields become
+    NULL (skipped by the aggregates, counted separately). One keyed
+    shuffle with map-side partial aggregation."""
+    k = F.get_json_object(F.col(props_col), f"$.{field}").cast("bigint")
+    return (
+        events.select(F.col(type_col), k.alias("__k"))
+        .groupBy(type_col)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count("__k").alias("n_with_field"),
+            F.sum("__k").alias("sum_field"),
+            F.round(F.avg("__k"), 6).alias("avg_field"),
+        )
+    )

@@ -490,6 +490,72 @@ def q_text_fingerprint(spark, sf_dir):
     return textstats.fingerprint(_table(spark, sf_dir, "documents"))
 
 
+def q_text_repetition(spark, sf_dir):
+    return textstats.repetition_stats(_table(spark, sf_dir, "documents"))
+
+
+def q_text_pii(spark, sf_dir):
+    return textstats.pii_stats(_table(spark, sf_dir, "documents"))
+
+
+def q_docs_domain_cap(spark, sf_dir):
+    return pipeline.domain_cap(
+        _table(spark, sf_dir, "documents"), cap=15
+    ).select("doc_id", "source")
+
+
+def q_docs_topk_per_source(spark, sf_dir):
+    return pipeline.topk_per_group(
+        _table(spark, sf_dir, "documents"), k=10,
+        group_col="source", order_col="n_chars",
+    ).select("doc_id", "source", "n_chars")
+
+
+def q_sample_stratified(spark, sf_dir):
+    return pipeline.stratified_sample(
+        _table(spark, sf_dir, "documents"),
+        {"en": 0.5, "fr": 0.25},
+        default_fraction=0.05,
+    ).select("doc_id", "lang")
+
+
+def q_doc_chunks(spark, sf_dir):
+    return pipeline.chunk_documents(
+        _table(spark, sf_dir, "documents"), chunk_chars=256, overlap=32
+    )
+
+
+def q_dedup_keep_best(spark, sf_dir):
+    return dedup.keep_best_per_cluster(_table(spark, sf_dir, "documents"))
+
+
+def q_events_funnel(spark, sf_dir):
+    out = ev.funnel(
+        _table(spark, sf_dir, "events"),
+        steps=["view", "click", "purchase"],
+        within="1 hour",
+    )
+    # timestamps → strings for engine-portable value comparison
+    return out.select(
+        "user_id",
+        *[
+            F.date_format(f"step{k}_ts", "yyyy-MM-dd HH:mm:ss").alias(f"step{k}_ts")
+            for k in range(3)
+        ],
+        "funnel_depth",
+    )
+
+
+def q_events_retention(spark, sf_dir):
+    return ev.retention_cohorts(
+        _table(spark, sf_dir, "events"), period_days=7, n_periods=4
+    )
+
+
+def q_events_props(spark, sf_dir):
+    return ev.props_field_stats(_table(spark, sf_dir, "events"))
+
+
 def q_dedup_embedding_cosine(spark, sf_dir):
     # embedding-space near-duplicate pairs (exact all-pairs baseline)
     return similarity.all_pairs_above(
@@ -973,6 +1039,134 @@ EXTRA_QUERIES = {
            SELECT user_id, CAST(MAX(sid) AS BIGINT) AS n_sessions,
                   ROUND(AVG(n), 6) AS avg_events_per_session
            FROM p GROUP BY user_id""",
+    ),
+    "text_repetition": (
+        q_text_repetition,
+        f"""WITH t AS (
+              SELECT doc_id, {_TOKS} AS toks,
+                     list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines
+              FROM documents),
+            g AS (
+              SELECT doc_id, lines, toks,
+                     CASE WHEN len(toks) >= 2 THEN
+                       list_transform(range(1, len(toks)),
+                                      i -> array_to_string(toks[i:i+1], ' '))
+                     ELSE [] END AS bigrams,
+                     CASE WHEN len(toks) >= 5 THEN
+                       list_transform(range(1, len(toks) - 3),
+                                      i -> array_to_string(toks[i:i+4], ' '))
+                     ELSE [] END AS five
+              FROM t)
+           SELECT doc_id,
+                  CASE WHEN len(lines) > 0
+                       THEN round(CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+                                  / len(lines), 6)
+                       ELSE 0.0 END AS dup_line_frac,
+                  CAST(CASE WHEN len(bigrams) > 0 THEN
+                    list_max(list_transform(list_distinct(bigrams),
+                             x -> len(list_filter(bigrams, y -> y = x))))
+                  ELSE 0 END AS BIGINT) AS max_bigram_count,
+                  CASE WHEN len(five) > 0
+                       THEN round(CAST(len(five) - len(list_distinct(five)) AS DOUBLE)
+                                  / len(five), 6)
+                       ELSE 0.0 END AS dup_5gram_frac
+           FROM g""",
+    ),
+    "text_pii": (
+        q_text_pii,
+        r"""SELECT doc_id,
+                  len(regexp_extract_all(text,
+                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+                  len(regexp_extract_all(text,
+                      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+                  len(regexp_extract_all(text, '\+?\d[\d\- ]{7,}\d')) AS n_phones,
+                  regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                                 '<EMAIL>', 'g') AS redacted_text
+           FROM documents""",
+    ),
+    "docs_domain_cap": (
+        q_docs_domain_cap,
+        """SELECT doc_id, source FROM documents
+           QUALIFY row_number() OVER (
+             PARTITION BY source
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 15""",
+    ),
+    "docs_topk_per_source": (
+        q_docs_topk_per_source,
+        """SELECT doc_id, source, n_chars FROM documents
+           QUALIFY row_number() OVER (
+             PARTITION BY source ORDER BY n_chars DESC, doc_id) <= 10""",
+    ),
+    "sample_stratified": (
+        q_sample_stratified,
+        # thresholds: floor(frac * 0xFFFFFFFF) in 8-hex form, like sample_hash
+        """SELECT doc_id, lang FROM documents
+           WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <=
+                 CASE lang WHEN 'en' THEN '7fffffff'
+                           WHEN 'fr' THEN '3fffffff'
+                           ELSE '0ccccccc' END""",
+    ),
+    "doc_chunks": (
+        q_doc_chunks,
+        """SELECT doc_id, CAST(s // 224 AS INTEGER) AS chunk_idx,
+                  substr(text, CAST(s + 1 AS INTEGER), 256) AS chunk_text,
+                  CAST(length(substr(text, CAST(s + 1 AS INTEGER), 256)) AS INTEGER)
+                    AS chunk_len
+           FROM documents,
+                unnest(range(0, greatest(length(text) - 1, 0) + 1, 224)) AS t(s)""",
+    ),
+    "dedup_keep_best": (
+        q_dedup_keep_best,
+        """SELECT doc_id, n_chars,
+                  COUNT(*) OVER (PARTITION BY md5(text)) AS n_copies
+           FROM documents
+           QUALIFY row_number() OVER (
+             PARTITION BY md5(text) ORDER BY n_chars DESC, doc_id) = 1""",
+    ),
+    "events_funnel": (
+        q_events_funnel,
+        """WITH e AS (SELECT user_id, ts, event_type FROM events
+                      WHERE event_type IN ('view', 'click', 'purchase')),
+            s0 AS (SELECT user_id, min(ts) AS t0 FROM e
+                   WHERE event_type = 'view' GROUP BY user_id),
+            s1 AS (SELECT s0.user_id, min(ts) AS t1 FROM s0
+                   JOIN e ON e.user_id = s0.user_id AND e.event_type = 'click'
+                         AND e.ts > s0.t0 AND e.ts <= s0.t0 + INTERVAL 1 HOUR
+                   GROUP BY s0.user_id),
+            s2 AS (SELECT s1.user_id, min(ts) AS t2 FROM s1
+                   JOIN s0 ON s0.user_id = s1.user_id
+                   JOIN e ON e.user_id = s1.user_id AND e.event_type = 'purchase'
+                         AND e.ts > s1.t1 AND e.ts <= s0.t0 + INTERVAL 1 HOUR
+                   GROUP BY s1.user_id)
+           SELECT s0.user_id,
+                  strftime(t0, '%Y-%m-%d %H:%M:%S') AS step0_ts,
+                  strftime(t1, '%Y-%m-%d %H:%M:%S') AS step1_ts,
+                  strftime(t2, '%Y-%m-%d %H:%M:%S') AS step2_ts,
+                  CAST(CASE WHEN t2 IS NOT NULL THEN 3
+                            WHEN t1 IS NOT NULL THEN 2
+                            ELSE 1 END AS INTEGER) AS funnel_depth
+           FROM s0 LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)""",
+    ),
+    "events_retention": (
+        q_events_retention,
+        """WITH p AS (SELECT user_id,
+                             CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+                                  AS BIGINT) AS pd
+                      FROM events),
+            f AS (SELECT user_id, min(pd) AS cohort_p FROM p GROUP BY user_id),
+            a AS (SELECT DISTINCT user_id, pd FROM p)
+           SELECT cohort_p AS cohort, CAST(pd - cohort_p AS INTEGER) AS period_offset,
+                  COUNT(DISTINCT user_id) AS n_active_users
+           FROM a JOIN f USING (user_id)
+           WHERE pd - cohort_p < 4 GROUP BY 1, 2""",
+    ),
+    "events_props": (
+        q_events_props,
+        """SELECT event_type, COUNT(*) AS n_events,
+                  COUNT(CAST(props->>'$.k' AS BIGINT)) AS n_with_field,
+                  SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_field,
+                  ROUND(AVG(CAST(props->>'$.k' AS BIGINT)), 6) AS avg_field
+           FROM events GROUP BY event_type""",
     ),
 }
 

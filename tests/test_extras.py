@@ -390,3 +390,179 @@ def test_streaming_exact_dedup(spark, tmp_path):
     assert texts == ["alpha text", "beta text", "gamma text"]
     # only one of the alpha duplicates survives
     assert len([r for r in out if r["text"] == "alpha text"]) == 1
+
+
+# ---------------------------------------------------------------------------
+# round-2 additions: repetition/PII stats, curation ops, event analytics
+# ---------------------------------------------------------------------------
+
+
+def test_repetition_stats(spark):
+    rows = [
+        (0, "a b\na b\nc d"),          # 3 lines, one dup
+        (1, "x y x y x y x y x y"),    # "x y" bigram repeats 5x
+        (2, "all words differ here now truly and completely again ok"),
+        (3, ""),                        # empty doc: all zeros
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in textstats.repetition_stats(df).collect()}
+    assert abs(out[0]["dup_line_frac"] - 1 / 3) < 1e-6
+    assert out[1]["max_bigram_count"] == 5
+    assert out[1]["dup_5gram_frac"] > 0.5
+    assert out[2]["dup_line_frac"] == 0.0 and out[2]["max_bigram_count"] == 1
+    assert out[3]["dup_line_frac"] == 0.0 and out[3]["max_bigram_count"] == 0
+
+
+def test_pii_stats(spark):
+    rows = [
+        (0, "mail me at a.user@example.com or b@test.org thanks"),
+        (1, "server 10.0.0.1 and 192.168.1.254 up; call +1 555-123-4567"),
+        (2, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in textstats.pii_stats(df).collect()}
+    assert out[0]["n_emails"] == 2
+    assert "a.user@example.com" not in out[0]["redacted_text"]
+    assert out[0]["redacted_text"].count("<EMAIL>") == 2
+    assert out[1]["n_ipv4"] == 2 and out[1]["n_phones"] == 1
+    assert out[2]["n_emails"] == out[2]["n_ipv4"] == out[2]["n_phones"] == 0
+
+
+def test_stratified_sample(spark):
+    from scio_sparql_spark.extras import pipeline
+
+    rows = [(i, "en" if i % 2 == 0 else "de") for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    kept = pipeline.stratified_sample(
+        df, {"en": 1.0}, stratum_col="lang", default_fraction=0.0
+    ).collect()
+    # en fully kept, de fully dropped: selection is exact at the extremes
+    assert sorted(r["doc_id"] for r in kept) == list(range(0, 200, 2))
+    # determinism: same call, same membership
+    again = pipeline.stratified_sample(
+        df, {"en": 0.3, "de": 0.7}, stratum_col="lang"
+    )
+    assert sorted(r["doc_id"] for r in again.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+
+
+def test_topk_per_group(spark):
+    from scio_sparql_spark.extras import pipeline
+
+    rows = [
+        (0, "a", 10), (1, "a", 30), (2, "a", 20),
+        (3, "b", 5), (4, "b", 5),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"])
+    out = pipeline.topk_per_group(df, k=2, group_col="source",
+                                  order_col="n_chars").collect()
+    got = {(r["source"], r["doc_id"]) for r in out}
+    # a: top-2 by n_chars = ids 1, 2; b: tie broken by doc_id = 3, 4
+    assert got == {("a", 1), ("a", 2), ("b", 3), ("b", 4)}
+
+
+def test_chunk_documents(spark):
+    from scio_sparql_spark.extras import pipeline
+
+    text = "x" * 600
+    df = spark.createDataFrame([(0, text), (1, "short"), (2, "")],
+                               ["doc_id", "text"])
+    out = pipeline.chunk_documents(df, chunk_chars=256, overlap=32)
+    rows = {(r["doc_id"], r["chunk_idx"]): r for r in out.collect()}
+    # 600 chars, step 224 -> starts 0, 224, 448 = 3 chunks
+    assert {k for k in rows if k[0] == 0} == {(0, 0), (0, 1), (0, 2)}
+    assert rows[(0, 0)]["chunk_len"] == 256
+    assert rows[(0, 2)]["chunk_len"] == 600 - 448
+    # consecutive chunks overlap by 32 chars
+    assert rows[(1, 0)]["chunk_text"] == "short"
+    assert rows[(2, 0)]["chunk_text"] == ""
+    # reconstruct: dropping each chunk's 32-char overlap prefix (after the
+    # first) and concatenating restores the document
+    parts = [rows[(0, 0)]["chunk_text"]] + [
+        rows[(0, i)]["chunk_text"][32:] for i in (1, 2)
+    ]
+    assert "".join(parts) == text
+
+
+def test_keep_best_per_cluster(spark):
+    rows = [
+        (0, "same text", 9), (1, "same text", 9), (2, "same text", 12),
+        (3, "unique", 5),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "n_chars"])
+    out = {r["doc_id"]: r for r in dedup.keep_best_per_cluster(df).collect()}
+    assert set(out) == {2, 3}          # highest score wins the dup cluster
+    assert out[2]["n_copies"] == 3
+    assert out[3]["n_copies"] == 1
+    # tie on score -> lowest id
+    df2 = spark.createDataFrame([(5, "t", 1), (4, "t", 1)],
+                                ["doc_id", "text", "n_chars"])
+    assert [r["doc_id"] for r in dedup.keep_best_per_cluster(df2).collect()] == [4]
+
+
+def _ts(s):
+    import datetime
+
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_funnel(spark):
+    rows = [
+        # u1 completes all three within the hour
+        (1, _ts("2026-01-01 10:00:00"), "view"),
+        (1, _ts("2026-01-01 10:10:00"), "click"),
+        (1, _ts("2026-01-01 10:20:00"), "purchase"),
+        # u2: purchase BEFORE click -> depth 2
+        (2, _ts("2026-01-01 09:00:00"), "view"),
+        (2, _ts("2026-01-01 09:05:00"), "purchase"),
+        (2, _ts("2026-01-01 09:10:00"), "click"),
+        # u3: click outside the window -> depth 1
+        (3, _ts("2026-01-01 08:00:00"), "view"),
+        (3, _ts("2026-01-01 09:30:00"), "click"),
+        # u4: never views -> excluded
+        (4, _ts("2026-01-01 08:00:00"), "click"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    out = {
+        r["user_id"]: r
+        for r in ev.funnel(df, ["view", "click", "purchase"], "1 hour").collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1]["funnel_depth"] == 3
+    assert out[2]["funnel_depth"] == 2  # 09:10 click counts, purchase was earlier
+    assert out[3]["funnel_depth"] == 1
+
+
+def test_retention_cohorts(spark):
+    rows = [
+        (1, _ts("2026-01-01 00:00:00")),  # cohort week W
+        (1, _ts("2026-01-09 00:00:00")),  # active W+1
+        (2, _ts("2026-01-01 00:00:00")),  # cohort W, never returns
+        (3, _ts("2026-01-09 00:00:00")),  # cohort W+1
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = {
+        (r["cohort"], r["period_offset"]): r["n_active_users"]
+        for r in ev.retention_cohorts(df, period_days=7, n_periods=4).collect()
+    }
+    cohorts = sorted({c for c, _ in out})
+    w0, w1 = cohorts[0], cohorts[1]
+    assert out[(w0, 0)] == 2 and out[(w0, 1)] == 1
+    assert out[(w1, 0)] == 1
+
+
+def test_props_field_stats(spark):
+    rows = [
+        (1, "click", '{"k": 10}'),
+        (2, "click", '{"k": 20}'),
+        (3, "click", "not json"),
+        (4, "view", '{"other": 1}'),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "event_type", "props"])
+    out = {r["event_type"]: r for r in ev.props_field_stats(df).collect()}
+    assert out["click"]["n_events"] == 3
+    assert out["click"]["n_with_field"] == 2
+    assert out["click"]["sum_field"] == 30
+    assert out["click"]["avg_field"] == 15.0
+    assert out["view"]["n_with_field"] == 0 and out["view"]["sum_field"] is None
