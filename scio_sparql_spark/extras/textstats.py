@@ -154,9 +154,9 @@ def pii_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     text = F.col(text_col)
     return docs.select(
         F.col(id_col),
-        F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL))).alias("n_emails"),
-        F.size(F.regexp_extract_all(text, F.lit(PII_IPV4))).alias("n_ipv4"),
-        F.size(F.regexp_extract_all(text, F.lit(PII_PHONE))).alias("n_phones"),
+        F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(text, F.lit(PII_IPV4), F.lit(0))).alias("n_ipv4"),
+        F.size(F.regexp_extract_all(text, F.lit(PII_PHONE), F.lit(0))).alias("n_phones"),
         F.regexp_replace(text, PII_EMAIL, "<EMAIL>").alias("redacted_text"),
     )
 
