@@ -70,8 +70,11 @@ def _contains_exists(e) -> bool:
 
 
 class Compiler:
-    def __init__(self, quads: DataFrame, strict_default: bool = False):
+    def __init__(
+        self, quads: DataFrame, strict_default: bool = False, star_catalog=None
+    ):
         self.quads = quads
+        self.star_catalog = star_catalog
         self.spark = quads.sparkSession
         # strict_default: an explicit FROM/FROM NAMED dataset is in force —
         # non-GRAPH patterns match only default-graph (graph IS NULL) rows
@@ -119,74 +122,51 @@ class Compiler:
         )
 
     def _c_starscan(self, node: A.StarScan) -> DataFrame:
-        """Fused subject star (see algebra.StarScan): one predicate-IN
-        scan + one groupBy(subject) with a conditional MAX per star
-        member replaces the (N-1)-way self-join on subject. Sound only
-        because the optimizer creates StarScan strictly for predicates
-        the source declared single-valued (at most one (s, p) row), so
-        MAX picks *the* value and presence == join success. At scale
-        this turns N shuffle-join legs over the fact table into a single
-        map-side-combined aggregation — the property-table plan."""
-        df = self.quads
-        if self.strict_default:
-            df = df.filter(F.col("graph").isNull())
-        pred_cond = None
-        for p, _ in node.items:
-            c = self._term_eq("predicate", p)
-            pred_cond = c if pred_cond is None else (pred_cond | c)
-        df = df.filter(pred_cond)
-        # Aggregate the four term FIELDS separately rather than
-        # max(struct): struct-typed aggregation buffers force Spark onto
-        # SortAggregate (a per-partition sort of the whole fact table);
-        # primitive-field maxes keep the plan on HashAggregate. Sound
-        # for the same reason the fusion itself is: at most one (s, p)
-        # row exists, so all four field-maxes come from that single row.
-        fields = ("kind", "lex", "dt", "lang")
-        aggs = []
-        for i, (p, _) in enumerate(node.items):
-            w = self._term_eq("predicate", p)
-            for fld in fields:
-                aggs.append(
-                    F.max(F.when(w, F.col("object")[fld])).alias(f"__o{i}_{fld}")
-                )
-        g = df.groupBy(F.col("subject").alias("__s")).agg(*aggs)
-        # recompose term structs; presence == kind non-null (kind/lex are
-        # never null inside a present term, dt/lang legitimately are)
-        recomposed = [
-            F.when(
-                F.col(f"__o{i}_kind").isNotNull(),
-                F.struct(
-                    *[F.col(f"__o{i}_{fld}").alias(fld) for fld in fields]
-                ),
-            ).alias(f"__o{i}")
-            for i in range(len(node.items))
-        ]
-        g = g.select("__s", *recomposed)
+        """Fused subject star compiled to a PROPERTY-TABLE SCAN: the
+        optimizer creates StarScan only when one star.PropertyTable
+        covers every predicate (optimize._fuse_stars), so the whole
+        star is a filter+project over that table — no self-join on
+        subject and no query-time aggregate. Round 2 compiled stars to
+        groupBy(subject); string-typed aggregation buffers silently fell
+        back to SortAggregate (a per-partition sort of the fact table
+        per star query) — the plan this replaces. For relational-bridge
+        quads the property table is the original parquet row, so the
+        star costs exactly one narrow columnar scan."""
+        pt = (
+            self.star_catalog.table_for([p.lex for p, _ in node.items])
+            if self.star_catalog is not None
+            else None
+        )
+        if pt is None:  # fusion is gated; this is a wiring bug
+            raise RuntimeError("StarScan without a covering property table")
         cond = F.lit(True)
-        sel: dict[str, Column] = {node.s.name: F.col("__s")}
-        for i, (_, o) in enumerate(node.items):
-            c = F.col(f"__o{i}")
+        sel: dict[str, Column] = {node.s.name: F.col(pt.subject_col)}
+        for p, o in node.items:
+            c = F.col(pt.pred_cols[p.lex])
             cond = cond & c.isNotNull()
             if isinstance(o, Term):
-                cond = cond & self._term_eq(f"__o{i}", o)
+                cond = cond & self._term_eq_col(c, o)
             elif o.name in sel:
                 # repeated object var inside one star: values must agree
                 cond = cond & (sel[o.name] == c)
             else:
                 sel[o.name] = c
-        return g.filter(cond).select(
+        return pt.df.filter(cond).select(
             *[c.alias(v) for v, c in sel.items()]
         )
+
+    @staticmethod
+    def _term_eq_col(c: Column, t: Term) -> Column:
+        cond = (c["kind"] == t.kind) & (c["lex"] == t.lex)
+        cond = cond & (c["dt"].eqNullSafe(F.lit(t.dt)))
+        cond = cond & (c["lang"].eqNullSafe(F.lit(t.lang)))
+        return cond
 
     @staticmethod
     def _term_eq(colname: str, t: Term) -> Column:
         """Field-level equality against a ground term — pushes down to the
         Parquet scan better than whole-struct equality."""
-        c = F.col(colname)
-        cond = (c["kind"] == t.kind) & (c["lex"] == t.lex)
-        cond = cond & (c["dt"].eqNullSafe(F.lit(t.dt)))
-        cond = cond & (c["lang"].eqNullSafe(F.lit(t.lang)))
-        return cond
+        return Compiler._term_eq_col(F.col(colname), t)
 
     def _graph_scoped_quads(self, graph_mode: str, graph) -> DataFrame:
         df = self.quads
@@ -817,5 +797,10 @@ class Compiler:
         return out.withColumn(out_name, term).drop(*drops)
 
 
-def compile_query(quads: DataFrame, node: A.Node, strict_default: bool = False) -> DataFrame:
-    return Compiler(quads, strict_default).compile(node)
+def compile_query(
+    quads: DataFrame,
+    node: A.Node,
+    strict_default: bool = False,
+    star_catalog=None,
+) -> DataFrame:
+    return Compiler(quads, strict_default, star_catalog).compile(node)

@@ -32,6 +32,7 @@ def execute_sparql(
     query: str,
     bindings: dict | None = None,
     single_valued: set | frozenset | None = None,
+    star_tables=None,
 ) -> DataFrame:
     """Run a SPARQL 1.1 query over a quads DataFrame.
 
@@ -46,25 +47,44 @@ def execute_sparql(
     query text pre-parse — Interpreter.scala:191-205; joining a one-row
     VALUES at the algebra level is the injection-safe equivalent).
 
-    ``single_valued`` is an optional set of predicate IRIs the caller
-    guarantees appear at most once per subject in ``quads`` (e.g. the
-    relational bridge's column edges). It licenses the subject-star
-    fusion rewrite (optimize._fuse_stars -> algebra.StarScan): star BGPs
-    compile to one scan + one groupBy instead of self-joins. Results are
-    identical; only the plan changes.
+    ``star_tables`` is an optional ``star.StarCatalog`` (or list of
+    ``star.PropertyTable``) consistent with ``quads``: subject-wide
+    views of single-valued predicates (one row per subject, NULL = no
+    triple). It licenses the subject-star fusion rewrite
+    (optimize._fuse_stars -> algebra.StarScan): a star BGP whose
+    predicates one table covers compiles to a scan of that table —
+    no subject self-joins and no query-time aggregate. Results are
+    identical; only the plan changes. Fusion is disabled when the query
+    carries an explicit FROM/FROM NAMED dataset (property tables
+    describe the full union-default graph, not an arbitrary subset).
+
+    ``single_valued`` (a set of predicate IRIs with at most one (s, p)
+    row) is retained for API compatibility; since round 3 it no longer
+    triggers fusion by itself — the query-time groupBy it licensed
+    planned as SortAggregate over the fact table (VERDICT r2), so the
+    star plan now always comes from a property table.
     """
     q = parse_query(query)
-    root = reorder_joins(q.algebra, single_valued)
+    frm, named = q.dataset
+    strict = bool(frm or named)
+    catalog = None
+    if star_tables is not None and not strict:
+        from .star import StarCatalog
+
+        catalog = (
+            StarCatalog(list(star_tables))
+            if isinstance(star_tables, (list, tuple))
+            else star_tables
+        )
+    root = reorder_joins(q.algebra, catalog)
     if bindings:
         names = tuple(bindings.keys())
         row = tuple(bindings[n] for n in names)
         values = A.Values(names, (row,))
         root = _join_beneath_projection(root, values)
-    frm, named = q.dataset
-    strict = bool(frm or named)
     if strict:
         quads = _apply_dataset(quads, frm, named)
-    df = compile_query(quads, root, strict_default=strict)
+    df = compile_query(quads, root, strict_default=strict, star_catalog=catalog)
     if q.form == "ask":
         # limit(1) stops the scan at the first solution; the count-agg is
         # over at most one row

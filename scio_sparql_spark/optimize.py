@@ -20,41 +20,55 @@ from . import algebra as A
 from .terms import KIND_IRI, Term
 
 
-def _fusable(leaf, single_valued: frozenset) -> bool:
+def _fusable(leaf, catalog) -> bool:
     """A pattern joins into a subject star iff: variable subject,
-    constant IRI predicate declared single-valued, default-graph mode,
-    and the object is not the subject variable itself (a ?s p ?s
+    constant IRI predicate covered by a property table, default-graph
+    mode, and the object is not the subject variable itself (a ?s p ?s
     self-loop constrains within one row — keep the generic path)."""
     return (
         isinstance(leaf, A.StatementPattern)
         and isinstance(leaf.s, A.Var)
         and isinstance(leaf.p, Term)
         and leaf.p.kind == KIND_IRI
-        and leaf.p.lex in single_valued
+        and catalog.covers(leaf.p.lex)
         and leaf.graph_mode == "default"
         and not (isinstance(leaf.o, A.Var) and leaf.o.name == leaf.s.name)
     )
 
 
-def _fuse_stars(leaves: list, single_valued: frozenset) -> list:
-    """Replace each group of >=2 fusable patterns sharing a subject var
-    with one StarScan; keep original relative position of the group (at
-    its first member) so reordering sees a stable input."""
-    groups: dict[str, list] = {}
+def _fuse_stars(leaves: list, catalog) -> list:
+    """Replace each group of >=2 fusable patterns that share a subject
+    var AND are covered by ONE property table with a StarScan; keep the
+    group's original relative position (at its first member) so
+    reordering sees a stable input. Fusion requires single-table
+    coverage because the compiled plan is a scan of that table
+    (compiler._c_starscan) — no query-time aggregate, no SortAggregate
+    fallback (the round-2 regression)."""
+    groups: dict[tuple, list] = {}
     for leaf in leaves:
-        if _fusable(leaf, single_valued):
-            groups.setdefault(leaf.s.name, []).append(leaf)
+        if _fusable(leaf, catalog):
+            pt = catalog.table_for([leaf.p.lex])
+            groups.setdefault((leaf.s.name, id(pt)), []).append(leaf)
+    fused = {
+        k: pats
+        for k, pats in groups.items()
+        if len(pats) >= 2
+        and catalog.table_for([p.p.lex for p in pats]) is not None
+    }
     out = []
     emitted = set()
     for leaf in leaves:
-        if _fusable(leaf, single_valued) and len(groups[leaf.s.name]) >= 2:
-            if leaf.s.name not in emitted:
-                emitted.add(leaf.s.name)
-                pats = groups[leaf.s.name]
-                out.append(
-                    A.StarScan(pats[0].s, tuple((p.p, p.o) for p in pats))
-                )
-            continue
+        if _fusable(leaf, catalog):
+            pt = catalog.table_for([leaf.p.lex])
+            k = (leaf.s.name, id(pt))
+            if k in fused:
+                if k not in emitted:
+                    emitted.add(k)
+                    pats = fused[k]
+                    out.append(
+                        A.StarScan(pats[0].s, tuple((p.p, p.o) for p in pats))
+                    )
+                continue
         out.append(leaf)
     return out
 
@@ -101,11 +115,11 @@ def _order_leaves(leaves: list) -> list:
     return ordered
 
 
-def reorder_joins(node, single_valued: frozenset | None = None):
-    """Recursive rewrite: fuse subject stars (when the caller declared
-    single-valued predicates), then reorder every maximal pure-Join
-    subtree."""
-    sv = frozenset(single_valued) if single_valued else None
+def reorder_joins(node, star_catalog=None):
+    """Recursive rewrite: fuse subject stars (when the caller supplied a
+    property-table catalog — star.StarCatalog), then reorder every
+    maximal pure-Join subtree."""
+    sv = star_catalog
     if isinstance(node, A.Join):
         leaves = [reorder_joins(l, sv) for l in _flatten_join(node)]
         if sv:

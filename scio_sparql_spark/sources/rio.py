@@ -505,6 +505,52 @@ def parse_jsonld(text: str, bnode_scope: str = "") -> list[tuple]:
     return quads
 
 
+def parse_trix(text: str, bnode_scope: str = "") -> list[tuple]:
+    """Minimal TriX parser -> list of (s, p, o, g) Term tuples.
+
+    TriX is the W3C-member-submission XML serialization of named graphs
+    that rdf4j's Rio registers by the ``.trix`` extension (the reference
+    dispatches to it via Rio.getParserFormatForFileName,
+    TriplesReader.scala:63-66). Shape: ``<TriX><graph><uri>g</uri>
+    <triple><uri/><uri/><plainLiteral/></triple>...</graph></TriX>``."""
+    import xml.etree.ElementTree as ET
+
+    def strip(tag: str) -> str:
+        return tag.split("}", 1)[1] if tag.startswith("{") else tag
+
+    def term_of(el) -> Term:
+        k = strip(el.tag)
+        txt = el.text or ""
+        if k == "uri":
+            return Term.iri(txt)
+        if k == "id":
+            return Term.bnode(bnode_scope + txt)
+        if k == "plainLiteral":
+            lang = el.get(f"{{{_XML_NS}}}lang") or el.get("lang")
+            return Term.literal(txt, lang=lang)
+        if k == "typedLiteral":
+            return Term.literal(txt, dt=el.get("datatype"))
+        raise SyntaxError(f"unknown TriX term element <{k}>")
+
+    root = ET.fromstring(text)
+    if strip(root.tag) != "TriX":
+        raise SyntaxError("not a TriX document")
+    quads: list[tuple] = []
+    for graph_el in root:
+        children = list(graph_el)
+        g = None
+        triples = children
+        if children and strip(children[0].tag) == "uri":
+            g = Term.iri(children[0].text or "")
+            triples = children[1:]
+        for t in triples:
+            parts = [term_of(x) for x in t]
+            if len(parts) != 3:
+                raise SyntaxError("TriX <triple> must have 3 terms")
+            quads.append((parts[0], parts[1], parts[2], g))
+    return quads
+
+
 def quads_df_from_list(spark: SparkSession, quads: list[tuple]) -> DataFrame:
     rows = [
         tuple(t.as_tuple() if t is not None else None for t in q) for q in quads
@@ -613,6 +659,7 @@ def _read_parsed_distributed(spark: SparkSession, path: str, fmt: str) -> DataFr
         "xml": parse_rdfxml,
         "jsonld": parse_jsonld,
         "turtle": parse_turtle,
+        "trix": parse_trix,
     }[fmt]
     files = spark.read.text(path, wholetext=True).select(
         F.input_file_name().alias("__file"), "value"
@@ -635,25 +682,50 @@ def _read_parsed_distributed(spark: SparkSession, path: str, fmt: str) -> DataFr
     return files.mapInPandas(_parse_files, QUADS_SCHEMA)
 
 
+# Compression suffixes Spark's Hadoop text input decompresses
+# transparently (the reference relies on Beam's Compression.AUTO the
+# same way — TriplesReader.scala:38-43). gzip/bzip2/deflate codecs are
+# pure-Java and always available; bzip2 is even SPLITTABLE, so a single
+# huge .nt.bz2 still parallelizes across tasks.
+_COMPRESSION_EXTS = (".gz", ".bz2", ".deflate")
+
+
+def _strip_compression(path: str) -> str:
+    for ext in _COMPRESSION_EXTS:
+        if path.endswith(ext):
+            return path[: -len(ext)]
+    return path
+
+
 def read_triples(spark: SparkSession, path: str) -> DataFrame:
     """Read RDF file(s) by extension -> quads DataFrame
     (mirrors readTriples / TriplesIO.read, TriplesReader.scala:34-86).
-    A trailing ``.gz`` on any text format is transparently decompressed
-    (the reference's compression AUTO, TriplesReader.scala:38-43)."""
-    base = path[:-3] if path.endswith(".gz") else path
+    A trailing ``.gz`` / ``.bz2`` / ``.deflate`` on any text format is
+    transparently decompressed (the reference's compression AUTO,
+    TriplesReader.scala:38-43). ``.n3`` is accepted as Turtle: rdf4j's
+    Rio maps N3 to the Turtle parser too, and real-world .n3 dumps are
+    Turtle in practice (N3 formula/rule syntax is out of scope for an
+    RDF statement source)."""
+    base = _strip_compression(path)
     if base.endswith(".parquet") or os.path.isdir(path):
         return spark.read.schema(QUADS_SCHEMA).parquet(path)
     if base.endswith(".nt"):
         return _read_ntriples(spark, path, quads=False)
     if base.endswith(".nq"):
         return _read_ntriples(spark, path, quads=True)
-    if base.endswith((".ttl", ".trig")):
+    if base.endswith((".ttl", ".trig", ".n3")):
         return _read_parsed_distributed(spark, path, "turtle")
     if base.endswith((".rdf", ".owl", ".xml")):
         return _read_parsed_distributed(spark, path, "xml")
+    if base.endswith(".trix"):
+        return _read_parsed_distributed(spark, path, "trix")
     if base.endswith((".jsonld", ".json")):
         return _read_parsed_distributed(spark, path, "jsonld")
-    raise ValueError(f"unsupported RDF input: {path}")
+    raise ValueError(
+        f"unsupported RDF input: {path!r} — supported extensions: "
+        ".parquet .nt .nq .ttl .trig .n3 .rdf .owl .xml .trix .jsonld "
+        ".json, optionally compressed with " + " ".join(_COMPRESSION_EXTS)
+    )
 
 
 def read_triples_stream(spark: SparkSession, path: str) -> DataFrame:

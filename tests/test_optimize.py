@@ -125,24 +125,35 @@ SELECT ?s ?v ?w WHERE { ?s :p ?v . ?s :q ?w }
 """
 
 
-def _run(spark, q, sv=None):
-    quads = quads_df_from_list(spark, parse_turtle(STAR_TTL))
-    df = execute_sparql(quads, q, single_valued=sv)
+def _star_tables(spark, ttl, preds):
+    """Property table pivoted from the turtle quads — the one-time
+    build cost (star.property_table_from_quads); queries then scan it."""
+    from scio_sparql_spark.star import property_table_from_quads
+
+    quads = quads_df_from_list(spark, parse_turtle(ttl))
+    if not preds:
+        return quads, None
+    return quads, [property_table_from_quads(quads, sorted(preds))]
+
+
+def _run(spark, q, preds=None):
+    quads, pts = _star_tables(spark, STAR_TTL, preds or [])
+    df = execute_sparql(quads, q, star_tables=pts if preds else None)
     return df
 
 
 def test_star_fusion_same_results_no_join(spark):
     plain = sorted(map(str, _run(spark, STAR_Q).collect()))
-    fused_df = _run(spark, STAR_Q, sv={"urn:o:p", "urn:o:q"})
+    fused_df = _run(spark, STAR_Q, preds={"urn:o:p", "urn:o:q"})
     fused = sorted(map(str, fused_df.collect()))
     assert plain == fused
     plan = fused_df._jdf.queryExecution().optimizedPlan().toString()
-    assert "Join" not in plan  # the star compiled to scan+groupBy
+    assert "Join" not in plan  # the star compiled to a property-table scan
 
 
-def test_star_fusion_undeclared_predicate_not_fused(spark):
-    # :q not declared single-valued -> no fusion, join plan kept
-    df = _run(spark, STAR_Q, sv={"urn:o:p"})
+def test_star_fusion_uncovered_predicate_not_fused(spark):
+    # :q not covered by the property table -> no fusion, join plan kept
+    df = _run(spark, STAR_Q, preds={"urn:o:p"})
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "Join" in plan
     assert sorted(map(str, df.collect())) == sorted(map(str, _run(spark, STAR_Q).collect()))
@@ -167,10 +178,57 @@ def test_star_fusion_ground_object_and_optional(spark):
     SELECT ?s ?w ?m WHERE {
       ?s :p 1 . ?s :q ?w . OPTIONAL { ?s :m ?m }
     }"""
-    sv = {"urn:o:p", "urn:o:q", "urn:o:m"}
+    preds = {"urn:o:p", "urn:o:q", "urn:o:m"}
     plain = sorted(map(str, _run(spark, q).collect()))
-    fused = sorted(map(str, _run(spark, q, sv).collect()))
+    fused = sorted(map(str, _run(spark, q, preds).collect()))
     assert plain == fused and len(fused) == 1
+
+
+def test_star_fusion_split_across_tables_not_fused(spark):
+    """Predicates covered by two DIFFERENT property tables must not fuse
+    into one StarScan (the compiled star is a single-table scan)."""
+    from scio_sparql_spark.star import property_table_from_quads
+
+    quads = quads_df_from_list(spark, parse_turtle(STAR_TTL))
+    pts = [
+        property_table_from_quads(quads, ["urn:o:p"]),
+        property_table_from_quads(quads, ["urn:o:q"]),
+    ]
+    df = execute_sparql(quads, STAR_Q, star_tables=pts)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" in plan  # no single-table coverage -> generic join path
+    assert sorted(map(str, df.collect())) == sorted(
+        map(str, _run(spark, STAR_Q).collect())
+    )
+
+
+def test_star_fusion_never_sort_aggregate(spark, tmp_path):
+    """The round-2 regression: star fusion via groupBy(subject) planned
+    as SortAggregate (string agg buffers can't hash-aggregate). A fused
+    star over a PERSISTED property table must plan as a pure scan — no
+    aggregate of any kind, no join. (The pivot aggregate runs once at
+    write time, which is the whole point of the layout.)"""
+    from scio_sparql_spark.star import (
+        property_table_from_quads,
+        read_property_table,
+        write_property_table,
+    )
+
+    quads = quads_df_from_list(spark, parse_turtle(STAR_TTL))
+    path = str(tmp_path / "star_pt.parquet")
+    write_property_table(
+        property_table_from_quads(quads, ["urn:o:p", "urn:o:q"]), path
+    )
+    pt = read_property_table(spark, path)
+    df = execute_sparql(quads, STAR_Q, star_tables=[pt])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortAggregate" not in plan, plan
+    assert "HashAggregate" not in plan, plan  # pure scan: no agg either
+    assert "Join" not in plan, plan
+    # results still match the generic join path
+    assert sorted(map(str, df.collect())) == sorted(
+        map(str, _run(spark, STAR_Q).collect())
+    )
 
 
 def test_nested_arith_plan_stays_small(spark):

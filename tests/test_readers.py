@@ -309,3 +309,81 @@ def test_jsonld_directory_distributed(spark, tmp_path):
         int(r["object"]["lex"]) for r in rows if r["predicate"]["lex"] == "urn:ex:val"
     )
     assert vals == [0, 1, 2]
+
+
+def test_n3_reads_as_turtle(spark, tmp_path):
+    # rdf4j Rio dispatches .n3 to the Turtle parser family
+    # (TriplesReader.scala:63-66); .n3 dumps are Turtle in practice
+    p = tmp_path / "data.n3"
+    p.write_text('@prefix : <urn:x:> .\n:a :p "v" ; :q 2 .\n')
+    df = read_triples(spark, str(p))
+    got = {(r["predicate"]["lex"], r["object"]["lex"]) for r in df.collect()}
+    assert got == {("urn:x:p", "v"), ("urn:x:q", "2")}
+
+
+def test_bzip2_turtle(spark, tmp_path):
+    import bz2
+
+    ttl = '@prefix : <urn:x:> .\n:a :p "one" .\n:b :p "two" .\n'
+    p = tmp_path / "data.ttl.bz2"
+    p.write_bytes(bz2.compress(ttl.encode()))
+    df = read_triples(spark, str(p))
+    got = sorted(r["object"]["lex"] for r in df.collect())
+    assert got == ["one", "two"]
+
+
+def test_bzip2_ntriples_distributed(spark, tmp_path):
+    import bz2
+
+    nt = "\n".join(f'<urn:s:{i}> <urn:p:n> "{i}" .' for i in range(100)) + "\n"
+    p = tmp_path / "data.nt.bz2"
+    p.write_bytes(bz2.compress(nt.encode()))
+    df = read_triples(spark, str(p))
+    assert df.count() == 100
+
+
+def test_trix(spark, tmp_path):
+    trix = """<?xml version="1.0"?>
+<TriX xmlns="http://www.w3.org/2004/03/trix/trix-1/">
+  <graph>
+    <uri>urn:g:1</uri>
+    <triple>
+      <uri>urn:s:1</uri>
+      <uri>urn:p:name</uri>
+      <plainLiteral xml:lang="en">Alice</plainLiteral>
+    </triple>
+    <triple>
+      <uri>urn:s:1</uri>
+      <uri>urn:p:age</uri>
+      <typedLiteral datatype="http://www.w3.org/2001/XMLSchema#integer">30</typedLiteral>
+    </triple>
+  </graph>
+  <graph>
+    <triple>
+      <id>b0</id>
+      <uri>urn:p:knows</uri>
+      <uri>urn:s:1</uri>
+    </triple>
+  </graph>
+</TriX>
+"""
+    p = tmp_path / "data.trix"
+    p.write_text(trix)
+    df = read_triples(spark, str(p))
+    rows = df.collect()
+    assert len(rows) == 3
+    by_pred = {r["predicate"]["lex"]: r for r in rows}
+    assert by_pred["urn:p:name"]["graph"]["lex"] == "urn:g:1"
+    assert by_pred["urn:p:name"]["object"]["lang"] == "en"
+    assert by_pred["urn:p:age"]["object"]["dt"].endswith("integer")
+    knows = by_pred["urn:p:knows"]
+    assert knows["graph"] is None and knows["subject"]["kind"] == 0
+
+
+def test_unsupported_extension_clear_error(spark, tmp_path):
+    import pytest
+
+    p = tmp_path / "data.brf"
+    p.write_text("")
+    with pytest.raises(ValueError, match="supported extensions"):
+        read_triples(spark, str(p))
