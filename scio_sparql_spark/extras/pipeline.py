@@ -46,25 +46,36 @@ def domain_cap(
     cap: int,
     domain_col: str = "source",
     key_col: str = "doc_id",
+    salt_partitions: int | None = None,
 ) -> DataFrame:
     """Keep at most `cap` rows per domain, chosen deterministically by
     md5(key) rank within the domain — the "no single domain dominates
     the corpus" quota step of a web-crawl pipeline.
 
-    One shuffle on the domain key (the window partition). Deterministic:
-    the same rows survive on any cluster/partitioning, and the selection
-    is engine-portable (md5 rank, no RNG). Skew note for 100 TB: a
-    mega-domain concentrates its rows on one partition; AQE skew-join
-    handling does not apply to windows, so for truly pathological
-    domains pre-filter with `deterministic_sample` (map-side) to knock
-    the per-domain row count down to O(cap * safety) before ranking —
-    sampling by the SAME md5 ordering keeps the final selection
-    identical."""
+    Deterministic: the same rows survive on any cluster/partitioning,
+    and the selection is engine-portable (md5 rank, no RNG).
+
+    Skew path for 100 TB (``salt_partitions=S``): a mega-domain
+    concentrates its rows on ONE window partition, and AQE skew
+    handling does not apply to windows. With salting the cap runs in
+    two phases: rank within (domain, md5-salt-of-key) keeping `cap`
+    per salt cell — the hot domain spreads over S cells — then rank
+    the at-most S*cap survivors per domain once more. The final
+    selection is IDENTICAL to the unsalted cap (the domain's true
+    top-cap by md5 order is contained in the union of per-cell
+    top-caps), so callers can flip the flag without changing output."""
     if cap < 1:
         raise ValueError(f"cap must be >= 1, got {cap}")
-    w = Window.partitionBy(domain_col).orderBy(
-        F.md5(F.col(key_col).cast("string")), F.col(key_col)
-    )
+    order = [F.md5(F.col(key_col).cast("string")), F.col(key_col)]
+    if salt_partitions and salt_partitions > 1:
+        salt = F.pmod(F.crc32(F.col(key_col).cast("string")), F.lit(salt_partitions))
+        w1 = Window.partitionBy(F.col(domain_col), salt).orderBy(*order)
+        df = (
+            df.withColumn("__rk1", F.row_number().over(w1))
+            .filter(F.col("__rk1") <= cap)
+            .drop("__rk1")
+        )
+    w = Window.partitionBy(domain_col).orderBy(*order)
     return (
         df.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= cap)

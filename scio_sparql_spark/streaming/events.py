@@ -149,60 +149,54 @@ def funnel(
     one row per user that completed step 0, with nullable per-step
     completion timestamps and the deepest step reached.
 
-    Spark-first plan: ONE shuffle (groupBy user) with conditional-min
-    aggregates computed iteratively — min(ts of step_k where ts >
-    t_{k-1}) — via a per-user sorted event list folded step by step
-    with higher-order functions. No self-join per step (the naive
-    k-way-join funnel shuffles k times and explodes on hot users);
-    work is linear in events per user."""
+    Spark-first plan: ONE shuffle (partition by user) + k chained
+    per-user window aggregates — t_k = min(ts of step_k where ts >
+    t_{k-1} and ts <= t0 + within) — then one tiny hash-agg to collapse
+    to a row per user. No self-join per step (the naive k-way-join
+    funnel shuffles k times), and — the round-2 hot-user hazard — no
+    per-user collect_list: a user with millions of funnel events used
+    to materialize one giant in-row array (un-spillable); window
+    operators stream the partition through a spillable row buffer, so
+    a pathological user costs disk, not an executor OOM."""
     if not steps:
         raise ValueError("steps must be non-empty")
     interval = F.expr(f"INTERVAL {within}")
-    # per user: sorted (ts, type) list of only the event types in the funnel
     ev = events.filter(F.col(type_col).isin(steps)).select(
         F.col(user_col), F.col(ts_col).alias("__ts"), F.col(type_col).alias("__et")
     )
-    per_user = ev.groupBy(user_col).agg(
-        F.array_sort(F.collect_list(F.struct("__ts", "__et"))).alias("__evs")
-    )
-    # fold: t0 = min ts of step0; t_k = min ts of step_k with ts > t_{k-1}
-    out = per_user
+    w = Window.partitionBy(user_col)
+    # chained conditional mins: each step's window expression references
+    # the previous step's column; same partitioning -> one shuffle, k
+    # window passes over the (spillable) per-user buffer
+    out = ev
     prev = None
     for k, step in enumerate(steps):
         col = f"step{k}_ts"
         if k == 0:
-            expr = F.array_min(
-                F.transform(
-                    F.filter(F.col("__evs"), lambda e: e["__et"] == step),
-                    lambda e: e["__ts"],
-                )
-            )
+            expr = F.min(F.when(F.col("__et") == step, F.col("__ts"))).over(w)
         else:
-            p = F.col(prev)
             deadline = F.col("step0_ts") + interval
-            expr = F.when(
-                p.isNotNull(),
-                F.array_min(
-                    F.transform(
-                        F.filter(
-                            F.col("__evs"),
-                            lambda e: (e["__et"] == step)
-                            & (e["__ts"] > p)
-                            & (e["__ts"] <= deadline),
-                        ),
-                        lambda e: e["__ts"],
-                    )
-                ),
-            )
+            expr = F.min(
+                F.when(
+                    (F.col("__et") == step)
+                    & (F.col("__ts") > F.col(prev))
+                    & (F.col("__ts") <= deadline),
+                    F.col("__ts"),
+                )
+            ).over(w)
         out = out.withColumn(col, expr)
         prev = col
+    # one row per user (step columns are per-user constants)
+    per_user = out.groupBy(user_col).agg(
+        *[F.first(f"step{k}_ts").alias(f"step{k}_ts") for k in range(len(steps))]
+    )
     # deepest completed step: step k's ts is only set when step k-1
     # completed, so the deepest non-null wins (checked deepest-first)
     depth = F.lit(0)
     for k in range(len(steps)):
         depth = F.when(F.col(f"step{k}_ts").isNotNull(), F.lit(k + 1)).otherwise(depth)
     return (
-        out.filter(F.col("step0_ts").isNotNull())
+        per_user.filter(F.col("step0_ts").isNotNull())
         .select(
             F.col(user_col),
             *[F.col(f"step{k}_ts") for k in range(len(steps))],
