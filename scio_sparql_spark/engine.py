@@ -33,6 +33,7 @@ def execute_sparql(
     bindings: dict | None = None,
     single_valued: set | frozenset | None = None,
     star_tables=None,
+    construct_reduced: bool = False,
 ) -> DataFrame:
     """Run a SPARQL 1.1 query over a quads DataFrame.
 
@@ -92,7 +93,7 @@ def execute_sparql(
             (F.col("n") > 0).alias("ask")
         )
     if q.form == "construct":
-        return _construct(df, q.template)
+        return _construct(df, q.template, dedup=not construct_reduced)
     if q.form == "describe":
         return _describe(df, q.template, quads)
     return df
@@ -122,10 +123,18 @@ def _apply_dataset(quads: DataFrame, frm: tuple, named: tuple) -> DataFrame:
     return out
 
 
-def _construct(df: DataFrame, template: tuple) -> DataFrame:
+def _construct(df: DataFrame, template: tuple, dedup: bool = True) -> DataFrame:
     """Instantiate template triples per solution; invalid triples (unbound
     position, literal subject, non-IRI predicate) are dropped per spec
-    §16.2. Template bnode labels mint a fresh bnode per solution row."""
+    §16.2. Template bnode labels mint a fresh bnode per solution row.
+
+    ``dedup=False`` (execute_sparql's ``construct_reduced``) skips the
+    final global ``dropDuplicates``: RDF graph semantics demand a set of
+    triples, but that dedup is a full shuffle of the OUTPUT — for a huge
+    template cross a huge solution set it can dominate the query. The
+    REDUCED-style escape hatch returns a bag with possible duplicate
+    triples (harmless to any consumer that treats triples as a set,
+    e.g. loading into a store that dedups on write)."""
     has_bnodes = any(
         isinstance(v, tuple) for spo in template for v in spo
     )
@@ -157,7 +166,8 @@ def _construct(df: DataFrame, template: tuple) -> DataFrame:
     )
     # graph (set) semantics — but fresh bnodes never collide, so dedup
     # only affects ground duplicates
-    return out.filter(valid).dropDuplicates()
+    out = out.filter(valid)
+    return out.dropDuplicates() if dedup else out
 
 
 def _describe(df: DataFrame, targets: tuple, quads: DataFrame) -> DataFrame:

@@ -162,3 +162,17 @@ _:y :q _:x .
     quads = quads_df_from_list(spark, parse_turtle(ttl))
     got = _triples(execute_sparql(quads, "PREFIX : <urn:f:> DESCRIBE :a"))
     assert len(got) == 3
+
+
+def test_construct_reduced_skips_dedup(spark):
+    from scio_sparql_spark import execute_sparql, parse_turtle, quads_df_from_list
+
+    ttl = "@prefix : <urn:x:> . :a :p 1 . :a :p 1 ."  # duplicate statement
+    quads = quads_df_from_list(spark, parse_turtle(ttl))
+    q = "PREFIX : <urn:x:> CONSTRUCT { ?s :q ?v } WHERE { ?s :p ?v }"
+    strict = execute_sparql(quads, q)
+    reduced = execute_sparql(quads, q, construct_reduced=True)
+    assert strict.count() == 1  # graph (set) semantics
+    assert reduced.count() == 2  # bag escape hatch keeps duplicates
+    plan = reduced._jdf.queryExecution().optimizedPlan().toString()
+    assert "Deduplicate" not in plan and "Aggregate" not in plan, plan
