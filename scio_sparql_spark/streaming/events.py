@@ -253,7 +253,12 @@ def props_field_stats(
     `get_json_object` is a native JVM expression — the JSON parse stays
     inside codegen, no Python, and unparseable/missing fields become
     NULL (skipped by the aggregates, counted separately). One keyed
-    shuffle with map-side partial aggregation."""
+    shuffle with map-side partial aggregation.
+
+    `avg_field` is emitted as DECIMAL(18,6) rather than DOUBLE so the
+    result hashes identically across engines — a rounded double can
+    serialize differently (6th-decimal representation) between Spark
+    and an external oracle even when the values compare equal."""
     k = F.get_json_object(F.col(props_col), f"$.{field}").cast("bigint")
     return (
         events.select(F.col(type_col), k.alias("__k"))
@@ -262,6 +267,6 @@ def props_field_stats(
             F.count("*").alias("n_events"),
             F.count("__k").alias("n_with_field"),
             F.sum("__k").alias("sum_field"),
-            F.round(F.avg("__k"), 6).alias("avg_field"),
+            F.round(F.avg("__k"), 6).cast("decimal(18,6)").alias("avg_field"),
         )
     )

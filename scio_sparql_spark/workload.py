@@ -33,7 +33,11 @@ PREFIXES = "PREFIX col: <urn:col:>\nPREFIX ref: <urn:ref:>\n"
 def _sparql(tables, query, project):
     """Build a queries() callable: tables -> quads -> SPARQL -> plain cols.
 
-    project: list of (out_name, var, kind) with kind in s|i|f|f4|f6.
+    project: list of (out_name, var, kind) with kind in s|i|f|f4|f6|d6.
+    d6 = DECIMAL(18,6): used for averaged/divided outputs so the driver's
+    value-hash never touches a double (rounded doubles can serialize
+    differently across engines even when equal — the r3 events_props
+    lesson).
     """
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -52,6 +56,8 @@ def _sparql(tables, query, project):
                 c = F.round(lex.cast("double"), 4)
             elif kind == "f6":
                 c = F.round(lex.cast("double"), 6)
+            elif kind == "d6":
+                c = F.round(lex.cast("double"), 6).cast("decimal(18,6)")
             else:
                 raise ValueError(kind)
             cols.append(c.alias(out))
@@ -135,9 +141,9 @@ SPARQL_QUERIES = {
         """SELECT ?status (AVG(?q) AS ?avg_qty) WHERE {
              ?l col:l_linestatus ?status ; col:l_quantity ?q . }
            GROUP BY ?status""",
-        [("status", "status", "s"), ("avg_qty", "avg_qty", "f6")],
-        "SELECT l_linestatus AS status, ROUND(AVG(l_quantity), 6) AS avg_qty "
-        "FROM lineitem GROUP BY l_linestatus",
+        [("status", "status", "s"), ("avg_qty", "avg_qty", "d6")],
+        "SELECT l_linestatus AS status, CAST(ROUND(AVG(l_quantity), 6) "
+        "AS DECIMAL(18,6)) AS avg_qty FROM lineitem GROUP BY l_linestatus",
     ),
     # §2.4 MIN/MAX
     "sparql_agg_minmax": (
@@ -169,9 +175,10 @@ SPARQL_QUERIES = {
         """SELECT ?brand ((MIN(?rp) + MAX(?rp)) / 2 AS ?mid) WHERE {
              ?p col:p_brand ?brand ; col:p_retailprice ?rp . }
            GROUP BY ?brand""",
-        [("brand", "brand", "s"), ("mid", "mid", "f6")],
-        "SELECT p_brand AS brand, ROUND((MIN(p_retailprice) + MAX(p_retailprice)) / 2, 6) "
-        "AS mid FROM part GROUP BY p_brand",
+        [("brand", "brand", "s"), ("mid", "mid", "d6")],
+        "SELECT p_brand AS brand, "
+        "CAST(ROUND((MIN(p_retailprice) + MAX(p_retailprice)) / 2, 6) "
+        "AS DECIMAL(18,6)) AS mid FROM part GROUP BY p_brand",
     ),
     # §2.7 Union
     "sparql_union": (
@@ -1203,82 +1210,99 @@ EXTRA_QUERIES = {
         """SELECT event_type, COUNT(*) AS n_events,
                   COUNT(CAST(props->>'$.k' AS BIGINT)) AS n_with_field,
                   SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_field,
-                  ROUND(AVG(CAST(props->>'$.k' AS BIGINT)), 6) AS avg_field
+                  CAST(ROUND(AVG(CAST(props->>'$.k' AS BIGINT)), 6)
+                       AS DECIMAL(18,6)) AS avg_field
            FROM events GROUP BY event_type""",
     ),
 }
 
 
 # The driver's correctness harness checks the FIRST 50 catalog entries
-# per round. Round 2 left 24 entries (the round-2 additions) outside the
-# window (VERDICT r2 "What's missing" #1), so the order below leads with
-# them, keeps the other extras + the star-fusion-affected sparql_*
-# entries inside the window, and parks the long-green sparql_* tail at
-# the end (all 38 of those have green rows from r1 AND r2).
+# per round; the catalog is larger, so the window rotates each round to
+# keep every entry's green row at most ~2 rounds old.
+#
+# Verification ledger (round in which each block last got a driver row):
+#   r3: the 24 round-2 extras + sparql_property_table + the 11
+#       star-fusion-affected sparql entries + dedup/text/sparql forms
+#       (see CORRECTNESS_r03.json).
+#   r2: the 25 sparql entries below — their r2 green rows predate the
+#       round-3 star-fusion rewrite, so round 4 front-loads them.
 CATALOG_FRONT = [
-    # unchecked in round 2 — must land inside the window
-    "ann_cosine_topk",
+    # verified: r2 only — green rows predate the r3 compiler rewrite;
+    # re-verify on current code (VERDICT r3 "What's missing" #1)
+    "sparql_agg_minmax",
+    "sparql_agg_expr",
+    "sparql_union",
+    "sparql_distinct",
+    "sparql_values",
+    "sparql_values_undef",
+    "sparql_not_exists",
+    "sparql_minus",
+    "sparql_bind",
+    "sparql_bind_exists",
+    "sparql_graph",
+    "sparql_subselect",
+    "sparql_sample",
+    "sparql_group_concat",
+    "sparql_group_by_expr",
+    "sparql_count_empty",
+    "sparql_offset",
+    "sparql_offset_limit",
+    "sparql_reduced",
+    "sparql_path_alt",
+    "sparql_path_inv",
+    "sparql_path_negated",
+    "sparql_path_zero_or_one",
+    "sparql_path_plus",
+    "sparql_path_star",
+    # verified: r3 FAIL (float-hash artifact) — fixed this round to emit
+    # avg_field as DECIMAL(18,6); must re-check
+    "events_props",
+    # verified: rows-only (no_oracle) every round — keep in window; r4
+    # adds recall/containment invariant tests behind them
     "ann_lsh_topk",
     "ann_ivf_topk",
-    "retrieval_bm25",
-    "retrieval_term_stats",
-    "events_window",
-    "events_sessions",
-    "events_asof",
-    "events_funnel",
-    "events_retention",
-    "events_props",
-    "docs_domain_cap",
-    "docs_topk_per_source",
-    "sample_stratified",
-    "sample_hash",
-    "doc_chunks",
-    "doc_pack_shards",
-    "dedup_clusters",
-    "dedup_keep_best",
-    "text_repetition",
-    "text_pii",
-    "text_contamination",
-    "multimodal_features",
-    "multimodal_frames",
-    # new this round
-    "sparql_property_table",
-    # verified in round 2, kept inside the window
-    "dedup_exact",
-    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "dedup_embedding_cosine",
-    "text_token_count",
-    "text_quality",
-    "text_langid",
-    "text_fingerprint",
-    "sparql_ask",
+    # verified: r3 — oracles hardened to fixed-point this round
+    # (avg-typed outputs), so re-verify
+    "sparql_agg_avg",
+    "sparql_agg_sum",
+    "sparql_agg_count",
+    # verified: r3 — bench-flagged queries; re-verify alongside the
+    # min-of-3 bench re-measure
+    "sparql_having",
     "sparql_construct",
-    "sparql_describe",
+    # verified: r3 — property-table reader path extended this round
+    # (sidecar auto-load), so keep the round-trip entries in window
+    "sparql_property_table",
     "sparql_quads_roundtrip",
-    "sparql_bindings",
-    # sparql entries whose physical plans changed this round (star
-    # fusion -> property-table scan) — re-verify them now
+    # verified: r3 — core compiler surface, cheap to keep green
     "sparql_topk",
     "sparql_bgp_join",
-    "sparql_path_seq",
-    "sparql_exists",
-    "sparql_having",
-    "sparql_agg_sum",
-    "sparql_agg_avg",
     "sparql_optional",
     "sparql_filter",
+    "sparql_exists",
     "sparql_from_graph",
-    "sparql_agg_count",
+    "sparql_path_seq",
+    "sparql_ask",
+    "sparql_describe",
+    "sparql_bindings",
+    # verified: r3 — exact oracle backing the new ANN recall tests
+    "ann_cosine_topk",
 ]
 
 
 def _catalog_names() -> list[str]:
     all_names = list(SPARQL_QUERIES) + list(EXTRA_QUERIES)
-    assert set(CATALOG_FRONT) <= set(all_names), (
-        set(CATALOG_FRONT) - set(all_names)
-    )
+    unknown = set(CATALOG_FRONT) - set(all_names)
+    if unknown:
+        raise ValueError(f"CATALOG_FRONT names not in catalog: {sorted(unknown)}")
+    if len(CATALOG_FRONT) != len(set(CATALOG_FRONT)):
+        seen, dups = set(), set()
+        for n in CATALOG_FRONT:
+            (dups if n in seen else seen).add(n)
+        raise ValueError(f"CATALOG_FRONT has duplicates: {sorted(dups)}")
     tail = [n for n in all_names if n not in set(CATALOG_FRONT)]
     return CATALOG_FRONT + tail
 
