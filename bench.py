@@ -69,10 +69,12 @@ def main():
     total = 0.0
 
     def timed(fn):
-        # two runs, report the min: steady-state timing (this host's
-        # CPU shares are noisy; first run also absorbs codegen JIT)
+        # three runs, report the min: steady-state timing (this host's
+        # CPU shares are noisy — r3 recorded 4.6s for a query that
+        # measures 0.9s under the same config; first run also absorbs
+        # codegen JIT)
         best, n = None, 0
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             n = fn()
             dt = time.time() - t0

@@ -124,6 +124,33 @@ def test_contamination_benchmark_side_broadcast(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
 
 
+def test_having_hash_aggregate_no_sort(spark):
+    """sparql_having's shape at any scale: a single-column pushed scan
+    feeding partial/final HashAggregate, then the HAVING filter — never
+    a SortAggregate and never a Sort below the aggregate (the r2 trap
+    was exactly that; r3's bench row for this query was also flagged,
+    though unreproducible — this locks the plan side of the argument)."""
+    from scio_sparql_spark.sources.bridge import bridge_ctx
+
+    quads, catalog = bridge_ctx(spark, "/root/testdata/sf0.001", ["orders"])
+    df = execute_sparql(
+        quads,
+        """PREFIX col: <urn:col:> PREFIX ref: <urn:ref:>
+        SELECT ?c (COUNT(?o) AS ?n) WHERE { ?o ref:o_custkey ?c . }
+        GROUP BY ?c HAVING(COUNT(?o) >= 12)""",
+        star_tables=catalog,
+    )
+    plan = _plan(df)
+    assert "SortAggregate" not in plan, plan
+    assert "HashAggregate" in plan, plan
+    # no Sort node anywhere below the aggregate (orderBy-free query)
+    assert "Sort " not in plan.replace("SortMergeJoin", ""), plan
+    # the scan must prune to the one column the query touches
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema and "o_custkey" in read_schema[0], plan
+    assert "o_comment" not in read_schema[0], plan
+
+
 def test_exact_dedup_partial_aggregation(spark):
     docs = spark.createDataFrame(
         [(i, f"text {i % 7}") for i in range(30)], ["doc_id", "text"]
