@@ -63,11 +63,28 @@ def execute_sparql(
     row) is retained for API compatibility; since round 3 it no longer
     triggers fusion by itself — the query-time groupBy it licensed
     planned as SortAggregate over the fact table (VERDICT r2), so the
-    star plan now always comes from a property table.
+    star plan now always comes from a property table (passing it warns).
+
+    When ``star_tables`` is omitted, a catalog attached to ``quads`` by
+    ``sources.rio.read_triples`` (the ``_star/`` sidecar co-written by
+    ``write_triples(..., property_table=True)``) is used automatically.
     """
     q = parse_query(query)
     frm, named = q.dataset
     strict = bool(frm or named)
+    if single_valued is not None and star_tables is None:
+        import warnings
+
+        warnings.warn(
+            "single_valued= no longer triggers star fusion (its query-time "
+            "groupBy planned as SortAggregate — see VERDICT r2); persist a "
+            "property table instead: write_triples(..., property_table=True) "
+            "or pass star_tables=",
+            DeprecationWarning,
+            stacklevel=2,
+        )
+    if star_tables is None:
+        star_tables = getattr(quads, "_scio_star_catalog", None)
     catalog = None
     if star_tables is not None and not strict:
         from .star import StarCatalog

@@ -521,10 +521,14 @@ def parse_trix(text: str, bnode_scope: str = "") -> list[tuple]:
     def term_of(el) -> Term:
         k = strip(el.tag)
         txt = el.text or ""
+        # uri/id text is whitespace-stripped: pretty-printed TriX (what
+        # rdf4j's Rio writer can emit) indents element content, and an
+        # IRI/bnode label padded with newlines is never intended.
+        # Literal text stays verbatim per spec — whitespace is data.
         if k == "uri":
-            return Term.iri(txt)
+            return Term.iri(txt.strip())
         if k == "id":
-            return Term.bnode(bnode_scope + txt)
+            return Term.bnode(bnode_scope + txt.strip())
         if k == "plainLiteral":
             lang = el.get(f"{{{_XML_NS}}}lang") or el.get("lang")
             return Term.literal(txt, lang=lang)
@@ -540,8 +544,9 @@ def parse_trix(text: str, bnode_scope: str = "") -> list[tuple]:
         children = list(graph_el)
         g = None
         triples = children
-        if children and strip(children[0].tag) == "uri":
-            g = Term.iri(children[0].text or "")
+        # TriX allows either <uri> or <id> (bnode) as the graph label
+        if children and strip(children[0].tag) in ("uri", "id"):
+            g = term_of(children[0])
             triples = children[1:]
         for t in triples:
             parts = [term_of(x) for x in t]
@@ -708,7 +713,8 @@ def read_triples(spark: SparkSession, path: str) -> DataFrame:
     RDF statement source)."""
     base = _strip_compression(path)
     if base.endswith(".parquet") or os.path.isdir(path):
-        return spark.read.schema(QUADS_SCHEMA).parquet(path)
+        df = spark.read.schema(QUADS_SCHEMA).parquet(path)
+        return _attach_star_catalog(spark, df, path)
     if base.endswith(".nt"):
         return _read_ntriples(spark, path, quads=False)
     if base.endswith(".nq"):
@@ -744,12 +750,64 @@ def read_triples_stream(spark: SparkSession, path: str) -> DataFrame:
     return _project_ntriples(spark.readStream.text(path), quads)
 
 
-def write_triples(df: DataFrame, path: str, partition_by_predicate: bool = False):
+_STAR_SIDECAR = "_star"  # leading underscore: invisible to parquet discovery
+
+
+def _attach_star_catalog(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """Auto-load a co-written property-table sidecar (see write_triples)
+    and attach it to the quads DataFrame; execute_sparql picks it up
+    when no explicit ``star_tables`` is passed, so standalone quad-store
+    users get fused star scans with zero extra calls. Local-filesystem
+    sidecars only (this environment); absence is simply no fusion."""
+    meta = os.path.join(path, _STAR_SIDECAR, "_star_meta.json")
+    try:
+        if os.path.exists(meta):
+            from ..star import StarCatalog, read_property_table
+
+            pt = read_property_table(spark, os.path.join(path, _STAR_SIDECAR))
+            df._scio_star_catalog = StarCatalog([pt])
+    except OSError:  # remote/object-store path: sidecar loading is opt-in
+        pass
+    return df
+
+
+def write_triples(
+    df: DataFrame,
+    path: str,
+    partition_by_predicate: bool = False,
+    property_table=None,
+):
     """Quads -> Parquet (the reference's TriplesIO.write is `???` —
     TriplesReader.scala:45-48). ``partition_by_predicate`` adds a
-    scan-prunable layout for predicate-bound patterns."""
+    scan-prunable layout for predicate-bound patterns.
+
+    ``property_table`` co-writes the subject-wide star layout as a
+    ``_star/`` sidecar inside ``path`` (hidden from parquet discovery by
+    the leading underscore): ``True`` auto-detects the single-valued
+    predicates (star.detect_single_valued — the bag-identical fusion
+    precondition), or pass an explicit predicate-IRI list. read_triples
+    auto-loads the sidecar, so every star BGP over the re-read store
+    compiles to a filter+project scan — the pivot aggregate is paid
+    exactly once, here at write time."""
     w = df.write.mode("overwrite")
     if partition_by_predicate:
-        df = df.withColumn("__pred", F.col("predicate")["lex"])
-        w = df.repartition("__pred").write.partitionBy("__pred").mode("overwrite")
+        part = df.withColumn("__pred", F.col("predicate")["lex"])
+        w = part.repartition("__pred").write.partitionBy("__pred").mode("overwrite")
     w.parquet(path)
+    if property_table:
+        from ..star import (
+            detect_single_valued,
+            property_table_from_quads,
+            write_property_table,
+        )
+
+        preds = (
+            detect_single_valued(df)
+            if property_table is True
+            else list(property_table)
+        )
+        if preds:
+            write_property_table(
+                property_table_from_quads(df, preds),
+                os.path.join(path, _STAR_SIDECAR),
+            )

@@ -83,6 +83,31 @@ class StarCatalog:
         return t
 
 
+def detect_single_valued(quads: DataFrame) -> list[str]:
+    """Predicates with at most one (subject, predicate) ROW in the whole
+    quad bag — the exact precondition for bag-identical star fusion
+    (duplicates and multi-valued predicates both disqualify, since a
+    property table keeps one cell per subject).
+
+    One aggregation pass; the collect is one row per distinct qualifying
+    predicate (vocabulary-sized, not data-sized). Run at write time as
+    part of the layout build, never per query."""
+    pred = F.col("predicate")["lex"]
+    per_subject = (
+        quads.filter(F.col("predicate")["kind"] == 1)
+        .groupBy(pred.alias("__p"), F.col("subject").alias("__s"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    rows = (
+        per_subject.groupBy("__p")
+        .agg(F.max("__n").alias("__m"))
+        .filter(F.col("__m") == 1)
+        .select("__p")
+        .collect()
+    )
+    return sorted(r["__p"] for r in rows)
+
+
 def property_table_from_quads(
     quads: DataFrame, preds: list[str], default_graph_union: bool = True
 ) -> PropertyTable:

@@ -288,6 +288,27 @@ SPARQL_QUERIES = {
         [("n", "n", "i")],
         "SELECT COUNT(*) AS n FROM customer",
     ),
+    # §2.2 union-default-graph: a pattern OUTSIDE any GRAPH clause matches
+    # statements from ALL graphs (Interpreter.scala:215, 375-381; the
+    # GraphsTest.scala:4-18 semantics). The bridge stores every table in
+    # its own named graph, so this count only works if the default-graph
+    # scan unions the named graphs — a `graph IS NULL` filter would
+    # return 0.
+    "sparql_union_default_graph": (
+        ["customer", "nation"],
+        """SELECT (COUNT(?k) AS ?n) WHERE { ?s col:c_custkey ?k }""",
+        [("n", "n", "i")],
+        "SELECT COUNT(*) AS n FROM customer",
+    ),
+    # §2.1 SingletonSet (Interpreter.scala:372-374): a WHERE with no
+    # pattern seeds evaluation with ONE empty solution; BINDs extend it
+    "sparql_singleton": (
+        ["region"],
+        """SELECT ?x ?y WHERE {
+             BIND(2 + 3 AS ?x) BIND(CONCAT("a", "b") AS ?y) }""",
+        [("x", "x", "i"), ("y", "y", "s")],
+        "SELECT CAST(5 AS BIGINT) AS x, 'ab' AS y",
+    ),
     # subselect (rdf4j algebra handles Projection anywhere; ours too)
     "sparql_subselect": (
         ["orders"],
@@ -595,8 +616,12 @@ def ivf_index_path(spark, sf_dir, rebuild: bool = False) -> str:
     key = os.path.abspath(sf_dir)
     path = _IVF_INDEX_PATHS.get(key)
     if path is None or rebuild:
+        # per-session suffix: same shared-tempdir race as the property
+        # table path (ADVICE r3)
+        app_id = spark.sparkContext.applicationId
         path = os.path.join(
-            tempfile.gettempdir(), "scio_ivf_" + key.strip("/").replace("/", "_")
+            tempfile.gettempdir(),
+            f"scio_ivf_{key.strip('/').replace('/', '_')}_{app_id}",
         )
         # quantizer trains on a sample: centroid quality barely moves,
         # recall is governed by nprobe; fit cost drops ~4x
@@ -771,7 +796,12 @@ def q_sparql_property_table(spark, sf_dir):
     )
 
     quads, _ = bridge_ctx(spark, sf_dir, ["nation"])
-    path = os.path.join(tempfile.gettempdir(), "scio_sparql_star_nation.parquet")
+    # per-session path: concurrent runs on a shared machine must not
+    # race on one fixed temp directory (ADVICE r3)
+    app_id = spark.sparkContext.applicationId
+    path = os.path.join(
+        tempfile.gettempdir(), f"scio_sparql_star_nation_{app_id}.parquet"
+    )
     pt = property_table_from_quads(
         quads, ["urn:col:n_name", "urn:ref:n_regionkey"]
     )
@@ -1255,6 +1285,10 @@ CATALOG_FRONT = [
     "sparql_path_zero_or_one",
     "sparql_path_plus",
     "sparql_path_star",
+    # new in r4: driver rows for two operators that were tests-only in
+    # the VERDICT coverage table (SingletonSet, union-default-graph)
+    "sparql_singleton",
+    "sparql_union_default_graph",
     # verified: r3 FAIL (float-hash artifact) — fixed this round to emit
     # avg_field as DECIMAL(18,6); must re-check
     "events_props",

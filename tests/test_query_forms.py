@@ -176,3 +176,17 @@ def test_construct_reduced_skips_dedup(spark):
     assert reduced.count() == 2  # bag escape hatch keeps duplicates
     plan = reduced._jdf.queryExecution().optimizedPlan().toString()
     assert "Deduplicate" not in plan and "Aggregate" not in plan, plan
+
+
+def test_service_clear_parse_error(spark):
+    """SURVEY §2.13 parity: SERVICE is unsupported with a clear
+    parse-time error — the reference's federation resolver throws the
+    same way (Interpreter.scala:40-42, README.md:69-70)."""
+    import pytest
+
+    ttl = "@prefix : <urn:x:> . :a :p 1 ."
+    quads = quads_df_from_list(spark, parse_turtle(ttl))
+    q = """PREFIX : <urn:x:> SELECT ?v WHERE {
+      SERVICE <http://example.org/sparql> { ?s :p ?v } }"""
+    with pytest.raises(SyntaxError, match="SERVICE"):
+        execute_sparql(quads, q)

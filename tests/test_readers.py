@@ -380,6 +380,37 @@ def test_trix(spark, tmp_path):
     assert knows["graph"] is None and knows["subject"]["kind"] == 0
 
 
+def test_trix_pretty_printed_and_bnode_graph(spark, tmp_path):
+    """ADVICE r3: indented TriX (rdf4j's Rio writer pretty-prints) must
+    not leak whitespace into IRIs/bnode labels, literal text must stay
+    verbatim, and an <id> graph label (bnode-named graph) is accepted."""
+    trix = """<?xml version="1.0"?>
+<TriX xmlns="http://www.w3.org/2004/03/trix/trix-1/">
+  <graph>
+    <id>
+      g0
+    </id>
+    <triple>
+      <uri>
+        urn:s:1
+      </uri>
+      <uri>
+        urn:p:name
+      </uri>
+      <plainLiteral>  spaced  </plainLiteral>
+    </triple>
+  </graph>
+</TriX>
+"""
+    p = tmp_path / "pretty.trix"
+    p.write_text(trix)
+    row = read_triples(spark, str(p)).collect()[0]
+    assert row["subject"]["lex"] == "urn:s:1"
+    assert row["predicate"]["lex"] == "urn:p:name"
+    assert row["object"]["lex"] == "  spaced  "  # literal ws is data
+    assert row["graph"]["kind"] == 0 and row["graph"]["lex"].endswith("g0")
+
+
 def test_unsupported_extension_clear_error(spark, tmp_path):
     import pytest
 
