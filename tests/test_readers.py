@@ -149,6 +149,41 @@ def test_streaming_ntriples_ingest(spark, tmp_path):
     }
 
 
+def test_streaming_sparql_pattern_match(spark, tmp_path):
+    """Streaming SPARQL (beyond-reference, SURVEY §2.10: the reference is
+    batch-only Beam): execute_sparql compiles to plain filter/project/
+    extend DataFrame ops, so a stateless query — single-pattern BGP +
+    FILTER + BIND — runs unchanged over a streaming quad source, each
+    file landing in the directory becoming a micro-batch of solutions."""
+    from scio_sparql_spark import execute_sparql, read_triples_stream
+
+    d = tmp_path / "ntdir2"
+    d.mkdir()
+    (d / "a.nt").write_text(
+        '<urn:s:1> <urn:p:age> "30"^^<http://www.w3.org/2001/XMLSchema#integer> .\n'
+        '<urn:s:2> <urn:p:age> "7"^^<http://www.w3.org/2001/XMLSchema#integer> .\n'
+        '<urn:s:3> <urn:p:age> "44"^^<http://www.w3.org/2001/XMLSchema#integer> .\n'
+    )
+    stream = read_triples_stream(spark, str(d))
+    out = execute_sparql(
+        stream,
+        """PREFIX : <urn:p:> SELECT ?s ?next WHERE {
+             ?s :age ?a . FILTER(?a >= 18) BIND(?a + 1 AS ?next) }""",
+    )
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sparql_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = spark.sql("select * from sparql_stream").collect()
+    got = {(r["s"]["lex"], r["next"]["lex"]) for r in rows}
+    assert got == {("urn:s:1", "31"), ("urn:s:3", "45")}
+
+
 def test_rdfxml(spark, tmp_path):
     xml = """<?xml version="1.0"?>
 <rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
