@@ -28,6 +28,7 @@ from .terms import (
     XSD_STRING,
     bool_term,
     ebv,
+    exact_decimal,
     is_bnode,
     is_iri,
     is_literal,
@@ -155,21 +156,36 @@ def _arith(e: A.EArith, env: Env) -> Column:
     numl, numr = num_value(l), num_value(r)
     ll, lr = promotion_level(l), promotion_level(r)
     level = F.greatest(ll, lr)
+    # exact decimal lane for + - * at integer/decimal level (spec:
+    # xsd:decimal arithmetic is exact; terms.exact_decimal guards the
+    # operand width so Spark's decimal result types never round)
+    exl, exr = exact_decimal(l), exact_decimal(r)
+    exact = None
     if e.op == "+":
         val = numl + numr
+        exact = exl + exr
     elif e.op == "-":
         val = numl - numr
+        exact = exl - exr
     elif e.op == "*":
         val = numl * numr
+        exact = exl * exr
     elif e.op == "/":
         # XPath: integer / integer -> decimal; int/decimal div-by-zero is an
-        # error (NULL), float/double yields inf
+        # error (NULL), float/double yields inf. Division stays on the
+        # double lane: decimal division precision is implementation-
+        # defined in XPath and Spark's result scale can be NARROWER than
+        # double's 15-16 significant digits.
         level = F.when(level == 0, F.lit(1)).otherwise(level)
         val = F.when((level >= 2) | (numr != 0.0), numl / numr)
     else:
         raise ValueError(e.op)
     both = numl.isNotNull() & numr.isNotNull()
-    return make_numeric_term(F.when(both, val), F.when(both, level))
+    return make_numeric_term(
+        F.when(both, val),
+        F.when(both, level),
+        exact=None if exact is None else F.when(both, exact),
+    )
 
 
 # --- function calls --------------------------------------------------------

@@ -179,6 +179,15 @@ class Parser:
             return Term.literal(t.value)
         if t.kind == "NUMBER":
             return _numeric_term(t.value)
+        if t.kind == "OP" and t.value in ("+", "-") and self.peek().kind == "NUMBER":
+            # NumericLiteralPositive / NumericLiteralNegative (grammar
+            # [131]/[132]) — legal wherever a numeric literal is, incl.
+            # VALUES data blocks (caught by hypothesis differential test)
+            num = self.next()
+            term = _numeric_term(num.value)
+            if t.value == "-":
+                term = Term(term.kind, "-" + term.lex, term.dt, term.lang)
+            return term
         if t.kind == "KEYWORD" and t.value.upper() in ("TRUE", "FALSE"):
             return Term.boolean(t.value.upper() == "TRUE")
         raise SyntaxError(f"expected literal at {t.pos}: {t.value!r}")

@@ -261,14 +261,53 @@ def format_numeric_lex(value: Column, level: Column) -> Column:
     )
 
 
-def make_numeric_term(value: Column, level: Column) -> Column:
+# Lexical forms eligible for the exact decimal arithmetic path: with
+# <=13 integer digits and <=5 fraction digits per operand, the sum/
+# difference/product of two decimal(19,6) values is exactly
+# representable in Spark's result decimal types (product scale <= 10 <
+# the decimal(38,11) Catalyst assigns) — no rounding anywhere. Anything
+# wider falls back to the double path rather than silently rounding.
+_EXACT_NUM_RE = r"^-?[0-9]{1,13}(\.[0-9]{1,5})?$"
+
+
+def exact_decimal(t: Column) -> Column:
+    """Operand for exact integer/decimal arithmetic: the literal's
+    lexical form as decimal(19,6) when it fits the exactness guard,
+    NULL otherwise (callers fall back to double)."""
+    return F.when(t["lex"].rlike(_EXACT_NUM_RE), t["lex"].cast("decimal(19,6)"))
+
+
+def _format_exact_lex(exact: Column, level: Column) -> Column:
+    as_int = exact.cast("decimal(38,0)").cast("string")
+    trimmed = F.regexp_replace(
+        F.regexp_replace(exact.cast("string"), r"(\.[0-9]*?)0+$", r"$1"),
+        r"\.$",
+        "",
+    )
+    return F.when(level == 0, as_int).otherwise(trimmed)
+
+
+def make_numeric_term(value: Column, level: Column, exact: Column | None = None) -> Column:
     """Build a numeric literal term from a double value + promotion level.
-    NULL value or NULL level -> NULL term (error propagation)."""
+    NULL value or NULL level -> NULL term (error propagation).
+
+    ``exact`` (optional, decimal Column) overrides the lexical form at
+    integer/decimal level: xsd:integer/decimal arithmetic is exact in
+    the spec (rdf4j computes BigDecimal — MathUtil via
+    ValueEvaluators.scala:20-24), and a double-derived lexical form can
+    be off in the last digit (e.g. 105591 * 41.403). The double
+    ``value`` still gates error propagation and feeds float/double
+    levels."""
+    lex = format_numeric_lex(value, level)
+    if exact is not None:
+        lex = F.when(
+            (level <= 1) & exact.isNotNull(), _format_exact_lex(exact, level)
+        ).otherwise(lex)
     return F.when(
         value.isNotNull() & level.isNotNull(),
         make_term(
             F.lit(KIND_LITERAL),
-            format_numeric_lex(value, level),
+            lex,
             dt_for_level(level),
             F.lit(None),
         ),

@@ -1,0 +1,145 @@
+"""Property-based differential tests (hypothesis): SPARQL text with
+randomized VALUES blocks -> engine results vs a Python oracle
+implementing the spec semantics. Each hypothesis example is a BATCH of
+values compiled into one query (one Spark job per example), so the
+search space is wide while job count stays small.
+
+The spec behaviors under test are public: XPath numeric promotion
+(integer ⊔ decimal -> decimal, ⊔ double -> double; SPARQL §17.3 /
+XPath op:numeric-*), value-order comparisons across numeric types, and
+xs:substring's 1-based indexing. The reference delegates all of this
+row-at-a-time to rdf4j's StrictEvaluationStrategy
+(Interpreter.scala:39-69); here it is compiled Columns, so a typing bug
+would be silent without differential pressure.
+"""
+
+from __future__ import annotations
+
+import decimal
+
+from hypothesis import given, settings, strategies as st
+
+from scio_sparql_spark import execute_sparql, parse_turtle, quads_df_from_list
+
+XSD = "http://www.w3.org/2001/XMLSchema#"
+
+_ints = st.integers(min_value=-(10**6), max_value=10**6)
+_decs = st.decimals(
+    min_value=-(10**6), max_value=10**6, places=3,
+    allow_nan=False, allow_infinity=False,
+)
+
+
+def _num(draw_val):
+    """(sparql literal text, promotion level 0=integer 1=decimal, exact value)"""
+    if isinstance(draw_val, decimal.Decimal):
+        return format(draw_val, "f") if "." in format(draw_val, "f") else format(
+            draw_val, "f"
+        ) + ".0", 1, draw_val
+    return str(draw_val), 0, decimal.Decimal(draw_val)
+
+
+_nums = st.one_of(_ints, _decs).map(_num)
+
+
+def _quads(spark):
+    return quads_df_from_list(
+        spark, parse_turtle("@prefix : <urn:x:> . :a :p 1 .")
+    )
+
+
+def _run_values(spark, select, rows):
+    body = " ".join(f"({a} {b})" for a, b in rows)
+    q = f"SELECT {select} WHERE {{ VALUES (?a ?b) {{ {body} }} }}"
+    return execute_sparql(_quads(spark), q).collect()
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.tuples(_nums, _nums), min_size=1, max_size=40))
+def test_arithmetic_promotion_matches_oracle(spark, pairs):
+    rows = [(a[0], b[0]) for a, b in pairs]
+    got = _run_values(spark, "(?a + ?b AS ?s) (?a * ?b AS ?m)", rows)
+    assert len(got) == len(pairs)
+    # VALUES preserves input order through the narrow local plan at this
+    # size, but don't rely on it: compare as multisets keyed by value
+    def key(r):
+        return (decimal.Decimal(r["s"]["lex"]), decimal.Decimal(r["m"]["lex"]),
+                r["s"]["dt"], r["m"]["dt"])
+
+    expect = []
+    for a, b in pairs:
+        lvl = max(a[1], b[1])
+        dt = XSD + ("decimal" if lvl else "integer")
+        expect.append((a[2] + b[2], a[2] * b[2], dt, dt))
+    assert sorted(map(key, got)) == sorted(expect)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.tuples(_nums, _nums), min_size=1, max_size=40))
+def test_numeric_comparison_matches_oracle(spark, pairs):
+    rows = [(a[0], b[0]) for a, b in pairs]
+    got = _run_values(spark, "(?a < ?b AS ?lt) (?a = ?b AS ?eq)", rows)
+
+    def key(r):
+        return (r["lt"]["lex"], r["eq"]["lex"])
+
+    expect = [
+        (str(a[2] < b[2]).lower(), str(a[2] == b[2]).lower()) for a, b in pairs
+    ]
+    assert sorted(map(key, got)) == sorted(expect)
+
+
+_safe_text = st.text(
+    alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd")),
+    min_size=0, max_size=12,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(_safe_text, st.integers(1, 10), st.integers(0, 10)),
+        min_size=1, max_size=40,
+    )
+)
+def test_substr_one_based_matches_oracle(spark, cases):
+    # xs:substring, 1-based: characters at positions p with
+    # start <= p < start + len
+    rows = [(f'"{s}"', f"{st_}") for s, st_, _ in cases]
+    lens = [ln for _, _, ln in cases]
+    body = " ".join(
+        f'("{s}" {st_} {ln})' for s, st_, ln in cases
+    )
+    q = (
+        "SELECT (SUBSTR(?a, ?b, ?c) AS ?r) WHERE { VALUES (?a ?b ?c) { "
+        + body + " } }"
+    )
+    got = execute_sparql(_quads(spark), q).collect()
+    expect = sorted(
+        "".join(ch for i, ch in enumerate(s, 1) if st_ <= i < st_ + ln)
+        for s, st_, ln in cases
+    )
+    assert sorted(r["r"]["lex"] for r in got) == expect
+    del rows, lens
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.tuples(_safe_text, _safe_text), min_size=1, max_size=40))
+def test_strbefore_strafter_match_oracle(spark, cases):
+    body = " ".join(f'("{a}" "{b}")' for a, b in cases)
+    q = (
+        "SELECT (STRBEFORE(?a, ?b) AS ?x) (STRAFTER(?a, ?b) AS ?y) "
+        "WHERE { VALUES (?a ?b) { " + body + " } }"
+    )
+    got = execute_sparql(_quads(spark), q).collect()
+
+    def oracle(a, b):
+        # spec: empty string when not found; full split otherwise. An
+        # empty pattern is "found" at position 0.
+        i = a.find(b)
+        if i < 0:
+            return "", ""
+        return a[:i], a[i + len(b):]
+
+    expect = sorted(oracle(a, b) for a, b in cases)
+    assert sorted((r["x"]["lex"], r["y"]["lex"]) for r in got) == expect
