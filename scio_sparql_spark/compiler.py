@@ -32,6 +32,7 @@ from .terms import (
     XSD_INTEGER,
     XSD_STRING,
     bool_term,
+    exact_decimal,
     make_numeric_term,
     null_term,
     num_value,
@@ -726,8 +727,17 @@ class Compiler:
                 return [F.countDistinct(a).alias(f"__v_{out_name}")]
             return [F.count(a).alias(f"__v_{out_name}")]
         if agg.fn == "SUM":
+            # exact decimal lane (terms.exact_decimal): valid only when
+            # EVERY numeric input fit the exactness guard — a partial
+            # decimal sum would silently skip the wide elements
             return [
                 F.sum(num_value(a)).alias(f"__v_{out_name}"),
+                F.sum(exact_decimal(a)).alias(f"__x_{out_name}"),
+                F.max(
+                    F.when(
+                        num_value(a).isNotNull() & exact_decimal(a).isNull(), 1
+                    ).otherwise(0)
+                ).alias(f"__xbad_{out_name}"),
                 F.max(promotion_level(a)).alias(f"__lvl_{out_name}"),
                 F.max(F.when(a.isNull() | num_value(a).isNull(), 1).otherwise(0)).alias(
                     f"__err_{out_name}"
@@ -774,7 +784,14 @@ class Compiler:
             term = typed_term(v.cast("string"), XSD_INTEGER)
         elif agg.fn == "SUM":
             lvl = F.coalesce(F.col(f"__lvl_{out_name}"), F.lit(0))
-            term = F.when(err == 0, make_numeric_term(F.coalesce(v, F.lit(0.0)), lvl))
+            exact = F.when(
+                F.col(f"__xbad_{out_name}") == 0,
+                F.coalesce(F.col(f"__x_{out_name}"), F.lit(0).cast("decimal(19,6)")),
+            )
+            term = F.when(
+                err == 0,
+                make_numeric_term(F.coalesce(v, F.lit(0.0)), lvl, exact=exact),
+            )
         elif agg.fn == "AVG":
             # SPARQL AVG of integers is decimal-typed (xsd:decimal)
             lvl = F.greatest(F.coalesce(F.col(f"__lvl_{out_name}"), F.lit(1)), F.lit(1))
@@ -791,7 +808,13 @@ class Compiler:
             raise NotImplementedError(agg.fn)
         drops = [
             c
-            for c in (f"__v_{out_name}", f"__err_{out_name}", f"__lvl_{out_name}")
+            for c in (
+                f"__v_{out_name}",
+                f"__err_{out_name}",
+                f"__lvl_{out_name}",
+                f"__x_{out_name}",
+                f"__xbad_{out_name}",
+            )
             if c in out.columns
         ]
         return out.withColumn(out_name, term).drop(*drops)

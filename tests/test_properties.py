@@ -143,3 +143,87 @@ def test_strbefore_strafter_match_oracle(spark, cases):
 
     expect = sorted(oracle(a, b) for a, b in cases)
     assert sorted((r["x"]["lex"], r["y"]["lex"]) for r in got) == expect
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3).map(lambda k: (f'"k{k}"', k)), _nums),
+        min_size=1, max_size=40,
+    )
+)
+def test_grouped_aggregates_match_oracle(spark, pairs):
+    """SUM must be exact at integer/decimal level (the compiler's exact
+    decimal lane); MIN/MAX return an original term; COUNT counts
+    non-error rows. Keys are strings so the group-by is value-clean."""
+    rows = [(k[0], v[0]) for k, v in pairs]
+    # oracle
+    groups: dict = {}
+    for (ktxt, _), v in pairs:
+        groups.setdefault(ktxt.strip('"'), []).append(v)
+    expect = []
+    for k, vs in groups.items():
+        lvl = max(x[1] for x in vs)
+        dt = XSD + ("decimal" if lvl else "integer")
+        expect.append(
+            (
+                k,
+                sum(x[2] for x in vs),
+                dt,
+                min(x[2] for x in vs),
+                max(x[2] for x in vs),
+                len(vs),
+            )
+        )
+    body = " ".join(f"({a} {b})" for a, b in rows)
+    q = (
+        "SELECT ?a (SUM(?b) AS ?s) (MIN(?b) AS ?mn) (MAX(?b) AS ?mx) "
+        "(COUNT(?b) AS ?c) WHERE { VALUES (?a ?b) { " + body + " } } "
+        "GROUP BY ?a"
+    )
+    got = execute_sparql(_quads(spark), q).collect()
+    found = sorted(
+        (
+            r["a"]["lex"],
+            decimal.Decimal(r["s"]["lex"]),
+            r["s"]["dt"],
+            decimal.Decimal(r["mn"]["lex"]),
+            decimal.Decimal(r["mx"]["lex"]),
+            int(r["c"]["lex"]),
+        )
+        for r in got
+    )
+    assert found == sorted(expect)
+
+
+_ebv_vals = st.sampled_from(
+    [
+        ("true", True), ("false", False),
+        ("0", False), ("1", True), ("42", True), ("-3", True),
+        ("0.0", False), ("2.5", True),
+        ('""', False), ('"x"', True), ('"false"', True),  # EBV of a
+        # non-empty plain string is true regardless of its text (§17.2.2)
+    ]
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.tuples(_ebv_vals, _ebv_vals), min_size=1, max_size=40))
+def test_ebv_and_logical_connectives_match_oracle(spark, cases):
+    """§17.2.2 effective boolean value feeding &&, ||, ! — booleans by
+    value, numerics by != 0, strings by length != 0."""
+    body = " ".join(f"({a[0]} {b[0]})" for a, b in cases)
+    q = (
+        "SELECT (IF(?a && ?b, 1, 0) AS ?and) (IF(?a || ?b, 1, 0) AS ?or) "
+        "(IF(!?a, 1, 0) AS ?not) WHERE { VALUES (?a ?b) { " + body + " } }"
+    )
+    got = execute_sparql(_quads(spark), q).collect()
+    expect = sorted(
+        (
+            str(int(ea and eb)), str(int(ea or eb)), str(int(not ea))
+        )
+        for (_, ea), (_, eb) in cases
+    )
+    assert sorted(
+        (r["and"]["lex"], r["or"]["lex"], r["not"]["lex"]) for r in got
+    ) == expect
