@@ -7,6 +7,12 @@ declarative plans, Catalyst optimization, Tungsten execution.
 """
 
 from .engine import execute_sparql  # noqa: F401
+from .sources.results import (  # noqa: F401
+    to_result_csv_df,
+    to_result_json,
+    to_result_json_df,
+    to_result_tsv_df,
+)
 from .sources.rio import (  # noqa: F401
     parse_turtle,
     quads_df_from_list,
