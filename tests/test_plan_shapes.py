@@ -157,3 +157,26 @@ def test_exact_dedup_partial_aggregation(spark):
     )
     plan = _plan(dedup.exact_dedup(docs))
     assert "partial_min" in plan, plan  # map-side combine on the digest
+
+
+def test_not_exists_and_minus_plan_as_anti_hash_joins(spark, quads):
+    """NOT EXISTS / MINUS with shared assured vars must plan as keyed
+    anti joins (hash or sort-merge), never a nested-loop over the full
+    right side — at warehouse scale a BNLJ anti is quadratic."""
+    ne = execute_sparql(
+        quads,
+        """PREFIX : <urn:p:>
+        SELECT ?s WHERE { ?s :val ?v .
+          FILTER NOT EXISTS { ?s :ref ?t } }""",
+    )
+    mi = execute_sparql(
+        quads,
+        """PREFIX : <urn:p:>
+        SELECT ?s ?v WHERE { ?s :val ?v .
+          MINUS { ?s :val 3 } }""",
+    )
+    for df in (ne, mi):
+        plan = _plan(df)
+        assert "LeftAnti" in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "CartesianProduct" not in plan, plan

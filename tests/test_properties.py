@@ -227,3 +227,25 @@ def test_ebv_and_logical_connectives_match_oracle(spark, cases):
     assert sorted(
         (r["and"]["lex"], r["or"]["lex"], r["not"]["lex"]) for r in got
     ) == expect
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.tuples(_nums, _nums), min_size=1, max_size=40))
+def test_order_by_numeric_matches_oracle(spark, pairs):
+    """ORDER BY over mixed integer/decimal values sorts by numeric VALUE
+    (1 < 1.5 < 2), ascending and descending, with the secondary key
+    breaking ties deterministically."""
+    rows = [(a[0], b[0]) for a, b in pairs]
+    body = " ".join(f"({a} {b})" for a, b in rows)
+    q = (
+        "SELECT ?a ?b WHERE { VALUES (?a ?b) { " + body + " } } "
+        "ORDER BY ?a DESC(?b)"
+    )
+    got = [
+        (decimal.Decimal(r["a"]["lex"]), decimal.Decimal(r["b"]["lex"]))
+        for r in execute_sparql(_quads(spark), q).collect()
+    ]
+    expect = sorted(
+        ((a[2], b[2]) for a, b in pairs), key=lambda t: (t[0], -t[1])
+    )
+    assert got == expect
