@@ -751,6 +751,17 @@ class Compiler:
                     f"__err_{out_name}"
                 ),
             ]
+        # MIN/MAX/SAMPLE carry a term struct in the aggregation buffer,
+        # which Spark cannot hash-aggregate (HashAggregateExec needs
+        # fixed-width mutable buffer fields; probed empirically — max of
+        # double hashes, max/max_by/first of string or struct all fall to
+        # SortAggregate). This is inherent to a total-order reduction
+        # over heterogeneous terms, NOT the round-2 star trap (which was
+        # an avoidable SortAggregate on every star query): the partial
+        # aggregate still combines map-side before the shuffle and the
+        # sort is spillable. A hash-only lane would have to rebuild the
+        # winning term from its numeric value, losing the original
+        # lexical form/datatype the spec says MIN/MAX return.
         if agg.fn == "MIN":
             return [F.min_by(a, sort_key(a)).alias(f"__v_{out_name}"), err]
         if agg.fn == "MAX":

@@ -217,8 +217,12 @@ def _describe(df: DataFrame, targets: tuple, quads: DataFrame) -> DataFrame:
     res = res.filter(F.col("r").isNotNull()).dropDuplicates()
 
     def outgoing(frontier: DataFrame) -> DataFrame:
+        # explicit broadcast: the frontier is a described-resource set
+        # (tiny by construction); without the hint a constant-target
+        # DESCRIBE constant-folds the join condition into the scan and
+        # Catalyst plans a CartesianProduct against the 1-row side
         return (
-            quads.join(frontier, quads["subject"] == frontier["r"])
+            quads.join(F.broadcast(frontier), quads["subject"] == frontier["r"])
             .select(
                 F.col("subject").alias("s"),
                 F.col("predicate").alias("p"),

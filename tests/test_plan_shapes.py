@@ -180,3 +180,38 @@ def test_not_exists_and_minus_plan_as_anti_hash_joins(spark, quads):
         assert "LeftAnti" in plan, plan
         assert "BroadcastNestedLoopJoin" not in plan, plan
         assert "CartesianProduct" not in plan, plan
+
+
+def test_catalog_sparql_plans_free_of_anti_patterns(spark):
+    """Sweeping audit: every sparql_* catalog entry's executed plan is
+    free of scale anti-patterns — no CartesianProduct, no Python eval,
+    and SortAggregate only where inherent (MIN/MAX/SAMPLE aggregates
+    carry term structs in the buffer, which Spark cannot
+    hash-aggregate; see compiler._agg_exprs). BNLJ is allowed only for
+    the UNDEF-tolerant VALUES join (OR-conditions over a broadcast
+    literal list)."""
+    from scio_sparql_spark import workload
+
+    SORT_AGG_OK = {"sparql_agg_minmax", "sparql_agg_expr", "sparql_sample"}
+    # values_undef: OR-conditions over a broadcast literal list;
+    # describe: constant target folds the join condition into the scan,
+    # leaving a broadcast NLJ against the 1-row resource set
+    BNLJ_OK = {"sparql_values_undef", "sparql_describe"}
+    sf = "/root/testdata/sf0.001"
+    offenders = {}
+    for name, fn in workload.build_queries().items():
+        if not name.startswith("sparql_"):
+            continue
+        plan = _plan(fn(spark, sf))
+        flags = []
+        if "CartesianProduct" in plan:
+            flags.append("CartesianProduct")
+        if "BatchEvalPython" in plan or "ArrowEvalPython" in plan:
+            flags.append("PythonEval")
+        if "SortAggregate" in plan and name not in SORT_AGG_OK:
+            flags.append("SortAggregate")
+        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
+            flags.append("BNLJ")
+        if flags:
+            offenders[name] = flags
+    assert not offenders, offenders
