@@ -215,3 +215,40 @@ def test_catalog_sparql_plans_free_of_anti_patterns(spark):
         if flags:
             offenders[name] = flags
     assert not offenders, offenders
+
+
+def test_catalog_extras_plans_free_of_anti_patterns(spark):
+    """Same sweep for the pipeline extras. Allowlisted by design:
+    ngram_jaccard / embedding_cosine are the documented QUADRATIC exact
+    baselines (their LSH variants are the scale path); bm25 joins the
+    1-row corpus-stats aggregate without keys (broadcast NLJ of a
+    scalar); keep_best's max_by carries the winning row in the buffer
+    (same inherent SortAggregate as term MIN/MAX); multimodal entries
+    are the sanctioned Arrow mapInPandas users."""
+    from scio_sparql_spark import workload
+
+    BNLJ_OK = {"dedup_ngram_jaccard", "dedup_embedding_cosine", "retrieval_bm25"}
+    SORT_AGG_OK = {"dedup_keep_best"}
+    ARROW_OK = {"multimodal_features", "multimodal_frames"}
+    sf = "/root/testdata/sf0.001"
+    offenders = {}
+    for name, fn in workload.build_queries().items():
+        if name.startswith("sparql_"):
+            continue
+        plan = _plan(fn(spark, sf))
+        flags = []
+        if "CartesianProduct" in plan:
+            flags.append("CartesianProduct")
+        if "BatchEvalPython" in plan:
+            flags.append("RowPythonEval")  # row-at-a-time: never OK
+        if (
+            "ArrowEvalPython" in plan or "MapInPandas" in plan
+        ) and name not in ARROW_OK:
+            flags.append("ArrowEval")
+        if "SortAggregate" in plan and name not in SORT_AGG_OK:
+            flags.append("SortAggregate")
+        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
+            flags.append("BNLJ")
+        if flags:
+            offenders[name] = flags
+    assert not offenders, offenders
