@@ -795,9 +795,11 @@ class Compiler:
             term = typed_term(v.cast("string"), XSD_INTEGER)
         elif agg.fn == "SUM":
             lvl = F.coalesce(F.col(f"__lvl_{out_name}"), F.lit(0))
+            # no coalesce here: a NULL exact sum (decimal overflow past
+            # 10^23, or an empty/all-error group) must FALL BACK to the
+            # double lex, not masquerade as an exact 0
             exact = F.when(
-                F.col(f"__xbad_{out_name}") == 0,
-                F.coalesce(F.col(f"__x_{out_name}"), F.lit(0).cast("decimal(19,6)")),
+                F.col(f"__xbad_{out_name}") == 0, F.col(f"__x_{out_name}")
             )
             term = F.when(
                 err == 0,

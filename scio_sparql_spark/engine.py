@@ -216,13 +216,19 @@ def _describe(df: DataFrame, targets: tuple, quads: DataFrame) -> DataFrame:
         res = res.unionByName(part)
     res = res.filter(F.col("r").isNotNull()).dropDuplicates()
 
-    def outgoing(frontier: DataFrame) -> DataFrame:
-        # explicit broadcast: the frontier is a described-resource set
-        # (tiny by construction); without the hint a constant-target
-        # DESCRIBE constant-folds the join condition into the scan and
-        # Catalyst plans a CartesianProduct against the 1-row side
+    has_var_targets = any(isinstance(t, A.Var) for t in targets)
+
+    def outgoing(frontier: DataFrame, small: bool) -> DataFrame:
+        # ``small=True`` frontiers are broadcast: constant-target sets
+        # (a handful of IRIs — without the hint the constant-folded
+        # join condition leaves a CartesianProduct) and bnode-closure
+        # frontiers (bounded by the per-step dedup + depth cap). A
+        # VARIABLE-target initial set is unbounded (DESCRIBE ?x over a
+        # warehouse can name millions of resources), so it goes through
+        # a plain equi-join and AQE picks the strategy from its size.
+        side = F.broadcast(frontier) if small else frontier
         return (
-            quads.join(F.broadcast(frontier), quads["subject"] == frontier["r"])
+            quads.join(side, quads["subject"] == frontier["r"])
             .select(
                 F.col("subject").alias("s"),
                 F.col("predicate").alias("p"),
@@ -231,7 +237,7 @@ def _describe(df: DataFrame, targets: tuple, quads: DataFrame) -> DataFrame:
             .dropDuplicates()
         )
 
-    out = outgoing(res)
+    out = outgoing(res, small=not has_var_targets)
     seen = res
     for _ in range(16):
         frontier = (
@@ -244,7 +250,7 @@ def _describe(df: DataFrame, targets: tuple, quads: DataFrame) -> DataFrame:
         if not frontier.take(1):
             break
         seen = seen.unionByName(frontier).localCheckpoint(eager=True)
-        out = out.unionByName(outgoing(frontier)).dropDuplicates()
+        out = out.unionByName(outgoing(frontier, small=True)).dropDuplicates()
     return out
 
 

@@ -64,7 +64,7 @@ def to_result_json_df(df: DataFrame) -> DataFrame:
 
 def to_result_json(df: DataFrame, limit: int | None = None) -> str:
     """The complete SPARQL 1.1 JSON results document (driver-side)."""
-    rows = to_result_json_df(df.limit(limit) if limit else df).collect()
+    rows = to_result_json_df(df.limit(limit) if limit is not None else df).collect()
     return json.dumps(
         {
             "head": {"vars": list(df.columns)},

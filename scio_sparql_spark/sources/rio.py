@@ -766,8 +766,18 @@ def _attach_star_catalog(spark: SparkSession, df: DataFrame, path: str) -> DataF
 
             pt = read_property_table(spark, os.path.join(path, _STAR_SIDECAR))
             df._scio_star_catalog = StarCatalog([pt])
-    except OSError:  # remote/object-store path: sidecar loading is opt-in
-        pass
+    except Exception as e:
+        # fail soft on ANY sidecar problem (corrupt/truncated meta JSON,
+        # unreadable parquet, remote path): the sidecar is a pure plan
+        # optimization and the quad store itself is healthy — a broken
+        # sidecar must not take read_triples down with it
+        import warnings
+
+        warnings.warn(
+            f"ignoring unreadable star sidecar at {path}/{_STAR_SIDECAR}: {e}",
+            RuntimeWarning,
+            stacklevel=3,
+        )
     return df
 
 
@@ -801,13 +811,19 @@ def write_triples(
             write_property_table,
         )
 
+        # build the sidecar from the parquet just written, not from df:
+        # re-executing an expensive upstream lineage 2 more times (the
+        # detection aggregate + the pivot) is wasted compute, and the
+        # sidecar should describe the persisted bytes even when the
+        # lineage is nondeterministic
+        stored = df.sparkSession.read.schema(QUADS_SCHEMA).parquet(path)
         preds = (
-            detect_single_valued(df)
+            detect_single_valued(stored)
             if property_table is True
             else list(property_table)
         )
         if preds:
             write_property_table(
-                property_table_from_quads(df, preds),
+                property_table_from_quads(stored, preds),
                 os.path.join(path, _STAR_SIDECAR),
             )

@@ -179,15 +179,21 @@ class Parser:
             return Term.literal(t.value)
         if t.kind == "NUMBER":
             return _numeric_term(t.value)
-        if t.kind == "OP" and t.value in ("+", "-") and self.peek().kind == "NUMBER":
+        if (
+            t.kind == "OP"
+            and t.value in ("+", "-")
+            and self.peek().kind == "NUMBER"
+            and self.peek().pos == t.pos + 1
+        ):
             # NumericLiteralPositive / NumericLiteralNegative (grammar
-            # [131]/[132]) — legal wherever a numeric literal is, incl.
-            # VALUES data blocks (caught by hypothesis differential test)
+            # [131]/[132]) — single tokens, so the sign must be ADJACENT
+            # to the digits; the written sign is kept in the lexical
+            # form ("+5" stays "+5", both are valid xsd lexical forms).
+            # Legal wherever a numeric literal is, incl. VALUES data
+            # blocks (caught by hypothesis differential test).
             num = self.next()
             term = _numeric_term(num.value)
-            if t.value == "-":
-                term = Term(term.kind, "-" + term.lex, term.dt, term.lang)
-            return term
+            return Term(term.kind, t.value + term.lex, term.dt, term.lang)
         if t.kind == "KEYWORD" and t.value.upper() in ("TRUE", "FALSE"):
             return Term.boolean(t.value.upper() == "TRUE")
         raise SyntaxError(f"expected literal at {t.pos}: {t.value!r}")
@@ -209,13 +215,18 @@ class Parser:
             t.kind == "KEYWORD" and t.value.upper() in ("TRUE", "FALSE")
         ):
             return self.parse_literal()
-        if t.kind == "OP" and t.value in ("+", "-") and self.peek(1).kind == "NUMBER":
+        if (
+            t.kind == "OP"
+            and t.value in ("+", "-")
+            and self.peek(1).kind == "NUMBER"
+            and self.peek(1).pos == t.pos + 1
+        ):
+            # signed numeric literal: single token per grammar
+            # [131]/[132] (adjacent sign), written sign kept in the lex
             self.next()
             num = self.next()
             term = _numeric_term(num.value)
-            if t.value == "-":
-                term = Term(term.kind, "-" + term.lex, term.dt, term.lang)
-            return term
+            return Term(term.kind, t.value + term.lex, term.dt, term.lang)
         raise SyntaxError(f"expected var or term at {t.pos}: {t.value!r}")
 
     # --- query ---

@@ -255,7 +255,7 @@ def props_field_stats(
     NULL (skipped by the aggregates, counted separately). One keyed
     shuffle with map-side partial aggregation.
 
-    `avg_field` is emitted as DECIMAL(18,6) rather than DOUBLE so the
+    `avg_field` is emitted as DECIMAL(38,6) rather than DOUBLE so the
     result hashes identically across engines — a rounded double can
     serialize differently (6th-decimal representation) between Spark
     and an external oracle even when the values compare equal."""
@@ -267,6 +267,6 @@ def props_field_stats(
             F.count("*").alias("n_events"),
             F.count("__k").alias("n_with_field"),
             F.sum("__k").alias("sum_field"),
-            F.round(F.avg("__k"), 6).cast("decimal(18,6)").alias("avg_field"),
+            F.round(F.avg("__k"), 6).cast("decimal(38,6)").alias("avg_field"),
         )
     )

@@ -34,7 +34,7 @@ def _sparql(tables, query, project):
     """Build a queries() callable: tables -> quads -> SPARQL -> plain cols.
 
     project: list of (out_name, var, kind) with kind in s|i|f|f4|f6|d6.
-    d6 = DECIMAL(18,6): used for averaged/divided outputs so the driver's
+    d6 = DECIMAL(38,6): used for averaged/divided outputs so the driver's
     value-hash never touches a double (rounded doubles can serialize
     differently across engines even when equal — the r3 events_props
     lesson).
@@ -57,7 +57,7 @@ def _sparql(tables, query, project):
             elif kind == "f6":
                 c = F.round(lex.cast("double"), 6)
             elif kind == "d6":
-                c = F.round(lex.cast("double"), 6).cast("decimal(18,6)")
+                c = F.round(lex.cast("double"), 6).cast("decimal(38,6)")
             else:
                 raise ValueError(kind)
             cols.append(c.alias(out))
@@ -143,7 +143,7 @@ SPARQL_QUERIES = {
            GROUP BY ?status""",
         [("status", "status", "s"), ("avg_qty", "avg_qty", "d6")],
         "SELECT l_linestatus AS status, CAST(ROUND(AVG(l_quantity), 6) "
-        "AS DECIMAL(18,6)) AS avg_qty FROM lineitem GROUP BY l_linestatus",
+        "AS DECIMAL(38,6)) AS avg_qty FROM lineitem GROUP BY l_linestatus",
     ),
     # §2.4 MIN/MAX
     "sparql_agg_minmax": (
@@ -178,7 +178,7 @@ SPARQL_QUERIES = {
         [("brand", "brand", "s"), ("mid", "mid", "d6")],
         "SELECT p_brand AS brand, "
         "CAST(ROUND((MIN(p_retailprice) + MAX(p_retailprice)) / 2, 6) "
-        "AS DECIMAL(18,6)) AS mid FROM part GROUP BY p_brand",
+        "AS DECIMAL(38,6)) AS mid FROM part GROUP BY p_brand",
     ),
     # §2.7 Union
     "sparql_union": (
@@ -1241,7 +1241,7 @@ EXTRA_QUERIES = {
                   COUNT(CAST(props->>'$.k' AS BIGINT)) AS n_with_field,
                   SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_field,
                   CAST(ROUND(AVG(CAST(props->>'$.k' AS BIGINT)), 6)
-                       AS DECIMAL(18,6)) AS avg_field
+                       AS DECIMAL(38,6)) AS avg_field
            FROM events GROUP BY event_type""",
     ),
 }
@@ -1290,7 +1290,7 @@ CATALOG_FRONT = [
     "sparql_singleton",
     "sparql_union_default_graph",
     # verified: r3 FAIL (float-hash artifact) — fixed this round to emit
-    # avg_field as DECIMAL(18,6); must re-check
+    # avg_field as fixed-point decimal; must re-check
     "events_props",
     # verified: rows-only (no_oracle) every round — keep in window; r4
     # adds recall/containment invariant tests behind them

@@ -289,3 +289,24 @@ def test_single_valued_kwarg_warns(spark):
         warnings.simplefilter("always")
         execute_sparql(quads, STAR_Q, single_valued={"urn:o:p"})
         assert any(issubclass(x.category, DeprecationWarning) for x in w)
+
+
+def test_corrupt_star_sidecar_fails_soft(spark, tmp_path):
+    """A truncated/garbled _star sidecar must not take read_triples
+    down: the sidecar is a plan optimization; the quad store is healthy."""
+    import warnings
+
+    from scio_sparql_spark.sources.rio import read_triples, write_triples
+
+    quads = quads_df_from_list(spark, parse_turtle(STAR_TTL))
+    path = str(tmp_path / "store2.parquet")
+    write_triples(quads, path, property_table=True)
+    # corrupt the sidecar meta
+    with open(f"{path}/_star/_star_meta.json", "w") as f:
+        f.write("{not json")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        reread = read_triples(spark, path)
+        assert any("star sidecar" in str(x.message) for x in w)
+    assert getattr(reread, "_scio_star_catalog", None) is None
+    assert reread.count() == quads.count()

@@ -33,9 +33,8 @@ _decs = st.decimals(
 def _num(draw_val):
     """(sparql literal text, promotion level 0=integer 1=decimal, exact value)"""
     if isinstance(draw_val, decimal.Decimal):
-        return format(draw_val, "f") if "." in format(draw_val, "f") else format(
-            draw_val, "f"
-        ) + ".0", 1, draw_val
+        s = format(draw_val, "f")
+        return (s if "." in s else s + ".0"), 1, draw_val
     return str(draw_val), 0, decimal.Decimal(draw_val)
 
 
@@ -105,8 +104,6 @@ _safe_text = st.text(
 def test_substr_one_based_matches_oracle(spark, cases):
     # xs:substring, 1-based: characters at positions p with
     # start <= p < start + len
-    rows = [(f'"{s}"', f"{st_}") for s, st_, _ in cases]
-    lens = [ln for _, _, ln in cases]
     body = " ".join(
         f'("{s}" {st_} {ln})' for s, st_, ln in cases
     )
@@ -120,7 +117,6 @@ def test_substr_one_based_matches_oracle(spark, cases):
         for s, st_, ln in cases
     )
     assert sorted(r["r"]["lex"] for r in got) == expect
-    del rows, lens
 
 
 @settings(max_examples=5, deadline=None)

@@ -87,3 +87,22 @@ def test_bind(spark):
         out,
         [{"book": iri(BK + "book1"), "title": s("SPARQL Tutorial"), "price": num(1764)}],
     )
+
+
+def test_signed_numeric_literals_in_values(spark):
+    """Grammar [131]/[132]: signed numeric literals are single tokens —
+    adjacent sign parses (keeping the written sign in the lexical
+    form); a detached sign is a syntax error."""
+    import pytest
+
+    from scio_sparql_spark import execute_sparql, parse_turtle, quads_df_from_list
+
+    quads = quads_df_from_list(
+        spark, parse_turtle("@prefix : <urn:x:> . :a :p 1 .")
+    )
+    df = execute_sparql(
+        quads, "SELECT ?v WHERE { VALUES ?v { -1 +2 3 -4.5 } }"
+    )
+    assert sorted(r["v"]["lex"] for r in df.collect()) == ["+2", "-1", "-4.5", "3"]
+    with pytest.raises(SyntaxError):
+        execute_sparql(quads, "SELECT ?v WHERE { VALUES ?v { - 1 } }")
