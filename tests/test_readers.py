@@ -453,3 +453,39 @@ def test_unsupported_extension_clear_error(spark, tmp_path):
     p.write_text("")
     with pytest.raises(ValueError, match="supported extensions"):
         read_triples(spark, str(p))
+
+
+def test_streaming_sparql_aggregation(spark, tmp_path):
+    """Continuous SPARQL aggregation: a GROUP BY query compiles to a
+    plain streaming-compatible groupBy().agg(), so it runs over a live
+    quad stream under outputMode=complete — per-micro-batch updated
+    aggregates with no engine changes (the reference is batch-only)."""
+    from scio_sparql_spark import execute_sparql, read_triples_stream
+
+    d = tmp_path / "ntagg"
+    d.mkdir()
+    (d / "a.nt").write_text(
+        '<urn:s:1> <urn:p:t> "x" .\n'
+        '<urn:s:2> <urn:p:t> "x" .\n'
+        '<urn:s:3> <urn:p:t> "y" .\n'
+    )
+    stream = read_triples_stream(spark, str(d))
+    out = execute_sparql(
+        stream,
+        "PREFIX : <urn:p:> SELECT ?t (COUNT(?s) AS ?n) "
+        "WHERE { ?s :t ?t } GROUP BY ?t",
+    )
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("agg_stream_t")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {
+        r["t"]["lex"]: int(r["n"]["lex"])
+        for r in spark.sql("select * from agg_stream_t").collect()
+    }
+    assert got == {"x": 2, "y": 1}
