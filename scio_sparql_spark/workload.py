@@ -764,7 +764,12 @@ def q_quads_roundtrip(spark, sf_dir):
     from .sources.rio import read_triples, write_triples
 
     quads = tables_to_quads(spark, sf_dir, ["nation", "region"])
-    path = os.path.join(tempfile.gettempdir(), "scio_sparql_quads_rt.parquet")
+    # per-session path: concurrent runs on a shared machine must not
+    # race on one fixed temp directory (ADVICE r3)
+    app_id = spark.sparkContext.applicationId
+    path = os.path.join(
+        tempfile.gettempdir(), f"scio_sparql_quads_rt_{app_id}.parquet"
+    )
     write_triples(quads, path, partition_by_predicate=True)
     df = execute_sparql(
         read_triples(spark, path),
