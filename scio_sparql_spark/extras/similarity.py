@@ -316,6 +316,78 @@ def ivf_cosine_topk(
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
 
 
+def sign_bucket(vec_col_name: str, sign_bits: int = 4):
+    """Deterministic semantic blocking key: the sign pattern of the
+    first ``sign_bits`` embedding dimensions packed into an int. Pure
+    comparisons — no arithmetic, so any engine reproduces the exact
+    bucket from the same floats (unlike a fitted quantizer)."""
+    b = F.lit(0)
+    for j in range(sign_bits):
+        b = b + F.when(
+            F.expr(f"element_at(`{vec_col_name}`, {j + 1})") >= 0, F.lit(1 << j)
+        ).otherwise(F.lit(0))
+    return b
+
+
+def semantic_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.7,
+    sign_bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023):
+    block embeddings into buckets, then exact cosine >= threshold within
+    each bucket (a < b). Where SemDeDup blocks with fitted k-means
+    clusters, this uses the deterministic sign-pattern of the first
+    ``sign_bits`` dimensions — same candidate-pruning shape, but the
+    bucket is a pure function of the vector, so results are reproducible
+    across engines/runs with no model object (and oracle-verifiable).
+
+    Beyond-reference surface (no counterpart in the reference engine).
+
+    Approximation contract: pairs whose vectors disagree on any blocked
+    dimension's sign are never compared (for truly near-identical
+    embeddings the signs agree except on dimensions near zero). Raise
+    recall by lowering ``sign_bits``, or sweep sign-bit OFFSETS and
+    union, like LSH multi-probe.
+
+    Scale design (100 TB): one shuffle on the bucket key; candidate
+    pairs are quadratic only within a bucket (~N/2^sign_bits rows), the
+    same containment argument as MinHash banding. The per-row norm is
+    computed once before the join (unrolled into codegen when ``dim``
+    is given); the pair dot stays a single-loop HOF — see
+    all_pairs_above on why that beats an unrolled tree inside a join
+    condition."""
+    norm_sq = (
+        _norm_sq_unrolled(vec_col, dim) if dim else _dot(F.col(vec_col), F.col(vec_col))
+    )
+    base = spread(emb).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.sqrt(norm_sq).alias("__n"),
+        sign_bucket(vec_col, sign_bits).alias("__b"),
+    )
+    a = base.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        F.col("__n").alias("na"),
+        F.col("__b").alias("ba"),
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        F.col("__n").alias("nb"),
+        F.col("__b").alias("bb"),
+    )
+    pairs = a.join(b, (F.col("ba") == F.col("bb")) & (F.col("id_a") < F.col("id_b")))
+    score = F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+    return pairs.select("id_a", "id_b", score.alias("score")).filter(
+        F.col("score") >= threshold
+    )
+
+
 def all_pairs_above(
     emb: DataFrame,
     threshold: float = 0.9,

@@ -590,6 +590,27 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     )
 
 
+def q_dedup_spans(spark, sf_dir):
+    # substring-level dedup signal: n=3 so the small synthetic
+    # vocabulary actually produces cross-document window collisions
+    return dedup.dup_span_coverage(_table(spark, sf_dir, "documents"), n=3)
+
+
+def q_dedup_semantic(spark, sf_dir):
+    # SemDeDup-shaped blocked near-dup: same 0.4 threshold as the exact
+    # all-pairs entry, so the containment invariant (semantic ⊆ exact,
+    # exact restricted to same-bucket = semantic) is testable
+    return similarity.semantic_dup_pairs(
+        _table(spark, sf_dir, "embeddings"), threshold=0.4, sign_bits=4, dim=64
+    )
+
+
+def q_docs_clean_pipeline(spark, sf_dir):
+    return pipeline.clean_corpus(
+        _table(spark, sf_dir, "documents"), min_tokens=10, langs=("en",)
+    )
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     emb = _table(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
@@ -982,6 +1003,87 @@ EXTRA_QUERIES = {
     ),
     "ann_lsh_topk": (q_ann_lsh_topk, None),
     "ann_ivf_topk": (q_ann_ivf_topk, None),
+    # substring-level dedup signal: per-doc fraction of word-3-gram
+    # windows occurring in >= 2 documents (Lee et al. 2022, n-gram
+    # approximation). Oracle groups raw n-grams; Spark groups xxhash64
+    # of them — same counts absent 64-bit collisions.
+    "dedup_spans": (
+        q_dedup_spans,
+        f"""WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+             s AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                     generate_series(1, greatest(len(toks) - 3, 0) + 1),
+                     i -> array_to_string(toks[i:i+2], ' ')))) AS g
+                   FROM t),
+             s2 AS (SELECT doc_id, g FROM s WHERE g <> ''),
+             c AS (SELECT g, COUNT(*) AS ndocs FROM s2 GROUP BY g),
+             p AS (SELECT doc_id, COUNT(*) AS n_windows,
+                          CAST(SUM(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END)
+                               AS BIGINT) AS n_dup_windows
+                   FROM s2 JOIN c USING (g) GROUP BY doc_id)
+            SELECT d.doc_id,
+                   COALESCE(p.n_windows, 0) AS n_windows,
+                   COALESCE(p.n_dup_windows, 0) AS n_dup_windows,
+                   CAST(ROUND(CASE WHEN COALESCE(p.n_windows, 0) = 0 THEN 0.0
+                              ELSE CAST(p.n_dup_windows AS DOUBLE) / p.n_windows
+                              END, 6) AS DECIMAL(38,6)) AS dup_ratio
+            FROM documents d LEFT JOIN p USING (doc_id)""",
+    ),
+    # SemDeDup-shaped blocked near-dup: sign-pattern bucket on the first
+    # 4 dims, exact cosine within buckets — deterministic, so fully
+    # oracle-checkable (unlike the fitted-quantizer variants)
+    "dedup_semantic": (
+        q_dedup_semantic,
+        """WITH bk AS (SELECT vec_id,
+                         (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+                        + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+                        + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
+                        + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END)
+                         AS bucket
+                   FROM embeddings),
+             e AS (SELECT vec_id, unnest(embedding) AS v,
+                          generate_subscripts(embedding, 1) AS i
+                   FROM embeddings),
+             d AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+                          SUM(CAST(a.v AS DOUBLE) * CAST(b2.v AS DOUBLE)) AS dot,
+                          SUM(CAST(a.v AS DOUBLE) * CAST(a.v AS DOUBLE)) AS na,
+                          SUM(CAST(b2.v AS DOUBLE) * CAST(b2.v AS DOUBLE)) AS nb
+                   FROM e a JOIN e b2 ON a.i = b2.i AND a.vec_id < b2.vec_id
+                   GROUP BY 1, 2)
+           SELECT id_a, id_b,
+                  ROUND(dot / (sqrt(na) * sqrt(nb)), 6) AS score
+           FROM d
+           JOIN bk ba ON ba.vec_id = id_a
+           JOIN bk bb ON bb.vec_id = id_b
+           WHERE ba.bucket = bb.bucket
+             AND ROUND(dot / (sqrt(na) * sqrt(nb)), 6) >= 0.4""",
+    ),
+    # C4-style composite cleaning pass: lang filter + length filter +
+    # exact dedup (min id per digest) + PII redaction in one plan
+    "docs_clean_pipeline": (
+        q_docs_clean_pipeline,
+        f"""WITH t AS (SELECT doc_id, source, text, {_TOKS} AS toks
+                       FROM documents),
+             s AS (SELECT doc_id, source, text, len(toks) AS n_tokens,
+                          len(list_filter(toks, t2 -> list_contains(
+                            ['the','a','of','and','to','in','is','it','that','for'],
+                            t2))) AS en,
+                          len(list_filter(toks, t2 -> list_contains(
+                            ['el','la','de','y','que','en','un','es','se','no'],
+                            t2))) AS es
+                   FROM t),
+             f AS (SELECT doc_id, source, text, n_tokens,
+                          CASE WHEN en > es THEN 'en'
+                               WHEN es > en THEN 'es'
+                               ELSE 'unknown' END AS lang_pred
+                   FROM s WHERE en > es AND n_tokens >= 10)
+            SELECT doc_id, source, lang_pred, n_tokens,
+                   regexp_replace(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+                     '<EMAIL>', 'g') AS clean_text
+            FROM f
+            QUALIFY row_number() OVER (
+              PARTITION BY md5(text) ORDER BY doc_id) = 1""",
+    ),
     "multimodal_features": (
         q_multimodal_features,
         """SELECT doc_id AS media_id,
@@ -1297,12 +1399,20 @@ CATALOG_FRONT = [
     # verified: r3 FAIL (float-hash artifact) — fixed this round to emit
     # avg_field as fixed-point decimal; must re-check
     "events_props",
-    # verified: rows-only (no_oracle) every round — keep in window; r4
-    # adds recall/containment invariant tests behind them
+    # verified: rows-only (no_oracle) every round; r4 adds recall
+    # invariant tests behind them. dedup_minhash_lsh / dedup_simhash
+    # (also rows-only, r1-r3 rows, code untouched in r4, containment
+    # invariants in pytest) rotate OUT to make room for the three new
+    # r4 operators below — a rows-only repeat carries less information
+    # than a first hash-checked row.
     "ann_lsh_topk",
     "ann_ivf_topk",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
+    # new in r4: substring-level dedup signal, SemDeDup-style blocked
+    # embedding near-dup, and the C4-style composite cleaning pass —
+    # all full-oracle entries, never driver-checked before
+    "dedup_spans",
+    "dedup_semantic",
+    "docs_clean_pipeline",
     # verified: r3 — oracles hardened to fixed-point this round
     # (avg-typed outputs), so re-verify
     "sparql_agg_avg",
@@ -1327,8 +1437,9 @@ CATALOG_FRONT = [
     "sparql_ask",
     "sparql_describe",
     "sparql_bindings",
-    # verified: r3 — exact oracle backing the new ANN recall tests
-    "ann_cosine_topk",
+    # (ann_cosine_topk rotated out: r3-green, similarity.py's exact
+    # top-k path untouched in r4; its correctness also anchors the
+    # pytest recall invariants)
 ]
 
 

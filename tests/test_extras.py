@@ -735,3 +735,93 @@ def test_ann_ivf_recall_on_corpus(spark, tmp_path):
         assert approx[0]["score"] == 1.0
         recalls.append(len(exact_ids & {r["vec_id"] for r in approx}) / 10)
     assert sum(recalls) / len(recalls) >= 0.3, recalls
+
+
+def test_dup_span_coverage(spark):
+    """Known-answer: doc 1 shares all its windows with doc 0; doc 2
+    shares none; a doc too short for a full window still gets a row."""
+    rows = [
+        (0, "a b c d e f"),            # windows (n=3): abc bcd cde def
+        (1, "a b c d"),                # windows: abc bcd  (all shared w/ 0)
+        (2, "x y z w v"),              # windows: xyz yzw zwv (unique)
+        (3, "q r"),                    # short: single truncated window "q r"
+        (4, ""),                       # no windows at all
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in dedup.dup_span_coverage(docs, n=3).collect()}
+    assert set(out) == {0, 1, 2, 3, 4}
+    assert (out[0]["n_windows"], out[0]["n_dup_windows"]) == (4, 2)
+    assert (out[1]["n_windows"], out[1]["n_dup_windows"]) == (2, 2)
+    assert float(out[1]["dup_ratio"]) == 1.0
+    assert (out[2]["n_windows"], out[2]["n_dup_windows"]) == (3, 0)
+    assert float(out[2]["dup_ratio"]) == 0.0
+    assert (out[3]["n_windows"], out[3]["n_dup_windows"]) == (1, 0)
+    assert (out[4]["n_windows"], out[4]["n_dup_windows"]) == (0, 0)
+    assert float(out[4]["dup_ratio"]) == 0.0
+
+
+def test_semantic_dup_pairs_containment(spark):
+    """Blocked semantic pairs == exact all-pairs restricted to equal
+    sign buckets (the SemDeDup approximation contract), on the fixture
+    embeddings; scores agree with the exact path."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    sem = {
+        (r["id_a"], r["id_b"]): r["score"]
+        for r in similarity.semantic_dup_pairs(
+            emb, threshold=0.4, sign_bits=4, dim=64
+        ).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"]): r["score"]
+        for r in similarity.all_pairs_above(emb, threshold=0.4, dim=64).collect()
+    }
+    buckets = {
+        r["vec_id"]: sum(
+            (1 << j) for j in range(4) if r["embedding"][j] >= 0
+        )
+        for r in emb.collect()
+    }
+    expected = {
+        p: s for p, s in exact.items() if buckets[p[0]] == buckets[p[1]]
+    }
+    assert sem == expected
+    assert set(sem) <= set(exact)  # containment: blocking only prunes
+
+
+def test_semantic_dup_pairs_known_answer(spark):
+    rows = [
+        (0, [1.0, 1.0, 0.0, 0.0]),
+        (1, [1.0, 0.9, 0.0, 0.0]),    # same bucket as 0, high cosine
+        (2, [-1.0, -1.0, 0.0, 0.0]),  # opposite signs: never compared
+        (3, [1.0, 1.0, 0.1, 0.0]),    # same bucket as 0/1 (0.1 >= 0... and 0.0 >= 0)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.semantic_dup_pairs(
+            emb, threshold=0.9, sign_bits=4, dim=4
+        ).collect()
+    }
+    # (0,2)/(1,2)/(3,2) blocked by sign disagreement even though
+    # cos(0,2) = -1 wouldn't pass anyway; (0,1),(0,3),(1,3) survive
+    assert pairs == {(0, 1), (0, 3), (1, 3)}
+
+
+def test_clean_corpus(spark):
+    from scio_sparql_spark.extras import pipeline
+
+    rows = [
+        # (doc_id, source, text)
+        (0, "s0", "the cat and the dog sat of it in a house for a while"),
+        (1, "s1", "the cat and the dog sat of it in a house for a while"),  # exact dup of 0
+        (2, "s2", "el gato y el perro que es un animal en la casa se queda no va"),  # es
+        (3, "s3", "the of and to in is it that for a b c d e f g h contact me@example.com ok"),
+        (4, "s4", "the of and short"),  # en but < 10 tokens
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = {r["doc_id"]: r for r in pipeline.clean_corpus(docs, min_tokens=10).collect()}
+    # 1 deduped into 0; 2 wrong lang; 4 too short
+    assert set(out) == {0, 3}
+    assert out[0]["lang_pred"] == "en" and out[0]["n_tokens"] == 14
+    assert "<EMAIL>" in out[3]["clean_text"]
+    assert "me@example.com" not in out[3]["clean_text"]
