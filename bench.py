@@ -44,6 +44,12 @@ BENCH_QUERIES = [
     "events_window",
     "events_sessions",
     "multimodal_frames",
+    # new in r4 (appended so the r1-r3 common-query comparison is
+    # unchanged): substring dedup signal, blocked semantic near-dup,
+    # composite clean pass
+    "dedup_spans",
+    "dedup_semantic",
+    "docs_clean_pipeline",
 ]
 
 
