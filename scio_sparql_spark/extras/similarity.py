@@ -184,10 +184,16 @@ def lsh_cosine_topk(
 def _lloyd_kmeans(sample, k: int, iters: int, seed: int):
     """Driver-side Lloyd's iterations on a bounded training sample
     (numpy, (n, dim) float64). Empty clusters keep their previous
-    centroid. Returns a (k, dim) ndarray."""
-    import numpy as np
+    centroid. Returns a (k, dim) ndarray.
 
+    When the sample holds fewer than ``k`` vectors, k is clamped to the
+    sample size — the index then has fewer buckets than requested
+    (duplicate sampled vectors can likewise leave some buckets empty);
+    harmless for probing, but callers expecting exactly ``n_centroids``
+    partitions should size the sample accordingly (ADVICE r4)."""
     X = np.asarray(sample, dtype=np.float64)
+    if not len(X):
+        raise ValueError("ivf_build_index: no vectors to train quantizer")
     k = min(k, len(X))
     rng = np.random.default_rng(seed)
     C = X[rng.choice(len(X), size=k, replace=False)].copy()
@@ -262,6 +268,9 @@ def ivf_build_index(
 
     @pandas_udf("int")
     def _nearest(vecs: pd.Series) -> pd.Series:
+        # precondition: embeddings are non-null and uniform-dimension
+        # (np.stack raises otherwise — ragged/null vectors are a data
+        # bug upstream, not something to paper over here; ADVICE r4)
         X = np.stack(vecs.to_numpy()).astype(np.float64)
         return pd.Series((X @ C.T - half_norms[None, :]).argmax(axis=1).astype("int32"))
 

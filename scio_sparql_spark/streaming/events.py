@@ -255,18 +255,26 @@ def props_field_stats(
     NULL (skipped by the aggregates, counted separately). One keyed
     shuffle with map-side partial aggregation.
 
-    `avg_field` is emitted as DECIMAL(38,6) rather than DOUBLE so the
-    result hashes identically across engines — a rounded double can
-    serialize differently (6th-decimal representation) between Spark
-    and an external oracle even when the values compare equal."""
+    `avg_field_micro` is BIGINT micro-units — ``(sum * 1e6) div count``
+    by pure integer division — never a rounded real: a rounded DOUBLE
+    (r3) and a DECIMAL(38,6) (r4) both serialize differently across
+    engines even when every value compares equal, while integer
+    division is bit-identical everywhere (VERDICT r4 item 1). NULL when
+    the group has no parseable field."""
     k = F.get_json_object(F.col(props_col), f"$.{field}").cast("bigint")
-    return (
+    out = (
         events.select(F.col(type_col), k.alias("__k"))
         .groupBy(type_col)
         .agg(
             F.count("*").alias("n_events"),
             F.count("__k").alias("n_with_field"),
             F.sum("__k").alias("sum_field"),
-            F.round(F.avg("__k"), 6).cast("decimal(38,6)").alias("avg_field"),
         )
+    )
+    return out.withColumn(
+        "avg_field_micro",
+        F.expr(
+            "CASE WHEN n_with_field > 0"
+            " THEN sum_field * CAST(1000000 AS BIGINT) DIV n_with_field END"
+        ),
     )

@@ -2,6 +2,13 @@ import pytest
 from pyspark.sql import SparkSession
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: bench-scale (sf0.1) validation; deselect with -m 'not slow'",
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = (
