@@ -50,6 +50,14 @@ BENCH_QUERIES = [
     "dedup_spans",
     "dedup_semantic",
     "docs_clean_pipeline",
+    # new in r5 (appended; the r1-r4 common comparison is unchanged):
+    # corpus-trained LM scoring, blocklist decontamination, weighted
+    # mixture sampling, incremental dedup, JSONL round-trip
+    "text_lm_score",
+    "docs_blocklist",
+    "sample_mixture",
+    "dedup_incremental",
+    "docs_jsonl_roundtrip",
 ]
 
 

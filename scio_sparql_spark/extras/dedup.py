@@ -432,6 +432,29 @@ def dup_span_coverage(
     )
 
 
+def dedup_against_store(
+    batch: DataFrame,
+    store_digests: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Incremental (cross-run) exact dedup: drop batch documents whose
+    content digest already exists in a persisted digest store — the
+    "don't re-ingest what previous pipeline runs already kept" step.
+    Returns the surviving batch rows unchanged.
+
+    Beyond-reference surface. The store side is the accumulated history
+    (potentially corpus-sized), so it is NOT broadcast: the anti-join
+    shuffles both sides on the 16-byte digest — the batch's text rides
+    compressed with its row, the store ships digests only. After a run,
+    append the survivors' digests to the store (one narrow write) to
+    keep the loop incremental."""
+    b = batch.withColumn("__dg", F.md5(F.col(text_col)))
+    s = store_digests.select(F.col(digest_col).alias("__dg")).distinct()
+    return b.join(s, on="__dg", how="left_anti").drop("__dg")
+
+
 def keep_best_per_cluster(
     docs: DataFrame,
     text_col: str = "text",

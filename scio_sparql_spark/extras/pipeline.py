@@ -110,6 +110,79 @@ def stratified_sample(
     )
 
 
+def filter_blocklist(
+    docs: DataFrame,
+    blocklist: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    digest_col: str = "digest",
+    broadcast: bool = True,
+) -> DataFrame:
+    """Drop documents whose content digest appears in a blocklist — the
+    decontamination / known-bad-content removal step (held-out eval
+    sets, opted-out content, previously flagged documents).
+
+    Beyond-reference surface. The blocklist is a digest set (md5 of
+    text), so membership is exact and the list stays tiny relative to
+    the corpus. With ``broadcast=True`` (the common case: eval suites
+    and removal lists are thousands-to-millions of 32-hex rows) the
+    corpus is filtered in a single map-side anti hash-join — zero
+    corpus shuffle at any scale. Flip to ``broadcast=False`` for a
+    blocklist too large to broadcast; the anti-join then shuffles both
+    sides on the digest, never the text."""
+    dg = F.md5(F.col(text_col))
+    bl = blocklist.select(F.col(digest_col).alias("__bd")).distinct()
+    if broadcast:
+        bl = F.broadcast(bl)
+    return docs.join(bl, dg == F.col("__bd"), "left_anti")
+
+
+def mixture_sample(
+    docs: DataFrame,
+    weights: dict,
+    budget_tokens: int,
+    stratum_col: str = "lang",
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Weighted data mixing: downsample each stratum so its token mass
+    approximates ``weights[s] * budget_tokens`` — the "mix N sources to
+    a target token budget with fixed proportions" step of assembling a
+    training mixture (strata with weight 0 or absent are dropped).
+
+    Two phases, both scale-safe: (1) per-stratum token totals — one
+    map-side-combined aggregate collected to the driver (P rows, P =
+    number of strata); (2) the same deterministic md5-threshold filter
+    as ``stratified_sample`` with fraction ``min(1, w*B/T_s)`` — a
+    map-side codegen'd filter, no shuffle of the corpus, reproducible
+    across runs/engines/partitionings.
+
+    The achieved mass approximates the target in expectation (md5 is a
+    uniform hash); exact-budget packing would need a sort —
+    ``pack_shards`` is that operator."""
+    for s, w in weights.items():
+        if w < 0:
+            raise ValueError(f"weight for {s!r} must be >= 0, got {w}")
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda t: t != ""
+    )
+    with_tokens = docs.withColumn("__nt", F.size(toks))
+    totals = {
+        r[stratum_col]: r["t"]
+        for r in with_tokens.groupBy(stratum_col)
+        .agg(F.sum("__nt").alias("t"))
+        .collect()
+    }
+    fractions = {
+        s: min(1.0, weights[s] * budget_tokens / totals[s])
+        for s in weights
+        if s in totals and totals[s] and weights[s] > 0
+    }
+    return stratified_sample(
+        docs, fractions, stratum_col, key_col, default_fraction=0.0
+    )
+
+
 def topk_per_group(
     df: DataFrame,
     k: int,

@@ -746,6 +746,83 @@ def q_text_contamination(spark, sf_dir):
     return dedup.contamination_hits(corpus, benchmark, n=4)
 
 
+def q_text_lm_score(spark, sf_dir):
+    """Corpus-trained bigram-LM scoring (the perplexity-filter shape);
+    all-BIGINT micro-nat outputs per the COVERAGE.md hash discipline."""
+    from .extras import lm
+
+    return lm.lm_bigram_score(_table(spark, sf_dir, "documents"))
+
+
+def q_docs_blocklist(spark, sf_dir):
+    """Blocklist decontamination: every 20th doc's digest is the
+    blocklist (same split as text_contamination); survivors are the
+    docs whose exact content is NOT in it — broadcast anti-join, the
+    corpus never shuffles."""
+    docs = _table(spark, sf_dir, "documents")
+    bl = docs.filter(F.col("doc_id") % 20 == 0).select(
+        F.md5("text").alias("digest")
+    )
+    return pipeline.filter_blocklist(docs, bl).select("doc_id", "source")
+
+
+def q_sample_mixture(spark, sf_dir):
+    """Weighted data mixing to a token budget: en 60% / fr 40% of an
+    8,000-token target. The per-stratum fractions derive from the
+    data (one P-row aggregate), then the selection is the
+    deterministic md5-threshold filter — fully reproducible in SQL."""
+    return pipeline.mixture_sample(
+        _table(spark, sf_dir, "documents"),
+        weights={"en": 0.6, "fr": 0.4},
+        budget_tokens=8000,
+    ).select("doc_id", "lang")
+
+
+def q_dedup_incremental(spark, sf_dir):
+    """Cross-run incremental dedup: docs with doc_id %% 3 == 0 are the
+    'previous runs' whose digests are persisted to a parquet store
+    (write -> read back, the real loop shape); the remaining batch is
+    anti-joined against the store."""
+    import os
+    import tempfile
+
+    docs = _table(spark, sf_dir, "documents")
+    app_id = spark.sparkContext.applicationId
+    path = os.path.join(
+        tempfile.gettempdir(), f"scio_digest_store_{app_id}.parquet"
+    )
+    history = docs.filter(F.col("doc_id") % 3 == 0)
+    history.select(F.md5("text").alias("digest")).write.mode(
+        "overwrite"
+    ).parquet(path)
+    store = spark.read.parquet(path)
+    batch = docs.filter(F.col("doc_id") % 3 != 0)
+    return dedup.dedup_against_store(batch, store).select("doc_id", "source")
+
+
+def q_docs_jsonl_roundtrip(spark, sf_dir):
+    """JSONL ingestion round-trip: write the documents table as JSON
+    lines (the ubiquitous interchange format of text-corpus pipelines),
+    read it back with an explicit schema (schema inference at 100 TB
+    is a full extra pass — never rely on it), and prove losslessness
+    by digesting the round-tripped text."""
+    import os
+    import tempfile
+
+    docs = _table(spark, sf_dir, "documents")
+    app_id = spark.sparkContext.applicationId
+    path = os.path.join(tempfile.gettempdir(), f"scio_docs_jsonl_{app_id}")
+    docs.select("doc_id", "text", "lang", "source", "n_chars").write.mode(
+        "overwrite"
+    ).json(path)
+    back = spark.read.schema(
+        "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).json(path)
+    return back.select(
+        "doc_id", "lang", "source", "n_chars", F.md5("text").alias("digest")
+    )
+
+
 def q_retrieval_bm25(spark, sf_dir):
     """BM25 top-10 for a 3-term probe query; query-term filter runs
     map-side before any shuffle."""
@@ -1216,6 +1293,77 @@ EXTRA_QUERIES = {
            SELECT c.doc_id, COUNT(*) AS n_hits
            FROM c JOIN b USING (g) GROUP BY c.doc_id""",
     ),
+    # corpus-trained bigram-LM scoring: per-occurrence log-probs are
+    # micro-rounded BEFORE the per-doc sum, so the sum is exact integer
+    # arithmetic (order-independent; a double sum of logs is not) —
+    # ln() itself is correctly-rounded identical on JVM and libm for
+    # the identical (c12+1)/(c1+V) double
+    "text_lm_score": (
+        q_text_lm_score,
+        f"""WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            bg AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS b,
+                          toks[i] AS w1
+                   FROM t, unnest(generate_series(1, len(toks) - 1)) AS g(i)),
+            uni AS (SELECT w, COUNT(*) AS c1
+                    FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+            v AS (SELECT COUNT(*) AS nv FROM uni),
+            bc AS (SELECT b, COUNT(*) AS c12 FROM bg GROUP BY b),
+            sc AS (SELECT bg.doc_id,
+                          CAST(ROUND(ln(CAST(bc.c12 + 1 AS DOUBLE)
+                                        / CAST(uni.c1 + v.nv AS DOUBLE))
+                                     * 1000000, 0) AS BIGINT) AS lp
+                   FROM bg JOIN bc USING (b) JOIN uni ON bg.w1 = uni.w
+                   CROSS JOIN v),
+            p AS (SELECT doc_id, COUNT(*) AS n_bigrams, SUM(lp) AS s
+                  FROM sc GROUP BY doc_id)
+           SELECT d.doc_id,
+                  COALESCE(p.n_bigrams, 0) AS n_bigrams,
+                  CAST(COALESCE(p.s, 0) AS BIGINT) AS sum_lp_micro,
+                  CAST(CASE WHEN COALESCE(p.n_bigrams, 0) > 0
+                            THEN p.s // p.n_bigrams ELSE 0
+                       END AS BIGINT) AS avg_lp_micro
+           FROM documents d LEFT JOIN p USING (doc_id)""",
+    ),
+    # blocklist decontamination (broadcast digest anti-join)
+    "docs_blocklist": (
+        q_docs_blocklist,
+        """SELECT doc_id, source FROM documents d
+           WHERE NOT EXISTS (SELECT 1 FROM documents b
+                             WHERE b.doc_id % 20 = 0
+                               AND md5(b.text) = md5(d.text))""",
+    ),
+    # weighted mixture sampling: fraction = min(1, w*B/T_s) computed
+    # with the same double-op order both sides, truncated to the same
+    # md5 threshold (floor == trunc for non-negative fractions)
+    "sample_mixture": (
+        q_sample_mixture,
+        f"""WITH t AS (SELECT lang, len({_TOKS}) AS nt FROM documents),
+            tot AS (SELECT lang, SUM(nt) AS ts FROM t GROUP BY lang),
+            fr AS (SELECT lang,
+                          printf('%08x', CAST(FLOOR(LEAST(1.0,
+                            CASE lang WHEN 'en' THEN 0.6 * 8000
+                                      WHEN 'fr' THEN 0.4 * 8000 END / ts)
+                            * 4294967295) AS BIGINT)) AS th
+                   FROM tot WHERE lang IN ('en', 'fr'))
+           SELECT d.doc_id, d.lang FROM documents d
+           JOIN fr ON d.lang = fr.lang
+           WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) <= fr.th""",
+    ),
+    # incremental dedup against a persisted digest store
+    "dedup_incremental": (
+        q_dedup_incremental,
+        """SELECT doc_id, source FROM documents d
+           WHERE doc_id % 3 <> 0
+             AND NOT EXISTS (SELECT 1 FROM documents h
+                             WHERE h.doc_id % 3 = 0
+                               AND md5(h.text) = md5(d.text))""",
+    ),
+    # JSONL write -> schema'd read round-trip (lossless: text digests
+    # survive the JSON escaping round trip)
+    "docs_jsonl_roundtrip": (
+        q_docs_jsonl_roundtrip,
+        "SELECT doc_id, lang, source, n_chars, md5(text) AS digest FROM documents",
+    ),
     "retrieval_bm25": (
         q_retrieval_bm25,
         # constants written as the same arithmetic the Spark side does
@@ -1467,24 +1615,28 @@ CATALOG_FRONT = [
     "retrieval_term_stats",
     "multimodal_features",
     "multimodal_frames",
+    # new in r5: the five new pipeline operators — corpus-trained
+    # bigram-LM scoring, blocklist decontamination, weighted mixture
+    # sampling, incremental dedup vs a persisted digest store, JSONL
+    # ingestion round-trip (a first hash-checked row beats a re-stamp)
+    "text_lm_score",
+    "docs_blocklist",
+    "sample_mixture",
+    "dedup_incremental",
+    "docs_jsonl_roundtrip",
     # verified: r4 — cheap core-compiler re-stamps filling the window
     # to 50 so their evidence never ages past 2 rounds (rotation
     # discipline; these would otherwise be the oldest rows in r6)
     "sparql_bgp_join",
-    "sparql_filter",
     "sparql_optional",
-    "sparql_topk",
     "sparql_exists",
     "sparql_agg_sum",
     "sparql_agg_count",
     "sparql_having",
     "sparql_construct",
-    "sparql_ask",
-    "sparql_describe",
     "sparql_bindings",
     "sparql_quads_roundtrip",
     "sparql_property_table",
-    "sparql_from_graph",
     # (rotated out, all r4-green: the remaining sparql surface —
     # stable code, re-window in r6 — plus dedup_semantic,
     # docs_clean_pipeline, ann_lsh_topk, ann_ivf_topk)

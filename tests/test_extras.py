@@ -797,6 +797,77 @@ def test_dup_span_coverage(spark):
     assert out[0]["dup_ratio_micro"] == 500_000  # 2*1e6 div 4
 
 
+def test_lm_bigram_score(spark):
+    """Hand-computed add-one bigram LM: corpus 'a b a' / 'a b' / 'x'.
+    uni: a:3 b:2 x:1, V=3; c('a b')=2, c('b a')=1.
+    p(b|a) = 3/6 = 0.5 -> round(ln*1e6) = -693147
+    p(a|b) = 2/5 = 0.4 -> -916291.
+    Integer sums/divs; 1-token doc scores 0/0/0."""
+    from scio_sparql_spark.extras import lm
+
+    docs = spark.createDataFrame(
+        [(0, "a b a"), (1, "a b"), (2, "x")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in lm.lm_bigram_score(docs).collect()}
+    assert (out[0]["n_bigrams"], out[0]["sum_lp_micro"]) == (2, -693147 + -916291)
+    assert out[0]["avg_lp_micro"] == -804719  # (-1609438) div 2, exact
+    assert (out[1]["n_bigrams"], out[1]["sum_lp_micro"], out[1]["avg_lp_micro"]) == (
+        1, -693147, -693147
+    )
+    assert (out[2]["n_bigrams"], out[2]["sum_lp_micro"], out[2]["avg_lp_micro"]) == (
+        0, 0, 0
+    )
+
+
+def test_filter_blocklist(spark):
+    from scio_sparql_spark.extras import pipeline as pl
+
+    docs = spark.createDataFrame(
+        [(0, "keep me"), (1, "bad doc"), (2, "also keep"), (3, "bad doc")],
+        ["doc_id", "text"],
+    )
+    bl = docs.filter(F.col("doc_id") == 1).select(F.md5("text").alias("digest"))
+    kept = {r["doc_id"] for r in pl.filter_blocklist(docs, bl).collect()}
+    # doc 3 shares doc 1's exact content -> also dropped
+    assert kept == {0, 2}
+
+
+def test_mixture_sample(spark):
+    from scio_sparql_spark.extras import pipeline as pl
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # weight 1.0 with a huge budget -> fraction clamps to 1: every en
+    # doc survives; strata without a weight are dropped entirely
+    all_en = pl.mixture_sample(docs, {"en": 1.0}, budget_tokens=10**9)
+    assert {r["lang"] for r in all_en.select("lang").distinct().collect()} == {"en"}
+    assert all_en.count() == docs.filter(F.col("lang") == "en").count()
+    # determinism + monotonicity: a smaller budget selects a subset
+    small = {
+        r["doc_id"]
+        for r in pl.mixture_sample(docs, {"en": 1.0}, budget_tokens=2000).collect()
+    }
+    big = {
+        r["doc_id"]
+        for r in pl.mixture_sample(docs, {"en": 1.0}, budget_tokens=5000).collect()
+    }
+    assert small and small < big
+
+
+def test_dedup_against_store(spark):
+    docs = spark.createDataFrame(
+        [(0, "old news"), (1, "fresh"), (2, "old news"), (3, "fresh")],
+        ["doc_id", "text"],
+    )
+    store = spark.createDataFrame([("old news",)], ["t"]).select(
+        F.md5("t").alias("digest")
+    )
+    kept = {r["doc_id"] for r in dedup.dedup_against_store(docs, store).collect()}
+    # both copies of the stored content drop; intra-batch duplicates of
+    # NEW content both survive (cross-run dedup only — exact_dedup owns
+    # the intra-batch pass)
+    assert kept == {1, 3}
+
+
 def test_semantic_dup_pairs_containment(spark):
     """Blocked semantic pairs == exact all-pairs restricted to equal
     sign buckets (the SemDeDup approximation contract), on the fixture

@@ -220,14 +220,20 @@ def test_catalog_sparql_plans_free_of_anti_patterns(spark):
 def test_catalog_extras_plans_free_of_anti_patterns(spark):
     """Same sweep for the pipeline extras. Allowlisted by design:
     ngram_jaccard / embedding_cosine are the documented QUADRATIC exact
-    baselines (their LSH variants are the scale path); bm25 joins the
-    1-row corpus-stats aggregate without keys (broadcast NLJ of a
-    scalar); keep_best's max_by carries the winning row in the buffer
+    baselines (their LSH variants are the scale path); bm25 and
+    text_lm_score join a 1-row corpus-stats aggregate without keys
+    (broadcast NLJ of a scalar — |vocab| for the LM's smoothing
+    denominator); keep_best's max_by carries the winning row in the buffer
     (same inherent SortAggregate as term MIN/MAX); multimodal entries
     are the sanctioned Arrow mapInPandas users."""
     from scio_sparql_spark import workload
 
-    BNLJ_OK = {"dedup_ngram_jaccard", "dedup_embedding_cosine", "retrieval_bm25"}
+    BNLJ_OK = {
+        "dedup_ngram_jaccard",
+        "dedup_embedding_cosine",
+        "retrieval_bm25",
+        "text_lm_score",
+    }
     SORT_AGG_OK = {"dedup_keep_best"}
     ARROW_OK = {"multimodal_features", "multimodal_frames"}
     sf = "/root/testdata/sf0.001"
