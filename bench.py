@@ -58,6 +58,10 @@ BENCH_QUERIES = [
     "sample_mixture",
     "dedup_incremental",
     "docs_jsonl_roundtrip",
+    # streaming==batch rows (availableNow micro-batch execution of the
+    # windowed agg / dedup plans; measures the streaming-path overhead)
+    "stream_windowed_counts",
+    "stream_dedup_exact",
 ]
 
 

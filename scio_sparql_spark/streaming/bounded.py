@@ -1,0 +1,79 @@
+"""Bounded execution of a streaming plan: run a Structured Streaming
+DataFrame to completion over a finite source and hand back the result
+as a plain batch DataFrame.
+
+This is the verification bridge for every streaming operator in this
+package: `trigger(availableNow=True)` processes exactly the data
+present at start (in rate-limited micro-batches, exercising the real
+incremental/stateful execution path — state store, watermarks,
+micro-batch planning), then terminates. The memory-sink table it
+leaves behind is an ordinary queryable DataFrame, so a streaming
+operator's output can be hash-compared against a batch oracle: the
+strongest possible evidence that the streaming form computes the same
+answer as the batch form.
+
+At scale the same code runs unbounded: swap the trigger for a
+processing-time one and the memory sink for parquet/Kafka. The memory
+sink is verification-only — it collects results to the driver, which
+is exactly what production sinks don't do.
+
+The reference has no streaming surface at all (SURVEY.md §2.10 — its
+Beam pipelines run strictly bounded), so everything here is
+beyond-reference capability.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+
+def stream_parquet(spark, path: str, schema) -> DataFrame:
+    """readStream over a parquet path that may be a single FILE.
+
+    The file stream source requires a directory, so a file path is
+    streamed as its parent directory plus a pathGlobFilter selecting
+    just that file. TIMESTAMP_NTZ columns are cast to TIMESTAMP after
+    the scan: event-time watermarks require the instant type, and the
+    cast is wall-clock-preserving under a fixed UTC session timezone
+    (which tests, bench, and the driver all pin)."""
+    reader = spark.readStream.schema(schema)
+    if os.path.isfile(path):
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    df = reader.parquet(path)
+    for f in schema.fields:
+        if isinstance(f.dataType, T.TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
+    return df
+
+
+def run_bounded(
+    stream_df: DataFrame,
+    output_mode: str = "append",
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Run a streaming DataFrame over its (finite) source with
+    availableNow and return the complete result as a batch DataFrame.
+
+    output_mode: "append" for stateless/dedup plans, "complete" for
+    aggregations where the final value of every group is wanted
+    regardless of watermark progress (append would hold back windows
+    the watermark has not passed at end-of-stream).
+    """
+    name = f"bounded_{uuid.uuid4().hex}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:  # timeout rather than completion
+            q.stop()
+    return stream_df.sparkSession.table(name)

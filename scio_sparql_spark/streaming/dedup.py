@@ -57,5 +57,7 @@ def streaming_dedup_from_path(
 ) -> DataFrame:
     """File-source convenience: readStream parquet -> streaming dedup.
     Run with trigger(availableNow=True) for bounded verification."""
-    stream = spark.readStream.schema(schema).parquet(path)
+    from .bounded import stream_parquet
+
+    stream = stream_parquet(spark, path, schema)
     return streaming_exact_dedup(stream, watermark, ts_col, text_col)

@@ -27,18 +27,24 @@ def windowed_counts(
 ) -> DataFrame:
     """Tumbling-window count + value sum per key. Works identically on a
     batch DF and a streaming DF (add .withWatermark upstream for late
-    data)."""
+    data).
+
+    The sum is emitted as integer micro-units with the per-row rounding
+    done BEFORE the aggregation: summing doubles is partition-order
+    dependent in the last bits, while an integer sum is exact and
+    order-independent (COVERAGE.md hash discipline)."""
+    value_micro = F.round(F.col("value") * 1000000).cast("bigint")
     return (
         events.groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(key_col))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.sum(value_micro).alias("sum_value_micro"),
         )
         .select(
             F.col("w.start").alias("window_start"),
             F.col(key_col),
             "n_events",
-            "sum_value",
+            "sum_value_micro",
         )
     )
 
@@ -54,7 +60,9 @@ def streaming_windowed_counts(
 ) -> DataFrame:
     """File-source streaming variant: readStream -> watermark -> windowed
     agg. Run with trigger(availableNow=True) for bounded verification."""
-    stream = spark.readStream.schema(schema).parquet(path)
+    from .bounded import stream_parquet
+
+    stream = stream_parquet(spark, path, schema)
     return windowed_counts(
         stream.withWatermark(ts_col, watermark), window, ts_col, key_col
     )

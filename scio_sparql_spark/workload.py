@@ -26,6 +26,8 @@ from .sources.bridge import (
     tune_for_tables,
 )
 from .streaming import events as ev
+from .streaming.bounded import run_bounded, stream_parquet
+from .streaming.dedup import streaming_exact_dedup
 
 PREFIXES = "PREFIX col: <urn:col:>\nPREFIX ref: <urn:ref:>\n"
 
@@ -692,8 +694,43 @@ def q_events_window(spark, sf_dir):
         F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         "event_type",
         "n_events",
-        "sum_value",
+        "sum_value_micro",
     )
+
+
+def q_stream_windowed_counts(spark, sf_dir):
+    """Streaming == batch, driver-hash-checked: the SAME windowed
+    aggregation as events_window executed through the real Structured
+    Streaming path (file source -> watermark -> stateful window agg ->
+    availableNow micro-batches -> memory sink) must hash-match the
+    batch DuckDB oracle. Complete output mode so end-of-stream windows
+    the watermark never passed are still emitted."""
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    stream = ev.streaming_windowed_counts(
+        spark, path, schema, window="1 hour", watermark="2 hours"
+    )
+    out = run_bounded(stream, output_mode="complete")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value_micro",
+    )
+
+
+def q_stream_dedup_exact(spark, sf_dir):
+    """Streaming exact dedup over the documents corpus, projected to
+    the arrival-order-independent part of the answer (the surviving
+    digest set — WHICH duplicate survives is first-seen and so not
+    deterministic across micro-batch schedules, but the set of distinct
+    digests is). Unbounded-state variant: the fixture replays a bounded
+    corpus; production uses the watermarked form (streaming/dedup.py)."""
+    path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    stream = stream_parquet(spark, path, schema)
+    out = run_bounded(streaming_exact_dedup(stream, watermark=None))
+    return out.select(F.md5("text").alias("digest")).distinct()
 
 
 def q_events_sessions(spark, sf_dir):
@@ -1223,8 +1260,21 @@ EXTRA_QUERIES = {
         q_events_window,
         """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
                   event_type, COUNT(*) AS n_events,
-                  ROUND(SUM(value), 4) AS sum_value
+                  SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS sum_value_micro
            FROM events GROUP BY 1, 2""",
+    ),
+    # streaming==batch equivalence rows: same answer through the real
+    # Structured Streaming path (availableNow) as the batch oracle
+    "stream_windowed_counts": (
+        q_stream_windowed_counts,
+        """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+                  event_type, COUNT(*) AS n_events,
+                  SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS sum_value_micro
+           FROM events GROUP BY 1, 2""",
+    ),
+    "stream_dedup_exact": (
+        q_stream_dedup_exact,
+        "SELECT DISTINCT md5(text) AS digest FROM documents",
     ),
     "events_asof": (
         q_events_asof,
@@ -1624,6 +1674,14 @@ CATALOG_FRONT = [
     "sample_mixture",
     "dedup_incremental",
     "docs_jsonl_roundtrip",
+    # new in r5: streaming==batch equivalence rows — the Structured
+    # Streaming path (availableNow micro-batches, state store,
+    # watermark) hash-checked against the batch DuckDB oracle; also
+    # re-verifies events_window's sum_value_micro conversion (the last
+    # order-dependent double-SUM feeding the driver hash, removed per
+    # the COVERAGE.md discipline)
+    "stream_windowed_counts",
+    "stream_dedup_exact",
     # verified: r4 — cheap core-compiler re-stamps filling the window
     # to 50 so their evidence never ages past 2 rounds (rotation
     # discipline; these would otherwise be the oldest rows in r6)
@@ -1635,11 +1693,10 @@ CATALOG_FRONT = [
     "sparql_having",
     "sparql_construct",
     "sparql_bindings",
-    "sparql_quads_roundtrip",
-    "sparql_property_table",
     # (rotated out, all r4-green: the remaining sparql surface —
     # stable code, re-window in r6 — plus dedup_semantic,
-    # docs_clean_pipeline, ann_lsh_topk, ann_ivf_topk)
+    # docs_clean_pipeline, ann_lsh_topk, ann_ivf_topk,
+    # sparql_quads_roundtrip, sparql_property_table)
 ]
 
 

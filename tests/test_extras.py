@@ -392,6 +392,36 @@ def test_streaming_exact_dedup(spark, tmp_path):
     assert len([r for r in out if r["text"] == "alpha text"]) == 1
 
 
+def test_run_bounded_matches_batch(spark, tmp_path):
+    # run_bounded drives the streaming plan to completion and hands back
+    # a batch DataFrame equal to the batch-mode answer of the same logic
+    from scio_sparql_spark.streaming.bounded import run_bounded
+
+    rows = [
+        (1, "2024-01-01 10:05:00", "click", 1.25),
+        (2, "2024-01-01 10:45:00", "click", 2.5),
+        (3, "2024-01-01 11:05:00", "view", 3.0),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "event_type", "value"]
+    ).withColumn("ts", F.to_timestamp("ts"))
+    src = str(tmp_path / "events_parquet")
+    df.write.parquet(src)
+    stream = ev.streaming_windowed_counts(
+        spark, src, df.schema, window="1 hour", watermark="2 hours"
+    )
+    got = sorted(
+        (str(r["window_start"]), r["event_type"], r["n_events"], r["sum_value_micro"])
+        for r in run_bounded(stream, output_mode="complete").collect()
+    )
+    want = sorted(
+        (str(r["window_start"]), r["event_type"], r["n_events"], r["sum_value_micro"])
+        for r in ev.windowed_counts(df, "1 hour").collect()
+    )
+    assert got == want
+    assert got[0][3] == 3750000  # 1.25 + 2.5 in exact micro-units
+
+
 # ---------------------------------------------------------------------------
 # round-2 additions: repetition/PII stats, curation ops, event analytics
 # ---------------------------------------------------------------------------
