@@ -432,6 +432,75 @@ def dup_span_coverage(
     )
 
 
+def remove_dup_spans(
+    docs: DataFrame,
+    n: int = 3,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Substring-level deduplication, the actual REMOVAL step of Lee et
+    al. 2022 (dup_span_coverage above is the measurement step): drop
+    every token covered by a word n-gram window that occurs in >=
+    ``min_docs`` distinct documents, and emit the cleaned document's
+    token counts + content digest.
+
+    Beyond-reference surface. Plan shape (100 TB): window occurrences
+    carry (doc_id, start, xxhash64(gram)) — 8-byte keys, never gram
+    strings — through two shuffles (corpus-wide distinct-doc count per
+    window hash, then dup-window starts regrouped per doc). The
+    covered-token marking is a per-doc array expression (F.exists over
+    the doc's dup starts), map-side codegen: per-doc cost is
+    O(tokens x dup-windows-in-doc), zero extra shuffle."""
+    toks = _tokens(F.col(text_col))
+    base = docs.select(F.col(id_col), toks.alias("__toks"))
+    sz = F.size(F.col("__toks"))
+    win_structs = F.when(
+        sz >= n,
+        F.transform(
+            F.sequence(F.lit(0), sz - n),
+            lambda i: F.struct(
+                i.cast("int").alias("start"),
+                F.xxhash64(F.array_join(F.slice(F.col("__toks"), i + 1, n), " ")).alias(
+                    "gh"
+                ),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<start:int,gh:bigint>>"))
+    wins = spread(base).select(
+        F.col(id_col), F.explode(win_structs).alias("w")
+    ).select(F.col(id_col), F.col("w.start").alias("start"), F.col("w.gh").alias("gh"))
+    dup_keys = (
+        wins.groupBy("gh")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("gh")
+    )
+    dup_starts = (
+        wins.join(dup_keys, on="gh")
+        .groupBy(id_col)
+        .agg(F.collect_list("start").alias("__starts"))
+    )
+    joined = base.join(dup_starts, on=id_col, how="left").withColumn(
+        "__starts", F.coalesce(F.col("__starts"), F.array().cast("array<int>"))
+    )
+    starts = F.col("__starts")
+    kept_idx = F.when(
+        sz > 0,
+        F.filter(
+            F.sequence(F.lit(0), sz - 1),
+            lambda i: ~F.exists(starts, lambda s: (s <= i) & (i <= s + n - 1)),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    kept_toks = F.transform(kept_idx, lambda i: F.element_at(F.col("__toks"), i + 1))
+    return joined.select(
+        F.col(id_col),
+        sz.cast("bigint").alias("n_tokens"),
+        (sz - F.size(kept_idx)).cast("bigint").alias("n_removed"),
+        F.md5(F.array_join(kept_toks, " ")).alias("cleaned_digest"),
+    )
+
+
 def dedup_against_store(
     batch: DataFrame,
     store_digests: DataFrame,

@@ -161,6 +161,117 @@ def pii_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def gopher_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 10,
+    max_words: int = 100000,
+    min_mean_word_len_micro: int = 2_000_000,
+    max_mean_word_len_micro: int = 10_000_000,
+    max_symbol_per_100_words: int = 10,
+    min_stopword_hits: int = 2,
+    min_alpha_word_pct: int = 80,
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021 §A1.1) as
+    one map-only pass: word-count bounds, mean-word-length bounds,
+    symbol ('#'/'...') density, stopword presence, alphabetic-word
+    fraction. Emits the raw integer signals plus the composite keep
+    flag, so downstream can re-threshold without recomputing.
+
+    Every emitted column is an integer (micro-units for the mean) —
+    hash-safe per the COVERAGE.md discipline; default thresholds are
+    loosened to this corpus's short synthetic docs but are the Gopher
+    rule set shape-for-shape."""
+    text = F.col(text_col)
+    toks = _tokens(text)
+    sums = docs.select(
+        F.col(id_col),
+        F.size(toks).cast("bigint").alias("n_words"),
+        F.aggregate(
+            F.transform(toks, F.length), F.lit(0).cast("bigint"), lambda a, x: a + x
+        ).alias("__sum_len"),
+        F.size(F.regexp_extract_all(text, F.lit(r"#|\.\.\."), F.lit(0)))
+        .cast("bigint")
+        .alias("n_symbols"),
+        _stopword_hits(toks, EN_STOPWORDS).cast("bigint").alias("n_stopword_hits"),
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+        .cast("bigint")
+        .alias("n_alpha_words"),
+    )
+    mean_len_micro = F.expr(
+        "CASE WHEN n_words > 0"
+        " THEN (__sum_len * CAST(1000000 AS BIGINT)) DIV n_words"
+        " ELSE CAST(0 AS BIGINT) END"
+    )
+    n = F.col("n_words")
+    keep = (
+        n.between(min_words, max_words)
+        & mean_len_micro.between(min_mean_word_len_micro, max_mean_word_len_micro)
+        & (F.col("n_symbols") * 100 <= F.lit(max_symbol_per_100_words) * n)
+        & (F.col("n_stopword_hits") >= min_stopword_hits)
+        & (F.col("n_alpha_words") * 100 >= F.lit(min_alpha_word_pct) * n)
+    )
+    return sums.select(
+        F.col(id_col),
+        n,
+        mean_len_micro.alias("mean_word_len_micro"),
+        "n_symbols",
+        "n_stopword_hits",
+        "n_alpha_words",
+        keep.cast("int").alias("keep"),
+    )
+
+
+# Hashed-feature linear classifier: dimensionality and the multiplier
+# that expands a feature bucket into its pseudo-random weight
+# (Knuth multiplicative constant). Weights are a deterministic function
+# of the bucket id so the scorer is reproducible in ANY engine with
+# md5 — the exact plumbing a learned weight table replaces.
+CLASSIFIER_DIM = 4096
+CLASSIFIER_MULT = 2654435761
+CLASSIFIER_RANGE = 2_000_001  # weights in [-1_000_000, 1_000_000]
+
+
+def classifier_score(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """fastText-shaped quality classifier: hashed bag-of-words ->
+    per-bucket weight -> summed integer score, one map-only codegen
+    pass with no shuffle and no Python.
+
+    Hash = first 4 hex chars of md5(token) (16 bits, decoded with
+    ascii() arithmetic — portable to any engine) folded to
+    CLASSIFIER_DIM buckets; weight = affine expansion of the bucket id
+    into integer micro-units. The per-token weights are summed as exact
+    BIGINTs (order-independent). In production the bucket->weight map
+    comes from training and joins in as a broadcast table; hash
+    plumbing, aggregation, and thresholding stay identical."""
+    toks = _tokens(F.col(text_col))
+
+    def weight(t):
+        h = F.md5(t)
+
+        def nib(i):
+            c = F.ascii(F.substring(h, i, 1))
+            return F.when(c <= 57, c - 48).otherwise(c - 87)  # '0'-'9' else 'a'-'f'
+
+        bucket = (
+            nib(1) * 4096 + nib(2) * 256 + nib(3) * 16 + nib(4)
+        ).cast("bigint") % CLASSIFIER_DIM
+        return (bucket * CLASSIFIER_MULT) % CLASSIFIER_RANGE - 1000000
+
+    score = F.aggregate(
+        F.transform(toks, weight), F.lit(0).cast("bigint"), lambda a, x: a + x
+    )
+    return docs.select(
+        F.col(id_col),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        score.alias("score_micro"),
+        (score >= 0).cast("int").alias("keep"),
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Order-insensitive content fingerprint: md5 over the sorted distinct
     token set — robust to shuffled word order, the cheap canonical-form

@@ -534,6 +534,18 @@ def q_text_pii(spark, sf_dir):
     return textstats.pii_stats(_table(spark, sf_dir, "documents"))
 
 
+def q_docs_gopher_filter(spark, sf_dir):
+    return textstats.gopher_filter(_table(spark, sf_dir, "documents"))
+
+
+def q_text_classifier_score(spark, sf_dir):
+    return textstats.classifier_score(_table(spark, sf_dir, "documents"))
+
+
+def q_dedup_span_removal(spark, sf_dir):
+    return dedup.remove_dup_spans(_table(spark, sf_dir, "documents"))
+
+
 def q_docs_domain_cap(spark, sf_dir):
     return pipeline.domain_cap(
         _table(spark, sf_dir, "documents"), cap=15
@@ -873,6 +885,22 @@ def q_retrieval_term_stats(spark, sf_dir):
 
 
 _TOKS = r"list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '')"
+
+
+def _cls_nib(i: int) -> str:
+    """Hex nibble i (1-based) of md5(t) as an integer, via ascii()
+    arithmetic — mirrors textstats.classifier_score exactly."""
+    a = f"ascii(substr(md5(t), {i}, 1))"
+    return f"(CASE WHEN {a} <= 57 THEN {a} - 48 ELSE {a} - 87 END)"
+
+
+# bucket = 16-bit md5 prefix folded mod CLASSIFIER_DIM; weight = affine
+# expansion to [-1e6, 1e6] micro-units (textstats.CLASSIFIER_*)
+_CLS_WEIGHT = (
+    f"((({_cls_nib(1)} * 4096 + {_cls_nib(2)} * 256 + {_cls_nib(3)} * 16"
+    f" + {_cls_nib(4)}) % 4096) * 2654435761) % 2000001 - 1000000"
+)
+
 
 def q_sparql_ask(spark, sf_dir):
     quads = tables_to_quads(spark, sf_dir, ["region"])
@@ -1505,6 +1533,89 @@ EXTRA_QUERIES = {
                                  '<EMAIL>', 'g') AS redacted_text
            FROM documents""",
     ),
+    # Gopher-style rule filter: every signal an exact integer, keep
+    # recomputed from the same integers on both sides
+    "docs_gopher_filter": (
+        q_docs_gopher_filter,
+        rf"""WITH s AS (
+               SELECT doc_id,
+                      CAST(len({_TOKS}) AS BIGINT) AS n_words,
+                      CAST(COALESCE(list_aggregate(
+                          list_transform({_TOKS}, t -> length(t)), 'sum'), 0)
+                        AS BIGINT) AS sum_len,
+                      CAST(len(regexp_extract_all(text, '#|\.\.\.'))
+                        AS BIGINT) AS n_symbols,
+                      CAST(len(list_filter({_TOKS},
+                          t -> t IN ('the','a','of','and','to','in','is','it','that','for')))
+                        AS BIGINT) AS n_stopword_hits,
+                      CAST(len(list_filter({_TOKS},
+                          t -> regexp_matches(t, '[a-z]')))
+                        AS BIGINT) AS n_alpha_words
+               FROM documents),
+             m AS (
+               SELECT *,
+                      CAST(CASE WHEN n_words > 0
+                                THEN (sum_len * 1000000) // n_words
+                                ELSE 0 END AS BIGINT) AS mean_word_len_micro
+               FROM s)
+            SELECT doc_id, n_words, mean_word_len_micro, n_symbols,
+                   n_stopword_hits, n_alpha_words,
+                   CAST(n_words BETWEEN 10 AND 100000
+                        AND mean_word_len_micro BETWEEN 2000000 AND 10000000
+                        AND n_symbols * 100 <= 10 * n_words
+                        AND n_stopword_hits >= 2
+                        AND n_alpha_words * 100 >= 80 * n_words
+                     AS INT) AS keep
+            FROM m""",
+    ),
+    # fastText-shaped hashed linear classifier: md5-nibble bucket ->
+    # integer micro-weight -> exact integer sum, identical on both sides
+    "text_classifier_score": (
+        q_text_classifier_score,
+        f"""WITH s AS (
+              SELECT doc_id,
+                     CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+                     CAST(COALESCE(list_aggregate(
+                         list_transform({_TOKS}, t -> {_CLS_WEIGHT}),
+                         'sum'), 0) AS BIGINT) AS score_micro
+              FROM documents)
+            SELECT doc_id, n_tokens, score_micro,
+                   CAST(score_micro >= 0 AS INT) AS keep
+            FROM s""",
+    ),
+    # Lee et al. 2022 span REMOVAL (dedup_spans is the measurement):
+    # tokens covered by any cross-doc duplicated 3-gram window are
+    # dropped; cleaned doc proven by digest. Oracle marks coverage with
+    # the same window arithmetic on 1-based starts.
+    "dedup_span_removal": (
+        q_dedup_span_removal,
+        f"""WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+             s AS (SELECT doc_id,
+                          unnest(generate_series(1, len(toks) - 2)) AS st
+                   FROM t),
+             g AS (SELECT s.doc_id, s.st,
+                          array_to_string(t.toks[s.st:s.st+2], ' ') AS gram
+                   FROM s JOIN t USING (doc_id)),
+             d AS (SELECT gram FROM g GROUP BY gram
+                   HAVING COUNT(DISTINCT doc_id) >= 2),
+             ds AS (SELECT g.doc_id, list(g.st) AS starts
+                    FROM g JOIN d USING (gram) GROUP BY g.doc_id),
+             r AS (SELECT t.doc_id, t.toks,
+                          COALESCE(ds.starts, CAST([] AS BIGINT[])) AS starts
+                   FROM t LEFT JOIN ds USING (doc_id)),
+             k AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+                          list_transform(
+                            list_filter(generate_series(1, len(toks)),
+                              i -> len(list_filter(starts,
+                                     st -> st <= i AND i <= st + 2)) = 0),
+                            i -> toks[i]) AS kept
+                   FROM r)
+            SELECT doc_id, n_tokens,
+                   CAST(n_tokens - len(kept) AS BIGINT) AS n_removed,
+                   md5(COALESCE(array_to_string(kept, ' '), ''))
+                     AS cleaned_digest
+            FROM k""",
+    ),
     "docs_domain_cap": (
         q_docs_domain_cap,
         """SELECT doc_id, source FROM documents
@@ -1682,6 +1793,11 @@ CATALOG_FRONT = [
     # the COVERAGE.md discipline)
     "stream_windowed_counts",
     "stream_dedup_exact",
+    # new in r5: Gopher rule filter, hashed linear classifier score,
+    # Lee et al. span REMOVAL (first hash-checked rows)
+    "docs_gopher_filter",
+    "text_classifier_score",
+    "dedup_span_removal",
     # verified: r4 — cheap core-compiler re-stamps filling the window
     # to 50 so their evidence never ages past 2 rounds (rotation
     # discipline; these would otherwise be the oldest rows in r6)
@@ -1690,13 +1806,11 @@ CATALOG_FRONT = [
     "sparql_exists",
     "sparql_agg_sum",
     "sparql_agg_count",
-    "sparql_having",
-    "sparql_construct",
-    "sparql_bindings",
     # (rotated out, all r4-green: the remaining sparql surface —
     # stable code, re-window in r6 — plus dedup_semantic,
     # docs_clean_pipeline, ann_lsh_topk, ann_ivf_topk,
-    # sparql_quads_roundtrip, sparql_property_table)
+    # sparql_quads_roundtrip, sparql_property_table, sparql_having,
+    # sparql_construct, sparql_bindings)
 ]
 
 

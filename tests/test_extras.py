@@ -827,6 +827,75 @@ def test_dup_span_coverage(spark):
     assert out[0]["dup_ratio_micro"] == 500_000  # 2*1e6 div 4
 
 
+def test_remove_dup_spans(spark):
+    """Known-answer removal (Lee et al. span removal, n=3): 'a b c' is
+    the only cross-doc window, so its covered tokens vanish from both
+    carriers; untouched docs keep their original digest; an
+    entirely-removed doc digests the empty string."""
+    import hashlib
+
+    rows = [
+        (0, "a b c d e"),   # dup window at start 0 -> covers a b c -> "d e"
+        (1, "x a b c y"),   # dup window at start 1 -> covers a b c -> "x y"
+        (2, "q r s t u"),   # untouched
+        (3, "a b c"),       # fully covered -> empty cleaned text
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in dedup.remove_dup_spans(docs, n=3).collect()}
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert (out[0]["n_tokens"], out[0]["n_removed"]) == (5, 3)
+    assert out[0]["cleaned_digest"] == md5("d e")
+    assert (out[1]["n_tokens"], out[1]["n_removed"]) == (5, 3)
+    assert out[1]["cleaned_digest"] == md5("x y")
+    assert (out[2]["n_tokens"], out[2]["n_removed"]) == (5, 0)
+    assert out[2]["cleaned_digest"] == md5("q r s t u")
+    assert (out[3]["n_tokens"], out[3]["n_removed"]) == (3, 3)
+    assert out[3]["cleaned_digest"] == md5("")
+
+
+def test_gopher_filter(spark):
+    """Rule-by-rule known answers: a clean 12-word doc passes; too-short
+    and stopword-free docs fail; the integer mean is floor micro-units."""
+    good = "the cat sat of the mat and dogs ran to the park"  # 12 words
+    rows = [
+        (0, good),
+        (1, "tiny doc"),                        # n_words < 10
+        (2, "zz yy xx ww vv uu tt ss rr qq"),   # 10 words, 0 stopwords
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in textstats.gopher_filter(docs).collect()}
+    assert out[0]["n_words"] == 12 and out[0]["keep"] == 1
+    # sum of token lengths of `good` = 36 -> mean 3.0 exactly
+    assert out[0]["mean_word_len_micro"] == 3_000_000
+    assert out[1]["keep"] == 0
+    assert out[2]["n_stopword_hits"] == 0 and out[2]["keep"] == 0
+
+
+def test_classifier_score_matches_reference_hash(spark):
+    """The hashed-linear score must equal a pure-Python replication of
+    the md5-nibble bucket -> affine weight -> integer sum pipeline."""
+    import hashlib
+
+    from scio_sparql_spark.extras.textstats import (
+        CLASSIFIER_DIM,
+        CLASSIFIER_MULT,
+        CLASSIFIER_RANGE,
+    )
+
+    def weight(tok):
+        bucket = int(hashlib.md5(tok.encode()).hexdigest()[:4], 16) % CLASSIFIER_DIM
+        return (bucket * CLASSIFIER_MULT) % CLASSIFIER_RANGE - 1_000_000
+
+    rows = [(0, "spark shuffles data fast"), (1, "one"), (2, "")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in textstats.classifier_score(docs).collect()}
+    for doc_id, text in rows:
+        toks = [t for t in text.lower().split() if t]
+        assert out[doc_id]["score_micro"] == sum(weight(t) for t in toks)
+        assert out[doc_id]["n_tokens"] == len(toks)
+        assert out[doc_id]["keep"] == int(out[doc_id]["score_micro"] >= 0)
+
+
 def test_lm_bigram_score(spark):
     """Hand-computed add-one bigram LM: corpus 'a b a' / 'a b' / 'x'.
     uni: a:3 b:2 x:1, V=3; c('a b')=2, c('b a')=1.
