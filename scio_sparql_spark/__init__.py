@@ -12,6 +12,9 @@ from .sources.results import (  # noqa: F401
     to_result_json,
     to_result_json_df,
     to_result_tsv_df,
+    to_result_xml,
+    to_result_xml_boolean,
+    to_result_xml_df,
 )
 from .sources.rio import (  # noqa: F401
     parse_turtle,

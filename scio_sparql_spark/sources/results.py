@@ -73,6 +73,77 @@ def to_result_json(df: DataFrame, limit: int | None = None) -> str:
     )
 
 
+def _xml_escape(s):
+    # &amp; first, then the rest (text + attribute-value safe)
+    out = F.regexp_replace(s, "&", "&amp;")
+    out = F.regexp_replace(out, "<", "&lt;")
+    out = F.regexp_replace(out, ">", "&gt;")
+    return F.regexp_replace(out, '"', "&quot;")
+
+
+def to_result_xml_df(df: DataFrame) -> DataFrame:
+    """One column ``xml``: a ``<result>…</result>`` element per solution
+    row (W3C SPARQL 1.1 Query Results XML Format, distributed form —
+    native Column concat/escape under codegen)."""
+    parts = []
+    for v in df.columns:
+        c = F.col(v)
+        lex = _xml_escape(c["lex"])
+        literal = F.when(
+            c["dt"] == RDF_LANGSTRING,
+            F.concat(
+                F.lit('<literal xml:lang="'), c["lang"], F.lit('">'), lex,
+                F.lit("</literal>"),
+            ),
+        ).when(
+            c["dt"].isNotNull() & (c["dt"] != XSD_STRING),
+            F.concat(
+                F.lit('<literal datatype="'), _xml_escape(c["dt"]), F.lit('">'),
+                lex, F.lit("</literal>"),
+            ),
+        ).otherwise(F.concat(F.lit("<literal>"), lex, F.lit("</literal>")))
+        term = (
+            F.when(c["kind"] == KIND_IRI, F.concat(F.lit("<uri>"), lex, F.lit("</uri>")))
+            .when(c["kind"] == KIND_BNODE, F.concat(F.lit("<bnode>"), c["lex"], F.lit("</bnode>")))
+            .otherwise(literal)
+        )
+        parts.append(
+            F.when(
+                c.isNotNull(),
+                F.concat(
+                    F.lit(f'<binding name="{v}">'), term, F.lit("</binding>")
+                ),
+            ).otherwise(F.lit(""))  # unbound: binding element omitted
+        )
+    row = F.concat(F.lit("<result>"), *parts, F.lit("</result>"))
+    return df.select(row.alias("xml"))
+
+
+XML_NS = "http://www.w3.org/2005/sparql-results#"
+
+
+def to_result_xml(df: DataFrame, limit: int | None = None) -> str:
+    """The complete XML results document (driver-side — result sets,
+    not datasets)."""
+    rows = to_result_xml_df(df.limit(limit) if limit is not None else df).collect()
+    head = "".join(f'<variable name="{v}"/>' for v in df.columns)
+    body = "".join(r["xml"] for r in rows)
+    return (
+        '<?xml version="1.0"?>'
+        f'<sparql xmlns="{XML_NS}">'
+        f"<head>{head}</head><results>{body}</results></sparql>"
+    )
+
+
+def to_result_xml_boolean(value: bool) -> str:
+    """ASK-form XML results document."""
+    return (
+        '<?xml version="1.0"?>'
+        f'<sparql xmlns="{XML_NS}">'
+        f"<head></head><boolean>{'true' if value else 'false'}</boolean></sparql>"
+    )
+
+
 def to_result_csv_df(df: DataFrame) -> DataFrame:
     """Plain string columns per the CSV rules: lexical form for IRIs and
     literals, ``_:label`` for bnodes, empty string for unbound."""

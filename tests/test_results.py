@@ -93,3 +93,40 @@ def test_result_tsv_escaping(spark):
     df = execute_sparql(quads, 'PREFIX : <urn:r:> SELECT ?n WHERE { ?x :name ?n }')
     out = to_result_tsv_df(df).collect()[0]["?n"]
     assert out == '"a\\tb\\nc\\"d"'
+
+
+def test_result_xml_document(spark):
+    import xml.etree.ElementTree as ET
+
+    from scio_sparql_spark import to_result_xml, to_result_xml_boolean
+
+    ns = "{http://www.w3.org/2005/sparql-results#}"
+    root = ET.fromstring(to_result_xml(_solutions(spark)))
+    assert [v.get("name") for v in root.find(f"{ns}head")] == ["s", "name", "age"]
+    results = root.find(f"{ns}results").findall(f"{ns}result")
+    by_name = {}
+    for r in results:
+        bindings = {b.get("name"): b[0] for b in r.findall(f"{ns}binding")}
+        by_name[bindings["name"].text] = bindings
+    alice = by_name["Alice"]
+    assert alice["s"].tag == f"{ns}uri" and alice["s"].text == "urn:r:alice"
+    assert alice["name"].tag == f"{ns}literal"
+    assert alice["name"].get("datatype") is None  # simple literal form
+    assert alice["age"].get("datatype").endswith("integer")
+    bob = by_name["Bob"]
+    assert bob["name"].get("{http://www.w3.org/XML/1998/namespace}lang") == "en"
+    assert "age" not in bob  # unbound -> binding element omitted
+    assert by_name["Carol"]["s"].tag == f"{ns}bnode"
+
+    ask = ET.fromstring(to_result_xml_boolean(True))
+    assert ask.find(f"{ns}boolean").text == "true"
+
+
+def test_result_xml_escaping(spark):
+    from scio_sparql_spark import execute_sparql, to_result_xml_df
+
+    ttl = '@prefix : <urn:r:> . :d :name "a<b>&\\"q\\"" .'
+    quads = quads_df_from_list(spark, parse_turtle(ttl))
+    df = execute_sparql(quads, "PREFIX : <urn:r:> SELECT ?n WHERE { ?d :name ?n }")
+    xml = to_result_xml_df(df).collect()[0]["xml"]
+    assert "&lt;b&gt;" in xml and "&amp;" in xml and "&quot;q&quot;" in xml
