@@ -99,16 +99,30 @@ def minhash_signatures(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """(id, sig) MinHash signatures: shingles exploded once, then
-    num_hashes seeded-xxhash64 MIN aggregates in a single groupBy —
-    whole-stage-codegen'd partial aggregation does the 64-hash work
-    map-side before the shuffle. A per-row higher-order-function
-    variant (transform/array_min, zero shuffle) benchmarked ~4x SLOWER:
-    HOF lambdas evaluate interpreted, outside codegen."""
-    sh = spread(docs).select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(token_ngrams(F.col(text_col), n))).alias("s"),
+    num_hashes MIN aggregates in a single groupBy — whole-stage-
+    codegen'd partial aggregation does the per-hash work map-side
+    before the shuffle. A per-row higher-order-function variant
+    (transform/array_min, zero shuffle) benchmarked ~4x SLOWER: HOF
+    lambdas evaluate interpreted, outside codegen.
+
+    Each shingle STRING is hashed exactly once (xxhash64) down to a
+    LONG; the num_hashes seeded re-hashes then run over those 8 bytes
+    instead of the ~80-char shingle — the variable-length string walk
+    was the map-side hot loop (4.9s at sf0.1 before, re-hashing every
+    string 64x). A multiply-add permutation family would be cheaper
+    still but overflows ANSI-mode (Spark 4 default) 64-bit arithmetic,
+    which raises rather than wraps."""
+    sh = (
+        spread(docs)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(token_ngrams(F.col(text_col), n))).alias("g"),
+        )
+        .select("id", F.xxhash64("g").alias("s"))
     )
-    aggs = [F.min(F.xxhash64("s", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
+    aggs = [
+        F.min(F.xxhash64("s", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)
+    ]
     return (
         sh.groupBy("id")
         .agg(*aggs)
@@ -184,13 +198,19 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bit
     explode -> 64 codegen'd conditional sums in one groupBy; the partial
     aggregation runs map-side (see minhash_signatures on why this beats
     an interpreted per-row HOF formulation)."""
-    toks = spread(docs).select(
-        F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("tok")
-    ).filter(F.col("tok") != "")
-    h = F.xxhash64("tok")
+    toks = (
+        spread(docs)
+        .select(F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("tok"))
+        .filter(F.col("tok") != "")
+        # hash once per token occurrence, BEFORE the 64 vote exprs —
+        # referencing xxhash64(tok) inside each aggregate re-evaluates
+        # the string hash per bit (no CSE across aggregate exprs)
+        .select(F.col(id_col), F.xxhash64("tok").alias("h"))
+    )
+    h = F.col("h")
     votes = [
         F.sum(
-            F.when(h.bitwiseAND(F.shiftleft(F.lit(1).cast("long"), i)) != 0, 1).otherwise(-1)
+            F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1).cast("long")) * 2 - 1
         ).alias(f"b{i}")
         for i in range(bits)
     ]
