@@ -62,10 +62,11 @@ BENCH_QUERIES = [
     # windowed agg / dedup plans; measures the streaming-path overhead)
     "stream_windowed_counts",
     "stream_dedup_exact",
-    # quality filtering + span removal (r5 batch 2)
+    # quality filtering + span removal + sequence packing (r5 batch 2)
     "docs_gopher_filter",
     "text_classifier_score",
     "dedup_span_removal",
+    "docs_pack_sequences",
 ]
 
 

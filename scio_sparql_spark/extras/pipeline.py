@@ -311,22 +311,20 @@ def clean_corpus(
     )
 
 
-def pack_shards(
-    docs: DataFrame,
-    budget: int,
-    n_tokens_col: str = "n_tokens",
+def global_prefix_sum(
+    df: DataFrame,
+    value_col: str,
     order_col: str = "doc_id",
     num_ranges: int = 32,
 ) -> DataFrame:
-    """Assign each document a shard id so consecutive documents (in
-    `order_col` order) accumulate into shards of ~`budget` tokens:
-    ``shard = floor(tokens_before_this_doc / budget)``.
+    """Input columns plus ``__before`` = the sum of `value_col` over all
+    rows strictly earlier in `order_col` order.
 
-    Scalable prefix-sum: range-partition by the order key, local
-    window-cumsum within each range, then offset every range by the
-    driver-computed prefix of per-range totals (collect of `num_ranges`
-    rows, not data)."""
-    parts = spread(docs).repartitionByRange(num_ranges, F.col(order_col)).withColumn(
+    Scalable prefix-sum (no single-partition global window): range-
+    partition by the order key, local window-cumsum within each range,
+    then offset every range by the driver-computed prefix of per-range
+    totals (collect of `num_ranges` rows, not data)."""
+    parts = spread(df).repartitionByRange(num_ranges, F.col(order_col)).withColumn(
         "__pid", F.spark_partition_id()
     )
     w = (
@@ -334,7 +332,7 @@ def pack_shards(
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    local = parts.withColumn("__cum", F.sum(n_tokens_col).over(w))
+    local = parts.withColumn("__cum", F.sum(value_col).over(w))
     totals = {
         r["__pid"]: r["t"]
         for r in local.groupBy("__pid").agg(F.max("__cum").alias("t")).collect()
@@ -350,10 +348,66 @@ def pack_shards(
         ],
         F.lit(0),
     ) if offsets else F.lit(0)
-    return local.select(
+    return local.withColumn(
+        "__before", (F.col("__cum") + offset_col - F.col(value_col)).cast("bigint")
+    ).drop("__pid", "__cum")
+
+
+def pack_shards(
+    docs: DataFrame,
+    budget: int,
+    n_tokens_col: str = "n_tokens",
+    order_col: str = "doc_id",
+    num_ranges: int = 32,
+) -> DataFrame:
+    """Assign each document a shard id so consecutive documents (in
+    `order_col` order) accumulate into shards of ~`budget` tokens:
+    ``shard = floor(tokens_before_this_doc / budget)`` — see
+    global_prefix_sum for the scalable prefix-sum plan."""
+    pre = global_prefix_sum(docs, n_tokens_col, order_col, num_ranges)
+    return pre.select(
         F.col(order_col),
         F.col(n_tokens_col),
-        F.floor(
-            (F.col("__cum") + offset_col - F.col(n_tokens_col)) / F.lit(budget)
-        ).alias("shard"),
+        F.floor(F.col("__before") / F.lit(budget)).alias("shard"),
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int,
+    n_tokens_col: str = "n_tokens",
+    order_col: str = "doc_id",
+    num_ranges: int = 32,
+) -> DataFrame:
+    """Fixed-length training-sequence packing: documents concatenate in
+    `order_col` order into back-to-back contexts of exactly `seq_len`
+    tokens (no padding between docs — the GPT-style packed-pretraining
+    layout), and each document learns WHERE it landed: its global token
+    offset, the first/last sequence it touches, its offset inside that
+    first sequence, and how many sequences it spans. Downstream, the
+    (seq_first, offset_in_seq) pairs are exactly the index a packed-
+    example writer or an attention-boundary mask builder needs.
+
+    One scalable prefix sum (global_prefix_sum) + pure integer
+    arithmetic: every output is an exact BIGINT (hash-safe)."""
+    pre = global_prefix_sum(docs, n_tokens_col, order_col, num_ranges)
+    n = F.col(n_tokens_col)
+    first = F.expr(f"__before DIV {seq_len}")
+    last = F.expr(
+        f"CASE WHEN {n_tokens_col} > 0"
+        f" THEN (__before + {n_tokens_col} - 1) DIV {seq_len}"
+        f" ELSE __before DIV {seq_len} END"
+    )
+    return pre.select(
+        F.col(order_col),
+        n.cast("bigint").alias(n_tokens_col),
+        F.col("__before").alias("tok_offset"),
+        first.cast("bigint").alias("seq_first"),
+        last.cast("bigint").alias("seq_last"),
+        (F.col("__before") % seq_len).cast("bigint").alias("offset_in_seq"),
+        F.expr(
+            f"CASE WHEN {n_tokens_col} > 0 THEN "
+            f"((__before + {n_tokens_col} - 1) DIV {seq_len}) - (__before DIV {seq_len}) + 1 "
+            f"ELSE CAST(0 AS BIGINT) END"
+        ).cast("bigint").alias("n_seqs"),
     )

@@ -534,6 +534,19 @@ def q_text_pii(spark, sf_dir):
     return textstats.pii_stats(_table(spark, sf_dir, "documents"))
 
 
+def q_docs_pack_sequences(spark, sf_dir):
+    """GPT-style packed-pretraining layout: whitespace token counts ->
+    fixed 512-token contexts; every output an exact BIGINT."""
+    docs = _table(spark, sf_dir, "documents")
+    counted = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(F.split(F.trim(F.lower("text")), r"\s+"), lambda t: t != "")
+        ).cast("bigint").alias("n_tokens"),
+    )
+    return pipeline.pack_sequences(counted, seq_len=512)
+
+
 def q_docs_gopher_filter(spark, sf_dir):
     return textstats.gopher_filter(_table(spark, sf_dir, "documents"))
 
@@ -1533,6 +1546,30 @@ EXTRA_QUERIES = {
                                  '<EMAIL>', 'g') AS redacted_text
            FROM documents""",
     ),
+    # fixed-length sequence packing: one scalable prefix sum, then pure
+    # integer arithmetic (oracle = single window cumsum)
+    "docs_pack_sequences": (
+        q_docs_pack_sequences,
+        f"""WITH t AS (SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+                      FROM documents),
+             c AS (SELECT doc_id, n_tokens,
+                          CAST(COALESCE(SUM(n_tokens) OVER (
+                            ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                          ), 0) AS BIGINT) AS tok_offset
+                   FROM t)
+            SELECT doc_id, n_tokens, tok_offset,
+                   CAST(tok_offset // 512 AS BIGINT) AS seq_first,
+                   CAST(CASE WHEN n_tokens > 0
+                             THEN (tok_offset + n_tokens - 1) // 512
+                             ELSE tok_offset // 512 END AS BIGINT) AS seq_last,
+                   CAST(tok_offset % 512 AS BIGINT) AS offset_in_seq,
+                   CAST(CASE WHEN n_tokens > 0
+                             THEN (tok_offset + n_tokens - 1) // 512
+                                  - tok_offset // 512 + 1
+                             ELSE 0 END AS BIGINT) AS n_seqs
+            FROM c""",
+    ),
     # Gopher-style rule filter: every signal an exact integer, keep
     # recomputed from the same integers on both sides
     "docs_gopher_filter": (
@@ -1798,6 +1835,7 @@ CATALOG_FRONT = [
     "docs_gopher_filter",
     "text_classifier_score",
     "dedup_span_removal",
+    "docs_pack_sequences",
     # verified: r4 — cheap core-compiler re-stamps filling the window
     # to 50 so their evidence never ages past 2 rounds (rotation
     # discipline; these would otherwise be the oldest rows in r6)
@@ -1805,12 +1843,11 @@ CATALOG_FRONT = [
     "sparql_optional",
     "sparql_exists",
     "sparql_agg_sum",
-    "sparql_agg_count",
     # (rotated out, all r4-green: the remaining sparql surface —
     # stable code, re-window in r6 — plus dedup_semantic,
     # docs_clean_pipeline, ann_lsh_topk, ann_ivf_topk,
     # sparql_quads_roundtrip, sparql_property_table, sparql_having,
-    # sparql_construct, sparql_bindings)
+    # sparql_construct, sparql_bindings, sparql_agg_count)
 ]
 
 

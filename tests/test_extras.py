@@ -359,6 +359,30 @@ def test_pack_shards(spark):
     assert got == expect
 
 
+def test_pack_sequences(spark):
+    """Pure-Python replication of the packed layout: global offsets,
+    sequence spans, in-sequence offsets; zero-token docs span nothing."""
+    from scio_sparql_spark.extras import pipeline
+
+    rows = [(0, 3), (1, 5), (2, 0), (3, 9), (4, 2)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    got = {r["doc_id"]: r for r in pipeline.pack_sequences(df, seq_len=4).collect()}
+    cum = 0
+    for i, n in rows:
+        r = got[i]
+        assert r["tok_offset"] == cum
+        assert r["seq_first"] == cum // 4
+        assert r["offset_in_seq"] == cum % 4
+        if n > 0:
+            assert r["seq_last"] == (cum + n - 1) // 4
+            assert r["n_seqs"] == (cum + n - 1) // 4 - cum // 4 + 1
+        else:
+            assert r["seq_last"] == cum // 4 and r["n_seqs"] == 0
+        cum += n
+    # doc 3: offset 8, 9 tokens -> occupies seqs 2..4 (3 sequences)
+    assert (got[3]["seq_first"], got[3]["seq_last"], got[3]["n_seqs"]) == (2, 4, 3)
+
+
 def test_streaming_exact_dedup(spark, tmp_path):
     from scio_sparql_spark.streaming.dedup import streaming_dedup_from_path
 
