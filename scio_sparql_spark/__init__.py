@@ -24,5 +24,6 @@ from .sources.rio import (  # noqa: F401
     write_triples,
 )
 from .terms import QUADS_SCHEMA, TERM_TYPE, Term  # noqa: F401
+from .update import execute_update  # noqa: F401
 
 __version__ = "0.1.0"

@@ -1,0 +1,237 @@
+"""SPARQL 1.1 Update execution over a quads DataFrame.
+
+Functional graph store: ``execute_update(quads, update)`` returns a NEW
+quads DataFrame with every operation applied in sequence — the input is
+never mutated (DataFrames are immutable values). Persisting the result
+is the caller's choice (``write_triples`` or parquet), which is the
+right split on a cluster: an update is a plan, materialization is a
+checkpoint decision.
+
+Beyond-reference surface (the reference is query-only,
+Interpreter.scala:191-205). Scale notes:
+- INSERT/DELETE DATA: the ground-quad side is a driver-built one-row-
+  per-quad DataFrame — the store-side work is one broadcast anti-join
+  (inserts dedup against the store; deletes subtract), never a full
+  store shuffle.
+- DELETE WHERE / MODIFY: the WHERE compiles through the same engine as
+  queries (Catalyst plans, star rewrites are NOT used — updates see
+  raw quads); instantiated delete/insert quads then anti-join/union
+  the store. The store is only ever filtered/unioned — no global sort.
+- CLEAR/DROP/ADD/COPY/MOVE are pure column predicates + relabels.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from . import algebra as A
+from .compiler import compile_query
+from .sparql.update import (
+    DeleteData,
+    DeleteWhere,
+    GraphManagement,
+    GraphTransfer,
+    InsertData,
+    Load,
+    Modify,
+    QuadPattern,
+    parse_update,
+)
+from .terms import KIND_IRI, KIND_LITERAL, QUADS_SCHEMA, TERM_TYPE, Term, null_term
+
+_COLS = ("subject", "predicate", "object", "graph")
+
+
+def execute_update(quads: DataFrame, update: str) -> DataFrame:
+    """Apply a SPARQL 1.1 Update request (one or more ';'-separated
+    operations) and return the resulting quads DataFrame."""
+    cur = quads
+    for op in parse_update(update):
+        cur = _apply(cur, op)
+    return cur
+
+
+def _apply(cur: DataFrame, op) -> DataFrame:
+    if isinstance(op, InsertData):
+        return _insert(cur, _ground_df(cur, op.quads))
+    if isinstance(op, DeleteData):
+        return _delete(cur, _ground_df(cur, op.quads))
+    if isinstance(op, DeleteWhere):
+        sols = _solutions(cur, _patterns_algebra(op.patterns))
+        return _delete(cur, _instantiate(sols, op.patterns, None))
+    if isinstance(op, Modify):
+        sols = _solutions(cur, op.where)
+        with_g = Term.iri(op.with_iri) if op.with_iri else None
+        # spec §3.1.3: evaluate WHERE once against the current store,
+        # THEN delete, THEN insert
+        dels = _instantiate(sols, op.delete, with_g) if op.delete else None
+        ins = _instantiate(sols, op.insert, with_g) if op.insert else None
+        if dels is not None:
+            cur = _delete(cur, dels)
+        if ins is not None:
+            cur = _insert(cur, ins)
+        return cur
+    if isinstance(op, GraphManagement):
+        if op.op == "create":
+            return cur  # graph existence is not tracked; CREATE is a no-op
+        g = F.col("graph")
+        if op.target == "default":
+            return cur.filter(g.isNotNull())
+        if op.target == "named":
+            return cur.filter(g.isNull())
+        if op.target == "all":
+            return cur.limit(0)
+        return cur.filter(g.isNull() | (g["lex"] != op.target[1]))
+    if isinstance(op, GraphTransfer):
+        return _transfer(cur, op)
+    if isinstance(op, Load):
+        from .sources.rio import read_triples
+
+        loaded = read_triples(cur.sparkSession, op.url.removeprefix("file://"))
+        loaded = loaded.select(*_COLS)
+        if op.graph is not None:
+            loaded = loaded.withColumn(
+                "graph", Term.iri(op.graph).to_column().alias("graph")
+            )
+        return _insert(cur, loaded)
+    raise AssertionError(f"unhandled update op {op!r}")
+
+
+# --- store algebra -----------------------------------------------------------
+
+
+def _quad_eq(a: str, b: str):
+    cond = None
+    for c in _COLS:
+        e = F.col(f"{a}.{c}").eqNullSafe(F.col(f"{b}.{c}"))
+        cond = e if cond is None else cond & e
+    return cond
+
+
+def _insert(cur: DataFrame, new: DataFrame) -> DataFrame:
+    """Set-union: only quads absent from the store are appended (the
+    store itself is never dedup-shuffled). The new side is typically
+    small -> AQE broadcasts the anti-join."""
+    fresh = new.dropDuplicates().alias("n").join(
+        cur.alias("c"), _quad_eq("n", "c"), "left_anti"
+    )
+    return cur.unionByName(fresh.select(*_COLS))
+
+
+def _delete(cur: DataFrame, dels: DataFrame) -> DataFrame:
+    """Subtract quads. A delete row flagged ``__any_graph`` (a template
+    with no GRAPH, under this engine's union-default-graph semantics —
+    the default graph IS the union, so removing a triple from it removes
+    the triple wherever it resides) matches on (s, p, o) in any graph;
+    an explicit-graph row matches the full quad."""
+    d = dels
+    if "__any_graph" not in d.columns:
+        d = d.withColumn("__any_graph", F.lit(False))
+    cond = None
+    for c in ("subject", "predicate", "object"):
+        e = F.col(f"c.{c}").eqNullSafe(F.col(f"d.{c}"))
+        cond = e if cond is None else cond & e
+    cond = cond & (
+        F.col("d.__any_graph") | F.col("c.graph").eqNullSafe(F.col("d.graph"))
+    )
+    return cur.alias("c").join(
+        d.dropDuplicates().alias("d"), cond, "left_anti"
+    ).select(*_COLS)
+
+
+def _transfer(cur: DataFrame, op) -> DataFrame:
+    g = F.col("graph")
+    src_pred = g.isNull() if op.src == "default" else g.isNotNull() & (
+        g["lex"] == op.src
+    )
+    dst_graph = (
+        F.lit(None).cast(TERM_TYPE)
+        if op.dst == "default"
+        else Term.iri(op.dst).to_column()
+    )
+    if op.src == op.dst:
+        return cur
+    moved = cur.filter(src_pred).withColumn("graph", dst_graph)
+    if op.op == "add":
+        return _insert(cur, moved)
+    # COPY/MOVE replace the destination graph entirely
+    dst_pred = g.isNull() if op.dst == "default" else g.isNotNull() & (
+        g["lex"] == op.dst
+    )
+    base = cur.filter(~F.coalesce(dst_pred, F.lit(False)))
+    if op.op == "move":
+        base = base.filter(~F.coalesce(src_pred, F.lit(False)))
+    return base.unionByName(moved.dropDuplicates())
+
+
+# --- WHERE evaluation + template instantiation ------------------------------
+
+
+def _patterns_algebra(patterns) -> A.Node:
+    node: A.Node | None = None
+    for qp in patterns:
+        sp = A.StatementPattern(
+            qp.s,
+            qp.p,
+            qp.o,
+            graph_mode="named" if qp.g is not None else "default",
+            graph=qp.g,
+        )
+        node = sp if node is None else A.Join(node, sp)
+    return node if node is not None else A.Singleton()
+
+
+def _solutions(quads: DataFrame, where: A.Node) -> DataFrame:
+    names = tuple(sorted(where.vars))
+    return compile_query(quads, A.Project(where, names))
+
+
+def _instantiate(sols: DataFrame, templates, with_g) -> DataFrame:
+    """Template quads x solutions -> quads DataFrame (plus an
+    ``__any_graph`` flag: True on rows from a graph-less template with
+    no WITH, which _delete matches against every graph — see _delete).
+    Invalid rows (unbound variable, literal subject/predicate/graph,
+    non-IRI predicate) are skipped per spec §3.1.3.2."""
+    parts = []
+    for qp in templates:
+        cols = []
+        for name, val in zip(_COLS, (qp.s, qp.p, qp.o, qp.g)):
+            if name == "graph" and val is None:
+                c = (
+                    with_g.to_column()
+                    if with_g is not None
+                    else F.lit(None).cast(TERM_TYPE)
+                )
+            elif isinstance(val, A.Var):
+                c = F.col(val.name) if val.name in sols.columns else null_term()
+            else:
+                c = val.to_column()
+            cols.append(c.alias(name))
+        cols.append(
+            F.lit(qp.g is None and with_g is None).alias("__any_graph")
+        )
+        parts.append(sols.select(*cols))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    s, p, o, g = (F.col(c) for c in _COLS)
+    valid = (
+        s.isNotNull()
+        & (s["kind"] != KIND_LITERAL)
+        & p.isNotNull()
+        & (p["kind"] == KIND_IRI)
+        & o.isNotNull()
+        & (g.isNull() | (g["kind"] == KIND_IRI))
+    )
+    return out.filter(valid)
+
+
+def _ground_df(cur: DataFrame, quads) -> DataFrame:
+    rows = [
+        tuple(
+            (t.as_tuple() if t is not None else None)
+            for t in (qp.s, qp.p, qp.o, qp.g)
+        )
+        for qp in quads
+    ]
+    return cur.sparkSession.createDataFrame(rows, QUADS_SCHEMA).coalesce(1)

@@ -915,6 +915,30 @@ _CLS_WEIGHT = (
 )
 
 
+def q_sparql_update_roundtrip(spark, sf_dir):
+    """SPARQL 1.1 Update end-to-end (beyond-reference: the reference is
+    query-only): delete a region wholesale via a MODIFY template, rename
+    another via DELETE/INSERT WHERE, insert a ground quad, then SELECT
+    the surviving names with the ordinary engine."""
+    from .update import execute_update
+
+    quads = tables_to_quads(spark, sf_dir, ["region"])
+    updated = execute_update(
+        quads,
+        """PREFIX col: <urn:col:>
+           PREFIX x: <urn:x:>
+           DELETE { ?r ?p ?o } WHERE { ?r col:r_name "EUROPE" . ?r ?p ?o } ;
+           DELETE { ?r col:r_name "AFRICA" }
+           INSERT { ?r col:r_name "AFRIKA" }
+           WHERE  { ?r col:r_name "AFRICA" } ;
+           INSERT DATA { x:r99 col:r_name "ATLANTIS" }""",
+    )
+    df = execute_sparql(
+        updated, PREFIXES + "SELECT ?name WHERE { ?r col:r_name ?name }"
+    )
+    return df.select(F.col("name")["lex"].alias("name"))
+
+
 def q_sparql_ask(spark, sf_dir):
     quads = tables_to_quads(spark, sf_dir, ["region"])
     return execute_sparql(quads, PREFIXES + 'ASK { ?r col:r_name "EUROPE" }')
@@ -1080,6 +1104,15 @@ EXTRA_QUERIES = {
     "sparql_quads_roundtrip": (
         q_quads_roundtrip,
         "SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey",
+    ),
+    # SPARQL 1.1 Update: delete-subject MODIFY + rename DELETE/INSERT
+    # WHERE + ground INSERT DATA, verified by querying the result store
+    "sparql_update_roundtrip": (
+        q_sparql_update_roundtrip,
+        """SELECT CASE WHEN r_name = 'AFRICA' THEN 'AFRIKA' ELSE r_name END
+                  AS name
+           FROM region WHERE r_name <> 'EUROPE'
+           UNION ALL SELECT 'ATLANTIS' AS name""",
     ),
     # §2.1 executeSparql(query, bindings)
     "sparql_bindings": (
@@ -1836,13 +1869,14 @@ CATALOG_FRONT = [
     "text_classifier_score",
     "dedup_span_removal",
     "docs_pack_sequences",
+    # new in r5: SPARQL 1.1 Update end-to-end
+    "sparql_update_roundtrip",
     # verified: r4 — cheap core-compiler re-stamps filling the window
     # to 50 so their evidence never ages past 2 rounds (rotation
     # discipline; these would otherwise be the oldest rows in r6)
     "sparql_bgp_join",
     "sparql_optional",
     "sparql_exists",
-    "sparql_agg_sum",
     # (rotated out, all r4-green: the remaining sparql surface —
     # stable code, re-window in r6 — plus dedup_semantic,
     # docs_clean_pipeline, ann_lsh_topk, ann_ivf_topk,

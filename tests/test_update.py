@@ -1,0 +1,165 @@
+"""SPARQL 1.1 Update over a quads DataFrame (update.py,
+sparql/update.py).
+
+Beyond-reference surface: the reference is query-only
+(Interpreter.scala:191-205). Functional semantics: every operation
+returns a new quads DataFrame; assertions query the result with the
+ordinary engine.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from scio_sparql_spark import (
+    execute_sparql,
+    execute_update,
+    parse_turtle,
+    quads_df_from_list,
+)
+
+TTL = """
+@prefix : <urn:u:> .
+:a :p 1 . :a :q "x" .
+:b :p 2 .
+"""
+
+
+def _store(spark):
+    return quads_df_from_list(spark, parse_turtle(TTL))
+
+
+def _values(df, var):
+    return sorted(r[var]["lex"] for r in df.collect() if r[var] is not None)
+
+
+def _select(quads, q):
+    return execute_sparql(quads, "PREFIX : <urn:u:>\n" + q)
+
+
+def test_insert_data(spark):
+    out = execute_update(
+        _store(spark),
+        'PREFIX : <urn:u:> INSERT DATA { :c :p 3 . :c :q "y" }',
+    )
+    assert _values(_select(out, "SELECT ?s WHERE { ?s :p ?v }"), "s") == [
+        "urn:u:a", "urn:u:b", "urn:u:c",
+    ]
+    # idempotent: re-inserting an existing quad does not duplicate it
+    again = execute_update(out, "PREFIX : <urn:u:> INSERT DATA { :c :p 3 }")
+    assert again.count() == out.count()
+
+
+def test_delete_data_and_where(spark):
+    out = execute_update(
+        _store(spark), "PREFIX : <urn:u:> DELETE DATA { :b :p 2 }"
+    )
+    assert _values(_select(out, "SELECT ?s WHERE { ?s :p ?v }"), "s") == ["urn:u:a"]
+    # DELETE WHERE: pattern doubles as template — drop every :p triple
+    out2 = execute_update(_store(spark), "PREFIX : <urn:u:> DELETE WHERE { ?s :p ?v }")
+    assert out2.count() == 1  # only :a :q "x" survives
+
+
+def test_modify_delete_insert_where(spark):
+    # rename predicate :p -> :renamed in one pass
+    out = execute_update(
+        _store(spark),
+        """PREFIX : <urn:u:>
+           DELETE { ?s :p ?v } INSERT { ?s :renamed ?v } WHERE { ?s :p ?v }""",
+    )
+    assert _values(_select(out, "SELECT ?v WHERE { ?s :renamed ?v }"), "v") == ["1", "2"]
+    assert _select(out, "SELECT ?v WHERE { ?s :p ?v }").count() == 0
+
+
+def test_modify_insert_only_with_filter(spark):
+    out = execute_update(
+        _store(spark),
+        """PREFIX : <urn:u:>
+           INSERT { ?s :big true } WHERE { ?s :p ?v FILTER(?v >= 2) }""",
+    )
+    assert _values(_select(out, "SELECT ?s WHERE { ?s :big true }"), "s") == ["urn:u:b"]
+
+
+def test_with_graph_and_graph_blocks(spark):
+    store = execute_update(
+        _store(spark),
+        "PREFIX : <urn:u:> INSERT DATA { GRAPH :g1 { :a :p 9 } }",
+    )
+    # WITH targets the named graph for both WHERE and template
+    out = execute_update(
+        store,
+        "PREFIX : <urn:u:> WITH :g1 DELETE { ?s :p ?v } WHERE { ?s :p ?v }",
+    )
+    assert (
+        _select(out, "SELECT ?v WHERE { GRAPH :g1 { ?s :p ?v } }").count() == 0
+    )
+    # default graph untouched
+    assert _values(_select(out, "SELECT ?v WHERE { ?s :p ?v }"), "v") == ["1", "2"]
+
+
+def test_sequence_and_clear(spark):
+    out = execute_update(
+        _store(spark),
+        """PREFIX : <urn:u:>
+           INSERT DATA { GRAPH :g { :x :p 1 } } ;
+           CLEAR DEFAULT""",
+    )
+    assert out.filter(out.graph.isNull()).count() == 0
+    assert out.count() == 1
+    gone = execute_update(out, "CLEAR ALL")
+    assert gone.count() == 0
+
+
+def test_graph_transfer_ops(spark):
+    store = execute_update(
+        _store(spark),
+        "PREFIX : <urn:u:> INSERT DATA { GRAPH :g1 { :n :p 7 } }",
+    )
+    copied = execute_update(store, "PREFIX : <urn:u:> COPY DEFAULT TO GRAPH :g2")
+    assert (
+        _select(copied, "SELECT ?v WHERE { GRAPH :g2 { ?s ?q ?v } }").count() == 3
+    )
+    moved = execute_update(copied, "PREFIX : <urn:u:> MOVE GRAPH :g1 TO GRAPH :g2")
+    # :g2's previous content replaced by :g1's single triple; :g1 empty
+    assert (
+        _select(moved, "SELECT ?v WHERE { GRAPH :g2 { ?s ?q ?v } }").count() == 1
+    )
+    assert (
+        _select(moved, "SELECT ?v WHERE { GRAPH :g1 { ?s ?q ?v } }").count() == 0
+    )
+    added = execute_update(store, "PREFIX : <urn:u:> ADD GRAPH :g1 TO DEFAULT")
+    assert added.filter(added.graph.isNull()).count() == 4
+
+
+def test_update_parse_errors(spark):
+    with pytest.raises(SyntaxError, match="USING"):
+        execute_update(
+            _store(spark),
+            "PREFIX : <urn:u:> DELETE { ?s :p ?v } USING :g WHERE { ?s :p ?v }",
+        )
+    with pytest.raises(SyntaxError, match="blank node"):
+        execute_update(
+            _store(spark), "PREFIX : <urn:u:> INSERT DATA { _:b :p 1 }"
+        )
+    with pytest.raises(SyntaxError, match="variable"):
+        execute_update(
+            _store(spark), "PREFIX : <urn:u:> INSERT DATA { ?s :p 1 }"
+        )
+    with pytest.raises(SyntaxError, match="plain triples"):
+        execute_update(
+            _store(spark),
+            "PREFIX : <urn:u:> DELETE WHERE { ?s :p/:q ?v }",
+        )
+
+
+def test_delete_where_graph_pattern(spark):
+    store = execute_update(
+        _store(spark),
+        "PREFIX : <urn:u:> INSERT DATA { GRAPH :g { :a :p 1 . :b :q 2 } }",
+    )
+    out = execute_update(
+        store, "PREFIX : <urn:u:> DELETE WHERE { GRAPH :g { ?s :p ?v } }"
+    )
+    assert _select(out, "SELECT ?v WHERE { GRAPH :g { ?s ?q ?v } }").count() == 1
+    # default graph untouched
+    assert out.filter(out.graph.isNull()).count() == 3
