@@ -67,6 +67,8 @@ BENCH_QUERIES = [
     "text_classifier_score",
     "dedup_span_removal",
     "docs_pack_sequences",
+    # SPARQL 1.1 Update end-to-end (modify + insert + query-back)
+    "sparql_update_roundtrip",
 ]
 
 

@@ -21,7 +21,9 @@ from .sources.rio import (  # noqa: F401
     quads_df_from_list,
     read_triples,
     read_triples_stream,
+    to_ntriples_df,
     write_triples,
+    write_triples_nt,
 )
 from .terms import QUADS_SCHEMA, TERM_TYPE, Term  # noqa: F401
 from .update import execute_update  # noqa: F401

@@ -572,6 +572,18 @@ _BNODE = r"_:(\S+)"
 _LIT = r'"((?:[^"\\]|\\.)*)"(?:\^\^<([^>]*)>|@([A-Za-z0-9-]+))?'
 
 
+_NT_SENTINEL = "\x00"  # cannot occur in N-Triples source (control char)
+
+
+def _nt_unescape(lex):
+    out = F.regexp_replace(lex, r"\\\\", _NT_SENTINEL)
+    out = F.regexp_replace(out, r"\\n", "\n")
+    out = F.regexp_replace(out, r"\\t", "\t")
+    out = F.regexp_replace(out, r"\\r", "\r")
+    out = F.regexp_replace(out, r'\\"', '"')
+    return F.regexp_replace(out, _NT_SENTINEL, r"\\")
+
+
 def _term_from_ntoken(tok):
     iri = F.regexp_extract(tok, f"^{_IRI}$", 1)
     bnode = F.regexp_extract(tok, f"^{_BNODE}$", 1)
@@ -591,14 +603,11 @@ def _term_from_ntoken(tok):
         .when(is_bn, bnode)
         .when(
             is_lit,
-            # unescape the common N-Triples escapes natively
-            F.regexp_replace(
-                F.regexp_replace(
-                    F.regexp_replace(lit_lex, r'\\"', '"'), r"\\n", "\n"
-                ),
-                r"\\\\",
-                r"\\",
-            ),
+            # unescape the N-Triples string escapes natively. Escaped
+            # backslashes are parked on a sentinel FIRST so that e.g.
+            # the literal two-char sequence \\ followed by n is not
+            # misread as a newline escape, then restored LAST.
+            _nt_unescape(lit_lex),
         )
     )
     dt = F.when(
@@ -779,6 +788,55 @@ def _attach_star_catalog(spark: SparkSession, df: DataFrame, path: str) -> DataF
             stacklevel=3,
         )
     return df
+
+
+def to_ntriples_df(df: DataFrame, quads: bool = False) -> DataFrame:
+    """Quads -> one N-Triples (or N-Quads with ``quads=True``) line per
+    row, as a single ``line`` string column — native Column concat +
+    escape under codegen, so serialization is distributed and the
+    result writes with ``df.write.text`` or streams to any text sink.
+    Rows in named graphs are serialized with their graph label when
+    ``quads=True`` and FLATTENED into the default graph otherwise."""
+    from .results import _tsv_escape  # N-Triples string escaping rules
+
+    def term(c):
+        lit = F.concat(F.lit('"'), _tsv_escape(c["lex"]), F.lit('"'))
+        lit = (
+            F.when(c["dt"] == RDF_LANGSTRING, F.concat(lit, F.lit("@"), c["lang"]))
+            .when(
+                c["dt"].isNotNull() & (c["dt"] != XSD_STRING),
+                F.concat(lit, F.lit("^^<"), c["dt"], F.lit(">")),
+            )
+            .otherwise(lit)
+        )
+        return (
+            F.when(c["kind"] == KIND_IRI, F.concat(F.lit("<"), c["lex"], F.lit(">")))
+            .when(c["kind"] == KIND_BNODE, F.concat(F.lit("_:"), c["lex"]))
+            .otherwise(lit)
+        )
+
+    parts = [
+        term(F.col("subject")),
+        F.lit(" "),
+        term(F.col("predicate")),
+        F.lit(" "),
+        term(F.col("object")),
+    ]
+    if quads:
+        g = F.col("graph")
+        gpart = F.when(g.isNotNull(), F.concat(F.lit(" "), term(g))).otherwise(
+            F.lit("")
+        )
+        parts.append(gpart)
+    parts.append(F.lit(" ."))
+    return df.select(F.concat(*parts).alias("line"))
+
+
+def write_triples_nt(df: DataFrame, path: str, quads: bool = False):
+    """Quads -> N-Triples/N-Quads text files (one part file per
+    partition — the interchange-format egress; parquet via
+    write_triples is the performance store)."""
+    to_ntriples_df(df, quads).write.mode("overwrite").text(path)
 
 
 def write_triples(

@@ -915,6 +915,30 @@ _CLS_WEIGHT = (
 )
 
 
+def q_stream_sparql_select(spark, sf_dir):
+    """End-to-end streaming SPARQL with a hash gate: quads serialized to
+    N-Triples text (write_triples_nt), re-ingested as a file STREAM
+    (read_triples_stream: each file a micro-batch of quads), a stateless
+    SPARQL SELECT applied unchanged to the streaming DataFrame, run to
+    completion with availableNow — must hash-match the plain relational
+    oracle. Exercises serializer + streaming reader + engine in one row."""
+    import os
+    import tempfile
+
+    from .sources.rio import read_triples_stream, write_triples_nt
+
+    quads = tables_to_quads(spark, sf_dir, ["region"])
+    app_id = spark.sparkContext.applicationId
+    path = os.path.join(tempfile.gettempdir(), f"scio_stream_nt_{app_id}")
+    write_triples_nt(quads, path)
+    stream = read_triples_stream(spark, path)
+    df = execute_sparql(
+        stream, PREFIXES + "SELECT ?name WHERE { ?r col:r_name ?name }"
+    )
+    out = run_bounded(df)
+    return out.select(F.col("name")["lex"].alias("name"))
+
+
 def q_sparql_update_roundtrip(spark, sf_dir):
     """SPARQL 1.1 Update end-to-end (beyond-reference: the reference is
     query-only): delete a region wholesale via a MODIFY template, rename
@@ -1104,6 +1128,12 @@ EXTRA_QUERIES = {
     "sparql_quads_roundtrip": (
         q_quads_roundtrip,
         "SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey",
+    ),
+    # streaming SPARQL: NT-serialize -> file-stream re-ingest -> SELECT
+    # over the streaming DF -> availableNow, vs the relational oracle
+    "stream_sparql_select": (
+        q_stream_sparql_select,
+        "SELECT r_name AS name FROM region",
     ),
     # SPARQL 1.1 Update: delete-subject MODIFY + rename DELETE/INSERT
     # WHERE + ground INSERT DATA, verified by querying the result store
@@ -1869,19 +1899,21 @@ CATALOG_FRONT = [
     "text_classifier_score",
     "dedup_span_removal",
     "docs_pack_sequences",
-    # new in r5: SPARQL 1.1 Update end-to-end
+    # new in r5: SPARQL 1.1 Update end-to-end + streaming SPARQL with a
+    # hash gate (NT serializer -> file stream -> engine -> availableNow)
     "sparql_update_roundtrip",
+    "stream_sparql_select",
     # verified: r4 — cheap core-compiler re-stamps filling the window
     # to 50 so their evidence never ages past 2 rounds (rotation
     # discipline; these would otherwise be the oldest rows in r6)
     "sparql_bgp_join",
     "sparql_optional",
-    "sparql_exists",
     # (rotated out, all r4-green: the remaining sparql surface —
     # stable code, re-window in r6 — plus dedup_semantic,
     # docs_clean_pipeline, ann_lsh_topk, ann_ivf_topk,
     # sparql_quads_roundtrip, sparql_property_table, sparql_having,
-    # sparql_construct, sparql_bindings, sparql_agg_count)
+    # sparql_construct, sparql_bindings, sparql_agg_count,
+    # sparql_exists)
 ]
 
 

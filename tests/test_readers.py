@@ -489,3 +489,61 @@ def test_streaming_sparql_aggregation(spark, tmp_path):
         for r in spark.sql("select * from agg_stream_t").collect()
     }
     assert got == {"x": 2, "y": 1}
+
+
+def test_ntriples_writer_roundtrip(spark, tmp_path):
+    """write_triples_nt -> read_triples loses nothing: IRIs, bnodes,
+    plain/typed/lang literals, and escaped characters survive; the NQ
+    form keeps graph labels, the NT form flattens them."""
+    from scio_sparql_spark import (
+        parse_turtle,
+        quads_df_from_list,
+        read_triples,
+        write_triples_nt,
+    )
+    from scio_sparql_spark.terms import Term
+
+    ttl = r'''
+    @prefix : <urn:w:> .
+    :a :name "line\nbreak\ttab \"q\" \\ back" ;
+       :age 41 ;
+       :label "hola"@es .
+    _:b :knows :a .
+    '''
+    quads = quads_df_from_list(spark, parse_turtle(ttl))
+    # add one named-graph quad
+    g = quads_df_from_list(
+        spark,
+        [(Term.iri("urn:w:x"), Term.iri("urn:w:p"), Term.integer(7), Term.iri("urn:w:g"))],
+    )
+    store = quads.unionByName(g)
+
+    def key(df):
+        return sorted(
+            (tuple(r["subject"] or ()), tuple(r["predicate"]), tuple(r["object"]),
+             tuple(r["graph"]) if r["graph"] else None)
+            for r in df.collect()
+        )
+
+    nq = str(tmp_path / "out_nq")
+    write_triples_nt(store, nq, quads=True)
+    import os, shutil
+    # read back via .nq path convention (single concatenated file)
+    nq_file = str(tmp_path / "all.nq")
+    with open(nq_file, "w") as out:
+        for p in sorted(os.listdir(nq)):
+            if p.startswith("part-"):
+                out.write(open(os.path.join(nq, p)).read())
+    assert key(read_triples(spark, nq_file)) == key(store)
+
+    nt = str(tmp_path / "out_nt")
+    write_triples_nt(store, nt, quads=False)
+    # batch read_triples(dir) means parquet store; concatenate the text
+    # parts into one .nt file (the streaming reader covers the dir form)
+    nt_file = str(tmp_path / "all.nt")
+    with open(nt_file, "w") as out:
+        for p in sorted(os.listdir(nt)):
+            if p.startswith("part-"):
+                out.write(open(os.path.join(nt, p)).read())
+    flattened = store.withColumn("graph", F.lit(None).cast(store.schema["graph"].dataType))
+    assert key(read_triples(spark, nt_file)) == key(flattened)
