@@ -69,6 +69,10 @@ BENCH_QUERIES = [
     "docs_pack_sequences",
     # SPARQL 1.1 Update end-to-end (modify + insert + query-back)
     "sparql_update_roundtrip",
+    # streaming SPARQL (NT egress -> file stream -> engine) and the
+    # Q3-shaped 3-table join stress over 6.6M quads
+    "stream_sparql_select",
+    "sparql_q3_shaped",
 ]
 
 

@@ -130,6 +130,29 @@ SPARQL_QUERIES = {
         "SELECT l_returnflag AS flag, CAST(SUM(l_quantity) AS BIGINT) AS sum_qty "
         "FROM lineitem GROUP BY l_returnflag",
     ),
+    # TPC-H Q3-shaped engine stress: 3-table BGP chain with a selective
+    # dimension filter (customer segment), COUNT + integral-double SUM
+    # per priority — the broadcast-dim + fact-shuffle join pattern at
+    # 6.6M-quad scale (sf0.1)
+    "sparql_q3_shaped": (
+        ["customer", "orders", "lineitem"],
+        """SELECT ?priority (COUNT(?l) AS ?n_items) (SUM(?qty) AS ?sum_qty)
+           WHERE {
+             ?c col:c_mktsegment "BUILDING" .
+             ?o ref:o_custkey ?c ; col:o_orderpriority ?priority .
+             ?l ref:l_orderkey ?o ; col:l_quantity ?qty . }
+           GROUP BY ?priority""",
+        [("priority", "priority", "s"), ("n_items", "n_items", "i"),
+         ("sum_qty", "sum_qty", "i")],
+        """SELECT o_orderpriority AS priority,
+                  COUNT(*) AS n_items,
+                  CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+           FROM customer
+           JOIN orders ON o_custkey = c_custkey
+           JOIN lineitem ON l_orderkey = o_orderkey
+           WHERE c_mktsegment = 'BUILDING'
+           GROUP BY o_orderpriority""",
+    ),
     # §2.4 COUNT
     "sparql_agg_count": (
         ["orders"],
@@ -1903,17 +1926,18 @@ CATALOG_FRONT = [
     # hash gate (NT serializer -> file stream -> engine -> availableNow)
     "sparql_update_roundtrip",
     "stream_sparql_select",
-    # verified: r4 — cheap core-compiler re-stamps filling the window
-    # to 50 so their evidence never ages past 2 rounds (rotation
-    # discipline; these would otherwise be the oldest rows in r6)
+    # new in r5: Q3-shaped 3-table join stress (broadcast-dim pattern)
+    "sparql_q3_shaped",
+    # verified: r4 — cheap core-compiler re-stamp filling the window
+    # to 50 so its evidence never ages past 2 rounds (rotation
+    # discipline)
     "sparql_bgp_join",
-    "sparql_optional",
     # (rotated out, all r4-green: the remaining sparql surface —
     # stable code, re-window in r6 — plus dedup_semantic,
     # docs_clean_pipeline, ann_lsh_topk, ann_ivf_topk,
     # sparql_quads_roundtrip, sparql_property_table, sparql_having,
     # sparql_construct, sparql_bindings, sparql_agg_count,
-    # sparql_exists)
+    # sparql_exists, sparql_optional)
 ]
 
 
