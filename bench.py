@@ -73,6 +73,9 @@ BENCH_QUERIES = [
     # Q3-shaped 3-table join stress over 6.6M quads
     "stream_sparql_select",
     "sparql_q3_shaped",
+    # iterative integer-PageRank over the RDF FK graph (3 rounds,
+    # one dst-keyed shuffle per round)
+    "graph_pagerank",
 ]
 
 

@@ -1,0 +1,81 @@
+"""Iterative graph analytics over RDF/edge DataFrames.
+
+Beyond-reference surface (the reference has no graph algorithms; its
+only iteration is rdf4j's per-binding interpreter loop). The engine
+already runs one class of fixpoint — property-path `p+`/`p*` semi-naive
+closure (compiler.py) — and this module adds the rank-propagation
+class: a driver-side loop of JOINED-AND-AGGREGATED DataFrame plans,
+one shuffle per iteration on the edge destination key.
+
+Determinism design (COVERAGE.md hash discipline): ranks are integer
+MICRO-UNITS end-to-end. Each iteration does ``contrib = rank DIV
+outdeg`` per edge (integer division), an exact integer SUM over
+incoming contributions (order-independent), and an affine integer
+update — so every engine computes bit-identical ranks, and the final
+column is driver-hashable. The float formulation differs from this by
+< 1e-4 relative — the price of exactness, not a different algorithm.
+
+Scale notes (100 TB): per iteration exactly ONE shuffle (groupBy dst);
+the rank table is nodes-sized (two 8-byte-ish columns), edges stream
+through map-side joins with AQE free to broadcast the rank side when
+nodes << edges. Dangling nodes (no out-edges) drop their mass — the
+standard simplification; add a dangling-redistribution term if mass
+conservation matters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+DAMPING_MICRO = 850_000          # 0.85 in micro-units
+BASE_MICRO = 150_000             # (1 - 0.85)
+START_MICRO = 1_000_000          # initial rank 1.0
+
+
+def pagerank_micro(
+    edges: DataFrame,
+    iters: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(node, rank_micro) after ``iters`` synchronous PageRank updates
+    with damping 0.85, all-integer arithmetic (see module docstring).
+
+    The iteration count is a parameter, not a convergence test: rank
+    pipelines run a fixed small number of rounds (the relative ORDER of
+    nodes stabilizes long before the values), and a fixed count keeps
+    the plan a finite chain Catalyst can whole-stage-compile."""
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    ranks = nodes.withColumn("rank_micro", F.lit(START_MICRO).cast("bigint"))
+    for _ in range(iters):
+        contribs = (
+            e.join(ranks, e.src == ranks.node)
+            .join(outdeg, on="src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank_micro DIV outdeg").alias("contrib"),
+            )
+            .groupBy("node")
+            .agg(F.sum("contrib").alias("in_micro"))
+        )
+        ranks = (
+            nodes.join(contribs, on="node", how="left")
+            .select(
+                "node",
+                (
+                    F.lit(BASE_MICRO)
+                    + F.expr(
+                        f"CAST({DAMPING_MICRO} AS BIGINT)"
+                        " * COALESCE(in_micro, CAST(0 AS BIGINT))"
+                        " DIV CAST(1000000 AS BIGINT)"
+                    )
+                ).cast("bigint").alias("rank_micro"),
+            )
+        )
+    return ranks

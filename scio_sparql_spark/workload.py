@@ -938,6 +938,25 @@ _CLS_WEIGHT = (
 )
 
 
+def q_graph_pagerank(spark, sf_dir):
+    """Iterative graph analytics over the RDF graph: PageRank (3 rounds,
+    damping 0.85) on the FK edge set (customer/supplier -> nation ->
+    region), all-integer micro-unit arithmetic so both engines compute
+    bit-identical ranks (extras/graph.py)."""
+    from .extras.graph import pagerank_micro
+
+    quads = tables_to_quads(
+        spark, sf_dir, ["customer", "supplier", "nation", "region"]
+    )
+    edges = quads.filter(
+        F.col("predicate")["lex"].startswith("urn:ref:")
+    ).select(
+        F.col("subject")["lex"].alias("src"),
+        F.col("object")["lex"].alias("dst"),
+    )
+    return pagerank_micro(edges, iters=3).select("node", "rank_micro")
+
+
 def q_stream_sparql_select(spark, sf_dir):
     """End-to-end streaming SPARQL with a hash gate: quads serialized to
     N-Triples text (write_triples_nt), re-ingested as a file STREAM
@@ -1151,6 +1170,50 @@ EXTRA_QUERIES = {
     "sparql_quads_roundtrip": (
         q_quads_roundtrip,
         "SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey",
+    ),
+    # iterative graph analytics: 3 synchronous PageRank rounds in exact
+    # integer micro-units; oracle unrolls the same three rounds
+    "graph_pagerank": (
+        q_graph_pagerank,
+        """WITH e AS (
+             SELECT 'urn:customer:' || c_custkey AS src,
+                    'urn:nation:' || c_nationkey AS dst FROM customer
+             UNION ALL
+             SELECT 'urn:supplier:' || s_suppkey,
+                    'urn:nation:' || s_nationkey FROM supplier
+             UNION ALL
+             SELECT 'urn:nation:' || n_nationkey,
+                    'urn:region:' || n_regionkey FROM nation),
+           n AS (SELECT DISTINCT node FROM
+                  (SELECT src AS node FROM e
+                   UNION ALL SELECT dst FROM e)),
+           d AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+           r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_micro FROM n),
+           c1 AS (SELECT e.dst AS node,
+                         SUM(r0.rank_micro // d.outdeg) AS in_micro
+                  FROM e JOIN r0 ON e.src = r0.node
+                         JOIN d ON e.src = d.src GROUP BY e.dst),
+           r1 AS (SELECT n.node,
+                         CAST(150000 + (850000 * COALESCE(c1.in_micro, 0))
+                              // 1000000 AS BIGINT) AS rank_micro
+                  FROM n LEFT JOIN c1 ON n.node = c1.node),
+           c2 AS (SELECT e.dst AS node,
+                         SUM(r1.rank_micro // d.outdeg) AS in_micro
+                  FROM e JOIN r1 ON e.src = r1.node
+                         JOIN d ON e.src = d.src GROUP BY e.dst),
+           r2 AS (SELECT n.node,
+                         CAST(150000 + (850000 * COALESCE(c2.in_micro, 0))
+                              // 1000000 AS BIGINT) AS rank_micro
+                  FROM n LEFT JOIN c2 ON n.node = c2.node),
+           c3 AS (SELECT e.dst AS node,
+                         SUM(r2.rank_micro // d.outdeg) AS in_micro
+                  FROM e JOIN r2 ON e.src = r2.node
+                         JOIN d ON e.src = d.src GROUP BY e.dst),
+           r3 AS (SELECT n.node,
+                         CAST(150000 + (850000 * COALESCE(c3.in_micro, 0))
+                              // 1000000 AS BIGINT) AS rank_micro
+                  FROM n LEFT JOIN c3 ON n.node = c3.node)
+           SELECT node, rank_micro FROM r3""",
     ),
     # streaming SPARQL: NT-serialize -> file-stream re-ingest -> SELECT
     # over the streaming DF -> availableNow, vs the relational oracle
@@ -1927,17 +1990,15 @@ CATALOG_FRONT = [
     "sparql_update_roundtrip",
     "stream_sparql_select",
     # new in r5: Q3-shaped 3-table join stress (broadcast-dim pattern)
+    # and iterative integer-PageRank over the RDF FK graph
     "sparql_q3_shaped",
-    # verified: r4 — cheap core-compiler re-stamp filling the window
-    # to 50 so its evidence never ages past 2 rounds (rotation
-    # discipline)
-    "sparql_bgp_join",
+    "graph_pagerank",
     # (rotated out, all r4-green: the remaining sparql surface —
     # stable code, re-window in r6 — plus dedup_semantic,
     # docs_clean_pipeline, ann_lsh_topk, ann_ivf_topk,
     # sparql_quads_roundtrip, sparql_property_table, sparql_having,
     # sparql_construct, sparql_bindings, sparql_agg_count,
-    # sparql_exists, sparql_optional)
+    # sparql_exists, sparql_optional, sparql_bgp_join)
 ]
 
 

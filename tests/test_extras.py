@@ -1056,3 +1056,30 @@ def test_clean_corpus(spark):
     assert out[0]["lang_pred"] == "en" and out[0]["n_tokens"] == 14
     assert "<EMAIL>" in out[3]["clean_text"]
     assert "me@example.com" not in out[3]["clean_text"]
+
+
+def test_pagerank_micro_known_answer(spark):
+    """Hand-computed 1 iteration on a 3-node chain a->b->c plus c->a,
+    all-integer arithmetic: every node has outdeg 1, so after one round
+    rank = 150000 + 850000*1000000 DIV 1000000 = 1000000 for each (a
+    ring conserves rank); a chain without the back edge drains mass
+    from the head."""
+    from scio_sparql_spark.extras.graph import pagerank_micro
+
+    ring = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], ["src", "dst"]
+    )
+    got = {r["node"]: r["rank_micro"] for r in pagerank_micro(ring, iters=4).collect()}
+    assert got == {"a": 1_000_000, "b": 1_000_000, "c": 1_000_000}
+
+    chain = spark.createDataFrame([("a", "b"), ("b", "c")], ["src", "dst"])
+    got = {r["node"]: r["rank_micro"] for r in pagerank_micro(chain, iters=1).collect()}
+    # a: no in-edges -> base 150000; b: 150000 + 850000*1000000//1e6
+    assert got["a"] == 150_000
+    assert got["b"] == 1_000_000
+    assert got["c"] == 1_000_000
+    got2 = {r["node"]: r["rank_micro"] for r in pagerank_micro(chain, iters=2).collect()}
+    # second round: b gets a's shrunken rank
+    assert got2["a"] == 150_000
+    assert got2["b"] == 150_000 + (850_000 * 150_000) // 1_000_000
+    assert got2["c"] == 1_000_000
