@@ -76,6 +76,8 @@ BENCH_QUERIES = [
     # iterative integer-PageRank over the RDF FK graph (3 rounds,
     # one dst-keyed shuffle per round)
     "graph_pagerank",
+    # stateful streaming sessionization (applyInPandasWithState)
+    "stream_stateful_sessions",
 ]
 
 

@@ -48,13 +48,16 @@ def session_counts_stateful(
             last_ts, n_sessions, n_events = state.get
         else:
             last_ts, n_sessions, n_events = None, 0, 0
-        for pdf in pdfs:
-            for t in sorted(pdf[ts_col]):
-                ts = t.timestamp() if hasattr(t, "timestamp") else float(t)
-                if last_ts is None or ts - last_ts > gap:
-                    n_sessions += 1
-                last_ts = ts
-                n_events += 1
+        # one global sort over the WHOLE group's batch: the iterator
+        # yields the group in Arrow-sized chunks, and sorting chunk-by-
+        # chunk would process a split group out of time order
+        times = [t for pdf in pdfs for t in pdf[ts_col]]
+        for t in sorted(times):
+            ts = t.timestamp() if hasattr(t, "timestamp") else float(t)
+            if last_ts is None or ts - last_ts > gap:
+                n_sessions += 1
+            last_ts = ts
+            n_events += 1
         state.update((last_ts, n_sessions, n_events))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_sessions": [n_sessions], "n_events": [n_events]}

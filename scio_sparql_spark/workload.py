@@ -938,6 +938,26 @@ _CLS_WEIGHT = (
 )
 
 
+def q_stream_stateful_sessions(spark, sf_dir):
+    """Custom stateful streaming operator with a hash gate:
+    applyInPandasWithState sessionization over the events file stream,
+    run to completion with availableNow. The per-user counters are
+    MONOTONE, so max-per-user over the update-mode output is the final
+    state regardless of how the stream split into micro-batches — that
+    projection is deterministic and must equal the batch (lag-window)
+    sessionization oracle."""
+    from .streaming.stateful import session_counts_stateful
+
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    stream = stream_parquet(spark, path, schema)
+    out = run_bounded(session_counts_stateful(stream, gap_minutes=30), "update")
+    return out.groupBy("user_id").agg(
+        F.max("n_sessions").alias("n_sessions"),
+        F.max("n_events").alias("n_events"),
+    )
+
+
 def q_graph_pagerank(spark, sf_dir):
     """Iterative graph analytics over the RDF graph: PageRank (3 rounds,
     damping 0.85) on the FK edge set (customer/supplier -> nation ->
@@ -1170,6 +1190,24 @@ EXTRA_QUERIES = {
     "sparql_quads_roundtrip": (
         q_quads_roundtrip,
         "SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey",
+    ),
+    # custom stateful streaming (applyInPandasWithState) with a hash
+    # gate: final per-user session/event counters == batch lag-window
+    # sessionization
+    "stream_stateful_sessions": (
+        q_stream_stateful_sessions,
+        """WITH x AS (SELECT user_id, ts,
+                             lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                               AS prev
+                      FROM events),
+             s AS (SELECT user_id,
+                          CASE WHEN prev IS NULL
+                                 OR epoch(ts) - epoch(prev) > 1800
+                               THEN 1 ELSE 0 END AS new_s
+                   FROM x)
+           SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions,
+                  COUNT(*) AS n_events
+           FROM s GROUP BY user_id""",
     ),
     # iterative graph analytics: 3 synchronous PageRank rounds in exact
     # integer micro-units; oracle unrolls the same three rounds
@@ -1938,7 +1976,9 @@ CATALOG_FRONT = [
     "dedup_ngram_jaccard",
     "dedup_clusters",
     "text_contamination",
-    "text_token_count",
+    # (text_token_count displaced to r6 — the most trivial stable entry,
+    # green r3, code untouched; front-load it in r6 before its evidence
+    # ages past policy)
     "text_quality",
     "text_langid",
     "text_fingerprint",
@@ -1993,6 +2033,8 @@ CATALOG_FRONT = [
     # and iterative integer-PageRank over the RDF FK graph
     "sparql_q3_shaped",
     "graph_pagerank",
+    # new in r5: stateful streaming (applyInPandasWithState) hash gate
+    "stream_stateful_sessions",
     # (rotated out, all r4-green: the remaining sparql surface —
     # stable code, re-window in r6 — plus dedup_semantic,
     # docs_clean_pipeline, ann_lsh_topk, ann_ivf_topk,
