@@ -245,3 +245,49 @@ def test_order_by_numeric_matches_oracle(spark, pairs):
         ((a[2], b[2]) for a, b in pairs), key=lambda t: (t[0], -t[1])
     )
     assert got == expect
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8",
+                exclude_characters="\x00",
+                exclude_categories=("Cs",),
+            ),
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=8,
+        unique=True,
+    )
+)
+def test_ntriples_escape_roundtrip_matches_identity(spark, texts):
+    """NT writer escape -> NT reader unescape is the identity for
+    arbitrary literal strings (batched: one quads DF per example).
+    Newlines/tabs/CRs/quotes/backslashes — including adversarial
+    sequences like a literal backslash before an 'n' — must survive
+    the serialize/parse round trip bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from scio_sparql_spark.sources.rio import (
+        _project_ntriples,
+        to_ntriples_df,
+    )
+    from scio_sparql_spark.terms import Term
+
+    quads = quads_df_from_list(
+        spark,
+        [
+            (Term.iri(f"urn:pt:{i}"), Term.iri("urn:pt:p"), Term.literal(t), None)
+            for i, t in enumerate(texts)
+        ],
+    )
+    lines = to_ntriples_df(quads).selectExpr("line AS value")
+    back = _project_ntriples(lines, quads=False)
+    got = {
+        r["subject"]["lex"]: r["object"]["lex"] for r in back.collect()
+    }
+    want = {f"urn:pt:{i}": t for i, t in enumerate(texts)}
+    assert got == want
