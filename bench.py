@@ -78,6 +78,9 @@ BENCH_QUERIES = [
     "graph_pagerank",
     # stateful streaming sessionization (applyInPandasWithState)
     "stream_stateful_sessions",
+    # corpus data card + cleaning-funnel observability
+    "corpus_stats",
+    "docs_filter_funnel",
 ]
 
 

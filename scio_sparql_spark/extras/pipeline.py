@@ -249,6 +249,132 @@ def chunk_documents(
     )
 
 
+def corpus_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source corpus data card: document/token/char volumes, the
+    distinct-content count (its gap to n_docs IS the exact-dup rate),
+    English share by stopword vote, and mean tokens per doc in integer
+    micro-units — the summary table every dataset release ships.
+
+    One groupBy(source): every signal is a map-side Column expression
+    (token split, stopword votes, md5) feeding partially-aggregated
+    counts, so the shuffle moves a handful of longs per source. All
+    outputs exact integers (COVERAGE.md hash discipline)."""
+    from .textstats import EN_STOPWORDS, ES_STOPWORDS
+
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda t: t != ""
+    )
+    en = F.size(F.filter(toks, lambda t: t.isin(EN_STOPWORDS)))
+    es = F.size(F.filter(toks, lambda t: t.isin(ES_STOPWORDS)))
+    base = docs.select(
+        F.col("source"),
+        F.size(toks).cast("bigint").alias("__nt"),
+        F.length(F.col(text_col)).cast("bigint").alias("__nc"),
+        F.md5(F.col(text_col)).alias("__dg"),
+        (en > es).cast("bigint").alias("__is_en"),
+    )
+    out = base.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("__nt").alias("n_tokens"),
+        F.sum("__nc").alias("n_chars"),
+        F.count_distinct("__dg").alias("n_distinct_docs"),
+        F.sum("__is_en").alias("n_english"),
+    )
+    return out.withColumn(
+        "mean_tokens_micro",
+        F.expr("(n_tokens * CAST(1000000 AS BIGINT)) DIV n_docs"),
+    )
+
+
+def filter_funnel(
+    docs: DataFrame,
+    min_tokens: int = 10,
+    langs: tuple = ("en",),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Observability for the cleaning pass: how many documents (and
+    tokens) survive each stage of the clean_corpus composition —
+    input -> language filter -> length filter -> exact dedup. Four
+    rows: (stage_idx, stage, n_docs, n_tokens).
+
+    Stages 0-2 are conditional sums in ONE global aggregate (no keyed
+    shuffle — partial aggregation reduces each partition to three
+    counters); the dedup stage needs the one digest-keyed shuffle the
+    dedup itself needs (representative = lowest id per digest, token
+    count of the kept row). Exact integers throughout."""
+    from .textstats import EN_STOPWORDS, ES_STOPWORDS
+
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda t: t != ""
+    )
+    en = F.size(F.filter(toks, lambda t: t.isin(EN_STOPWORDS)))
+    es = F.size(F.filter(toks, lambda t: t.isin(ES_STOPWORDS)))
+    lang_pred = (
+        F.when(en > es, F.lit("en"))
+        .when(es > en, F.lit("es"))
+        .otherwise(F.lit("unknown"))
+    )
+    base = docs.select(
+        F.col(id_col),
+        F.size(toks).cast("bigint").alias("__nt"),
+        F.md5(F.col(text_col)).alias("__dg"),
+        lang_pred.isin(list(langs)).alias("__lang_ok"),
+    ).withColumn("__len_ok", F.col("__lang_ok") & (F.col("__nt") >= min_tokens))
+    agg = base.agg(
+        F.count("*").alias("n0"),
+        F.sum("__nt").alias("t0"),
+        F.sum(F.when(F.col("__lang_ok"), 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("__lang_ok"), F.col("__nt")).otherwise(0)).alias("t1"),
+        F.sum(F.when(F.col("__len_ok"), 1).otherwise(0)).alias("n2"),
+        F.sum(F.when(F.col("__len_ok"), F.col("__nt")).otherwise(0)).alias("t2"),
+    )
+    stages = agg.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).cast("bigint").alias("stage_idx"),
+                    F.lit("input").alias("stage"),
+                    F.col("n0").cast("bigint").alias("n_docs"),
+                    F.col("t0").cast("bigint").alias("n_tokens"),
+                ),
+                F.struct(
+                    F.lit(1).cast("bigint").alias("stage_idx"),
+                    F.lit("lang").alias("stage"),
+                    F.col("n1").cast("bigint").alias("n_docs"),
+                    F.col("t1").cast("bigint").alias("n_tokens"),
+                ),
+                F.struct(
+                    F.lit(2).cast("bigint").alias("stage_idx"),
+                    F.lit("length").alias("stage"),
+                    F.col("n2").cast("bigint").alias("n_docs"),
+                    F.col("t2").cast("bigint").alias("n_tokens"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.*")
+    kept = (
+        base.filter(F.col("__len_ok"))
+        .groupBy("__dg")
+        .agg(F.min_by("__nt", F.col(id_col)).alias("__nt"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.coalesce(F.sum("__nt"), F.lit(0)).alias("n_tokens"),
+        )
+        .select(
+            F.lit(3).cast("bigint").alias("stage_idx"),
+            F.lit("dedup").alias("stage"),
+            F.col("n_docs").cast("bigint"),
+            F.col("n_tokens").cast("bigint"),
+        )
+    )
+    return stages.unionByName(kept)
+
+
 def clean_corpus(
     docs: DataFrame,
     min_tokens: int = 10,

@@ -938,6 +938,14 @@ _CLS_WEIGHT = (
 )
 
 
+def q_corpus_stats(spark, sf_dir):
+    return pipeline.corpus_stats(_table(spark, sf_dir, "documents"))
+
+
+def q_docs_filter_funnel(spark, sf_dir):
+    return pipeline.filter_funnel(_table(spark, sf_dir, "documents"))
+
+
 def q_stream_stateful_sessions(spark, sf_dir):
     """Custom stateful streaming operator with a hash gate:
     applyInPandasWithState sessionization over the events file stream,
@@ -1190,6 +1198,61 @@ EXTRA_QUERIES = {
     "sparql_quads_roundtrip": (
         q_quads_roundtrip,
         "SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey",
+    ),
+    # per-source corpus data card (one groupBy; all-integer signals)
+    "corpus_stats": (
+        q_corpus_stats,
+        f"""WITH v AS (
+              SELECT source,
+                     CAST(len({_TOKS}) AS BIGINT) AS nt,
+                     CAST(length(text) AS BIGINT) AS nc,
+                     md5(text) AS dg,
+                     CASE WHEN len(list_filter({_TOKS},
+                            t -> t IN ('the','a','of','and','to','in','is','it','that','for')))
+                          > len(list_filter({_TOKS},
+                            t -> t IN ('el','la','de','y','que','en','un','es','se','no')))
+                          THEN 1 ELSE 0 END AS is_en
+              FROM documents)
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(nt) AS BIGINT) AS n_tokens,
+                   CAST(SUM(nc) AS BIGINT) AS n_chars,
+                   COUNT(DISTINCT dg) AS n_distinct_docs,
+                   CAST(SUM(is_en) AS BIGINT) AS n_english,
+                   CAST((SUM(nt) * 1000000) // COUNT(*) AS BIGINT)
+                     AS mean_tokens_micro
+            FROM v GROUP BY source""",
+    ),
+    # cleaning-pass funnel: survivors per stage of the clean_corpus
+    # composition (input -> lang -> length -> dedup)
+    "docs_filter_funnel": (
+        q_docs_filter_funnel,
+        f"""WITH v AS (
+              SELECT doc_id,
+                     CAST(len({_TOKS}) AS BIGINT) AS nt,
+                     md5(text) AS dg,
+                     len(list_filter({_TOKS},
+                       t -> t IN ('the','a','of','and','to','in','is','it','that','for')))
+                     > len(list_filter({_TOKS},
+                       t -> t IN ('el','la','de','y','que','en','un','es','se','no')))
+                       AS lang_ok
+              FROM documents),
+             w AS (SELECT *, lang_ok AND nt >= 10 AS len_ok FROM v)
+            SELECT CAST(0 AS BIGINT) AS stage_idx, 'input' AS stage,
+                   COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens
+            FROM w
+            UNION ALL
+            SELECT 1, 'lang', COUNT(*),
+                   CAST(COALESCE(SUM(nt), 0) AS BIGINT)
+            FROM w WHERE lang_ok
+            UNION ALL
+            SELECT 2, 'length', COUNT(*),
+                   CAST(COALESCE(SUM(nt), 0) AS BIGINT)
+            FROM w WHERE len_ok
+            UNION ALL
+            SELECT 3, 'dedup', COUNT(*),
+                   CAST(COALESCE(SUM(nt), 0) AS BIGINT)
+            FROM (SELECT dg, arg_min(nt, doc_id) AS nt
+                  FROM w WHERE len_ok GROUP BY dg)""",
     ),
     # custom stateful streaming (applyInPandasWithState) with a hash
     # gate: final per-user session/event counters == batch lag-window
@@ -1988,8 +2051,9 @@ CATALOG_FRONT = [
     "ann_cosine_topk",
     "docs_domain_cap",
     "docs_topk_per_source",
-    "sample_stratified",
-    "sample_hash",
+    # (sample_stratified + sample_hash displaced to r6 — stable
+    # deterministic samplers, green r3, code untouched; front-load both
+    # in r6 with text_token_count)
     "doc_chunks",
     "doc_pack_shards",
     "dedup_keep_best",
@@ -2035,6 +2099,9 @@ CATALOG_FRONT = [
     "graph_pagerank",
     # new in r5: stateful streaming (applyInPandasWithState) hash gate
     "stream_stateful_sessions",
+    # new in r5: corpus data card + cleaning-funnel observability
+    "corpus_stats",
+    "docs_filter_funnel",
     # (rotated out, all r4-green: the remaining sparql surface —
     # stable code, re-window in r6 — plus dedup_semantic,
     # docs_clean_pipeline, ann_lsh_topk, ann_ivf_topk,

@@ -1083,3 +1083,42 @@ def test_pagerank_micro_known_answer(spark):
     assert got2["a"] == 150_000
     assert got2["b"] == 150_000 + (850_000 * 150_000) // 1_000_000
     assert got2["c"] == 1_000_000
+
+
+def test_corpus_stats(spark):
+    from scio_sparql_spark.extras import pipeline
+
+    rows = [
+        (0, "the cat sat on the mat today", "src_a"),
+        (1, "the cat sat on the mat today", "src_a"),   # exact dup
+        (2, "el gato es un animal la casa", "src_a"),   # spanish
+        (3, "a dog ran to the park and it was fun", "src_b"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {r["source"]: r for r in pipeline.corpus_stats(docs).collect()}
+    a = out["src_a"]
+    assert (a["n_docs"], a["n_distinct_docs"], a["n_english"]) == (3, 2, 2)
+    assert a["n_tokens"] == 7 + 7 + 7
+    assert a["mean_tokens_micro"] == 7_000_000
+    b = out["src_b"]
+    assert (b["n_docs"], b["n_tokens"], b["n_english"]) == (1, 10, 1)
+
+
+def test_filter_funnel(spark):
+    from scio_sparql_spark.extras import pipeline
+
+    rows = [
+        (0, "the cat sat of the mat and dogs ran to the park"),  # 12 en tokens
+        (1, "the cat sat of the mat and dogs ran to the park"),  # dup of 0
+        (2, "el gato es un animal que vive en la casa hoy dia"), # es -> lang fail
+        (3, "the tiny one"),                                     # en, 3 tokens -> len fail
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["stage"]: r for r in pipeline.filter_funnel(docs, min_tokens=10).collect()}
+    assert (out["input"]["n_docs"], out["input"]["n_tokens"]) == (4, 12 + 12 + 12 + 3)
+    assert (out["lang"]["n_docs"], out["lang"]["n_tokens"]) == (3, 27)
+    assert (out["length"]["n_docs"], out["length"]["n_tokens"]) == (2, 24)
+    assert (out["dedup"]["n_docs"], out["dedup"]["n_tokens"]) == (1, 12)
+    assert [r["stage_idx"] for r in sorted(
+        pipeline.filter_funnel(docs, min_tokens=10).collect(),
+        key=lambda r: r["stage_idx"])] == [0, 1, 2, 3]
