@@ -5,11 +5,14 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-The catalog lives in scio_sparql_spark.workload: ~19 SPARQL-engine
-queries (one per SURVEY.md §2 operator, run over quads relationalized
-from the parquet tables by sources/bridge.py) plus the
-dedup/similarity/text/multimodal/events extras. Entries without SQL
-oracles (LSH variants, simhash) get the driver's rows-only check.
+The catalog lives in scio_sparql_spark.workload: ~99 entries — the
+full SPARQL-engine surface (one per SURVEY.md §2 operator, run over
+quads relationalized from the parquet tables by sources/bridge.py),
+SPARQL 1.1 Update, streaming==batch rows (availableNow), and the
+dedup/similarity/text/graph/multimodal/events/pipeline extras. The
+driver checks the FIRST 50 (workload.CATALOG_FRONT rotates them so no
+entry's evidence ages past ~2 rounds). Entries without SQL oracles
+(LSH variants, simhash) get the driver's rows-only check.
 """
 
 from __future__ import annotations
