@@ -42,12 +42,24 @@ from .terms import KIND_IRI, KIND_LITERAL, QUADS_SCHEMA, TERM_TYPE, Term, null_t
 _COLS = ("subject", "predicate", "object", "graph")
 
 
-def execute_update(quads: DataFrame, update: str) -> DataFrame:
+def execute_update(
+    quads: DataFrame, update: str, checkpoint: bool = False
+) -> DataFrame:
     """Apply a SPARQL 1.1 Update request (one or more ';'-separated
-    operations) and return the resulting quads DataFrame."""
+    operations) and return the resulting quads DataFrame.
+
+    ``checkpoint=True`` localCheckpoints the store after each
+    operation: each op executes once and later ops (and queries over
+    the result) plan against materialized state instead of the whole
+    accumulated anti-join/union lineage. Use it for long operation
+    sequences — lineage depth grows linearly with ops otherwise, and
+    Catalyst re-analyzes the full chain on every action (the same
+    truncation the property-path fixpoint uses, compiler.py)."""
     cur = quads
     for op in parse_update(update):
         cur = _apply(cur, op)
+        if checkpoint:
+            cur = cur.localCheckpoint()
     return cur
 
 

@@ -1026,6 +1026,7 @@ def q_sparql_update_roundtrip(spark, sf_dir):
            INSERT { ?r col:r_name "AFRIKA" }
            WHERE  { ?r col:r_name "AFRICA" } ;
            INSERT DATA { x:r99 col:r_name "ATLANTIS" }""",
+        checkpoint=True,  # truncate lineage between ops (see update.py)
     )
     df = execute_sparql(
         updated, PREFIXES + "SELECT ?name WHERE { ?r col:r_name ?name }"
