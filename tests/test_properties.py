@@ -291,3 +291,56 @@ def test_ntriples_escape_roundtrip_matches_identity(spark, texts):
     }
     want = {f"urn:pt:{i}": t for i, t in enumerate(texts)}
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.sampled_from(["insert", "delete"]),
+            st.lists(
+                st.tuples(
+                    st.integers(min_value=0, max_value=5),   # subject id
+                    st.integers(min_value=0, max_value=2),   # predicate id
+                    st.integers(min_value=0, max_value=4),   # object value
+                ),
+                min_size=1,
+                max_size=4,
+            ),
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_update_data_sequence_matches_set_oracle(spark, ops):
+    """Random INSERT DATA / DELETE DATA sequences against a Python set
+    oracle: the functional graph store must implement exact set
+    semantics (idempotent insert, exact subtract) for any operation
+    order. One compiled update request (';'-joined) per example."""
+    from scio_sparql_spark import execute_update, parse_turtle, quads_df_from_list
+
+    store = {(0, 0, 0), (1, 1, 1)}  # seed triples
+    ttl = "@prefix : <urn:q:> . :s0 :p0 0 . :s1 :p1 1 ."
+    quads = quads_df_from_list(spark, parse_turtle(ttl))
+
+    parts = []
+    for kind, triples in ops:
+        data = " . ".join(f":s{s} :p{p} {o}" for s, p, o in triples)
+        parts.append(f"{'INSERT' if kind == 'insert' else 'DELETE'} DATA {{ {data} }}")
+        for t in triples:
+            if kind == "insert":
+                store.add(t)
+            else:
+                store.discard(t)
+    update = "PREFIX : <urn:q:> " + " ; ".join(parts)
+    out = execute_update(quads, update)
+    got = {
+        (
+            int(r["subject"]["lex"].rsplit("s", 1)[1]),
+            int(r["predicate"]["lex"].rsplit("p", 1)[1]),
+            int(r["object"]["lex"]),
+        )
+        for r in out.collect()
+    }
+    assert got == store
+    assert out.count() == len(store)  # exact set: no duplicate quads
