@@ -832,6 +832,98 @@ def to_ntriples_df(df: DataFrame, quads: bool = False) -> DataFrame:
     return df.select(F.concat(*parts).alias("line"))
 
 
+# Turtle literal abbreviations (Turtle spec §2.5.2): canonical lexical
+# forms of these datatypes print bare. Patterns are strict so a
+# non-canonical lex (e.g. "01") keeps the quoted typed form.
+_TTL_ABBREV = {
+    "http://www.w3.org/2001/XMLSchema#integer": r"[+-]?[0-9]+",
+    "http://www.w3.org/2001/XMLSchema#decimal": r"[+-]?[0-9]*\.[0-9]+",
+    "http://www.w3.org/2001/XMLSchema#double": r"[+-]?(?:[0-9]+\.[0-9]*|\.?[0-9]+)[eE][+-]?[0-9]+",
+    "http://www.w3.org/2001/XMLSchema#boolean": r"true|false",
+}
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+def _ttl_term(c, prefixes: dict | None = None):
+    """Turtle term serialization: prefix-compressed IRIs (longest
+    declared prefix wins), ``a`` handled by the caller, canonical
+    numeric/boolean literals bare, everything else N-Triples form."""
+    from .results import _tsv_escape
+
+    iri = F.concat(F.lit("<"), c["lex"], F.lit(">"))
+    if prefixes:
+        # longest namespace first so nested namespaces compress right
+        for pfx, ns in sorted(prefixes.items(), key=lambda kv: -len(kv[1])):
+            local = F.substring(c["lex"], len(ns) + 1, 1_000_000)
+            iri = F.when(
+                c["lex"].startswith(ns)
+                # PN_LOCAL approximation: word chars only — else full form
+                & local.rlike(r"^[A-Za-z0-9_.\-]*$")
+                & ~local.contains("."),
+                F.concat(F.lit(f"{pfx}:"), local),
+            ).otherwise(iri)
+    lit = F.concat(F.lit('"'), _tsv_escape(c["lex"]), F.lit('"'))
+    lit = (
+        F.when(c["dt"] == RDF_LANGSTRING, F.concat(lit, F.lit("@"), c["lang"]))
+        .when(
+            c["dt"].isNotNull() & (c["dt"] != XSD_STRING),
+            F.concat(lit, F.lit("^^<"), c["dt"], F.lit(">")),
+        )
+        .otherwise(lit)
+    )
+    for dt, pat in _TTL_ABBREV.items():
+        lit = F.when((c["dt"] == dt) & c["lex"].rlike(f"^(?:{pat})$"), c["lex"]).otherwise(
+            lit
+        )
+    return (
+        F.when(c["kind"] == KIND_IRI, iri)
+        .when(c["kind"] == KIND_BNODE, F.concat(F.lit("_:"), c["lex"]))
+        .otherwise(lit)
+    )
+
+
+def to_turtle_df(df: DataFrame, prefixes: dict | None = None) -> DataFrame:
+    """Quads -> one subject-grouped Turtle block per row (column
+    ``block``): ``<s> p1 o1 , o2 ; p2 o3 .`` with ``a`` for rdf:type,
+    canonical numeric/boolean literals bare, and prefix-compressed
+    IRIs when ``prefixes`` ({prefix: namespace}) is given. Graph labels
+    are FLATTENED (Turtle cannot express named graphs — use N-Quads for
+    a graph-preserving text egress).
+
+    One shuffle (groupBy subject); each block is built by sorted
+    array aggregation so output is deterministic. NOTE: part files
+    written from this DF contain no ``@prefix`` header — pass
+    ``prefixes=None`` for standalone-valid parts, or use
+    ``to_turtle`` for the full headered document."""
+    s = _ttl_term(F.col("subject"), prefixes)
+    p = F.when(F.col("predicate")["lex"] == RDF_TYPE, F.lit("a")).otherwise(
+        _ttl_term(F.col("predicate"), prefixes)
+    )
+    o = _ttl_term(F.col("object"), prefixes)
+    po = df.select(
+        s.alias("__s"), F.concat(p, F.lit(" "), o).alias("__po")
+    )
+    grouped = po.groupBy("__s").agg(
+        F.array_join(F.array_sort(F.collect_set("__po")), " ;\n    ").alias("__body")
+    )
+    return grouped.select(
+        F.concat(F.col("__s"), F.lit(" "), F.col("__body"), F.lit(" .")).alias(
+            "block"
+        )
+    )
+
+
+def to_turtle(df: DataFrame, prefixes: dict | None = None) -> str:
+    """The complete Turtle document, driver-side (result-set-sized
+    graphs; for datasets write the distributed block DF as text)."""
+    header = "".join(
+        f"@prefix {pfx}: <{ns}> .\n" for pfx, ns in sorted((prefixes or {}).items())
+    )
+    blocks = sorted(r["block"] for r in to_turtle_df(df, prefixes).collect())
+    return header + ("\n" if header else "") + "\n".join(blocks) + "\n"
+
+
 def write_triples_nt(df: DataFrame, path: str, quads: bool = False):
     """Quads -> N-Triples/N-Quads text files (one part file per
     partition — the interchange-format egress; parquet via

@@ -547,3 +547,39 @@ def test_ntriples_writer_roundtrip(spark, tmp_path):
                 out.write(open(os.path.join(nt, p)).read())
     flattened = store.withColumn("graph", F.lit(None).cast(store.schema["graph"].dataType))
     assert key(read_triples(spark, nt_file)) == key(flattened)
+
+
+def test_turtle_writer_roundtrip(spark):
+    """to_turtle -> parse_turtle loses nothing: prefix compression,
+    'a' for rdf:type, bare canonical numerics/booleans, lang/typed
+    literals, bnodes, and escapes all survive; graph labels flatten."""
+    from scio_sparql_spark import parse_turtle, quads_df_from_list, to_turtle
+
+    ttl = r'''
+    @prefix ex: <urn:ex:> .
+    @prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .
+    ex:a rdf:type ex:Widget ;
+         ex:n 42 ;
+         ex:d 3.25 ;
+         ex:flag true ;
+         ex:note "hi\nthere" ;
+         ex:label "hola"@es ;
+         ex:odd "01"^^<http://www.w3.org/2001/XMLSchema#integer> .
+    _:b ex:knows ex:a .
+    '''
+    quads = quads_df_from_list(spark, parse_turtle(ttl))
+    doc = to_turtle(quads, prefixes={"ex": "urn:ex:"})
+    assert "ex:a a ex:Widget" in doc.replace("\n    ", " ")
+    assert "ex:n 42" in doc       # bare integer
+    assert "ex:odd 01" in doc     # Turtle INTEGER allows leading zeros:
+    #                               bare form preserves the exact lexical
+    back = quads_df_from_list(spark, parse_turtle(doc))
+
+    def key(df):
+        rows = []
+        for r in df.collect():
+            s = tuple(r["subject"]) if r["subject"][0] != 0 else ("bnode",)
+            rows.append(repr((s, tuple(r["predicate"]), tuple(r["object"]))))
+        return sorted(rows)
+
+    assert key(back) == key(quads)
