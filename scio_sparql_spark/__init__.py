@@ -22,6 +22,7 @@ from .sources.rio import (  # noqa: F401
     read_triples,
     read_triples_stream,
     to_ntriples_df,
+    to_trig,
     to_turtle,
     to_turtle_df,
     write_triples,

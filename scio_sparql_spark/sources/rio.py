@@ -924,6 +924,42 @@ def to_turtle(df: DataFrame, prefixes: dict | None = None) -> str:
     return header + ("\n" if header else "") + "\n".join(blocks) + "\n"
 
 
+def to_trig(df: DataFrame, prefixes: dict | None = None) -> str:
+    """The complete TriG document, driver-side: default-graph subject
+    blocks at top level, each named graph wrapped in
+    ``<g> { ... }`` — the graph-PRESERVING pretty egress (to_turtle
+    flattens). Same term serialization as Turtle."""
+    header = "".join(
+        f"@prefix {pfx}: <{ns}> .\n" for pfx, ns in sorted((prefixes or {}).items())
+    )
+    out = [header] if header else []
+    dflt = sorted(
+        r["block"]
+        for r in to_turtle_df(df.filter(F.col("graph").isNull()), prefixes).collect()
+    )
+    out.extend(dflt)
+    graphs = sorted(
+        r["g"]
+        for r in df.filter(F.col("graph").isNotNull())
+        .select(F.col("graph")["lex"].alias("g"))
+        .distinct()
+        .collect()
+    )
+    for g in graphs:
+        blocks = sorted(
+            r["block"]
+            for r in to_turtle_df(
+                df.filter(
+                    F.col("graph").isNotNull() & (F.col("graph")["lex"] == g)
+                ),
+                prefixes,
+            ).collect()
+        )
+        body = "\n".join("    " + b.replace("\n", "\n    ") for b in blocks)
+        out.append(f"<{g}> {{\n{body}\n}}")
+    return "\n".join(out) + "\n"
+
+
 def write_triples_nt(df: DataFrame, path: str, quads: bool = False):
     """Quads -> N-Triples/N-Quads text files (one part file per
     partition — the interchange-format egress; parquet via

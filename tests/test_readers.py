@@ -583,3 +583,33 @@ def test_turtle_writer_roundtrip(spark):
         return sorted(rows)
 
     assert key(back) == key(quads)
+
+
+def test_trig_writer_roundtrip(spark, tmp_path):
+    """to_trig preserves named graphs: write the document to a .trig
+    file and read_triples must reproduce the exact quad set."""
+    from scio_sparql_spark import to_trig
+
+    quads = quads_df_from_list(
+        spark,
+        [
+            (Term.iri("urn:t:a"), Term.iri("urn:t:p"), Term.integer(1), None),
+            (Term.iri("urn:t:a"), Term.iri("urn:t:q"), Term.literal("x"), Term.iri("urn:t:g1")),
+            (Term.iri("urn:t:b"), Term.iri("urn:t:p"), Term.literal("hola", lang="es"), Term.iri("urn:t:g1")),
+            (Term.iri("urn:t:c"), Term.iri("urn:t:p"), Term.integer(2), Term.iri("urn:t:g2")),
+        ],
+    )
+    doc = to_trig(quads, prefixes={"t": "urn:t:"})
+    assert "<urn:t:g1> {" in doc and "<urn:t:g2> {" in doc
+    p = tmp_path / "out.trig"
+    p.write_text(doc)
+    back = read_triples(spark, str(p))
+
+    def key(df):
+        return sorted(
+            repr((tuple(r["subject"]), tuple(r["predicate"]), tuple(r["object"]),
+                  tuple(r["graph"]) if r["graph"] else None))
+            for r in df.collect()
+        )
+
+    assert key(back) == key(quads)
