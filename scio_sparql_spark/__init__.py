@@ -17,10 +17,13 @@ from .sources.results import (  # noqa: F401
     to_result_xml_df,
 )
 from .sources.rio import (  # noqa: F401
+    parse_jsonld,
     parse_turtle,
     quads_df_from_list,
     read_triples,
     read_triples_stream,
+    to_jsonld,
+    to_jsonld_df,
     to_ntriples_df,
     to_trig,
     to_turtle,

@@ -924,6 +924,80 @@ def to_turtle(df: DataFrame, prefixes: dict | None = None) -> str:
     return header + ("\n" if header else "") + "\n".join(blocks) + "\n"
 
 
+def to_jsonld_df(df: DataFrame) -> DataFrame:
+    """Quads -> one EXPANDED-form JSON-LD node object per (graph,
+    subject): columns ``graph`` (lex, NULL = default graph) and
+    ``json`` (``{"@id": s, "<pred>": [{"@value"/"@id": ...}], ...}``).
+    Expanded form needs no @context, so every part is standalone and
+    the output re-reads with parse_jsonld (round-trip tested).
+
+    All serialization is native Columns: value objects are one uniform
+    struct whose NULL fields to_json omits (so ``{"@id":…}`` node refs
+    and ``{"@value":…,"@type":…}`` literals share a schema); two
+    groupBys (subject,predicate then subject) with array_sort make the
+    output deterministic."""
+    s = F.col("subject")
+    subj = F.when(s["kind"] == KIND_BNODE, F.concat(F.lit("_:"), s["lex"])).otherwise(
+        s["lex"]
+    )
+    o = F.col("object")
+    val = F.struct(
+        F.when(
+            o["kind"] == KIND_IRI, o["lex"]
+        ).when(o["kind"] == KIND_BNODE, F.concat(F.lit("_:"), o["lex"]))
+        .alias("@id"),
+        F.when(o["dt"] == RDF_LANGSTRING, o["lang"]).alias("@language"),
+        F.when(
+            (o["kind"] == KIND_LITERAL)
+            & o["dt"].isNotNull()
+            & ~o["dt"].isin(XSD_STRING, RDF_LANGSTRING),
+            o["dt"],
+        ).alias("@type"),
+        F.when(o["kind"] == KIND_LITERAL, o["lex"]).alias("@value"),
+    )
+    per_pred = (
+        df.select(
+            F.col("graph")["lex"].alias("graph"),
+            subj.alias("__s"),
+            F.col("predicate")["lex"].alias("__p"),
+            val.alias("__v"),
+        )
+        .groupBy("graph", "__s", "__p")
+        .agg(F.array_sort(F.collect_list("__v")).alias("__vals"))
+    )
+    per_subj = per_pred.groupBy("graph", "__s").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("__p", "__vals")))
+        ).alias("__m")
+    )
+    id_json = F.to_json(F.struct(F.col("__s").alias("@id")))
+    map_json = F.to_json(F.col("__m"))
+    return per_subj.select(
+        "graph",
+        F.concat(
+            id_json.substr(F.lit(1), F.length(id_json) - 1),  # drop '}'
+            F.lit(","),
+            map_json.substr(F.lit(2), F.length(map_json)),    # drop '{'
+        ).alias("json"),
+    )
+
+
+def to_jsonld(df: DataFrame) -> str:
+    """The complete expanded JSON-LD document, driver-side: a top-level
+    array of node objects, named graphs as ``{"@id": g, "@graph":
+    [...]}`` wrappers."""
+    import json as _json
+
+    by_graph: dict = {}
+    for r in to_jsonld_df(df).collect():
+        by_graph.setdefault(r["graph"], []).append(r["json"])
+    parts = sorted(by_graph.pop(None, []))
+    for g in sorted(by_graph):
+        body = ",".join(sorted(by_graph[g]))
+        parts.append(f'{{"@id":{_json.dumps(g)},"@graph":[{body}]}}')
+    return "[" + ",".join(parts) + "]"
+
+
 def to_trig(df: DataFrame, prefixes: dict | None = None) -> str:
     """The complete TriG document, driver-side: default-graph subject
     blocks at top level, each named graph wrapped in
