@@ -81,6 +81,8 @@ BENCH_QUERIES = [
     # corpus data card + cleaning-funnel observability
     "corpus_stats",
     "docs_filter_funnel",
+    # stream-stream event-time interval join (watermarked both sides)
+    "stream_interval_join",
 ]
 
 

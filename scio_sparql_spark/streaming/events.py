@@ -68,6 +68,40 @@ def streaming_windowed_counts(
     )
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    max_gap_minutes: int = 60,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Event-time interval join: each left event pairs with the same
+    key's right events occurring within (left.ts, left.ts + gap] — the
+    click->purchase attribution shape. Works identically on batch DFs
+    and on two STREAMING DFs: with watermarks on both sides the range
+    condition bounds each side's state (Structured Streaming
+    stream-stream inner join), so state is O(events in the gap window),
+    not O(stream).
+
+    Output: (key, left ts, right ts, left event_id, right event_id).
+    Strict lower bound (r.ts > l.ts) keeps self-pairs out when both
+    sides derive from one stream."""
+    l, r = left.alias("l"), right.alias("r")
+    lc, rc = (lambda c: F.col(f"l.{c}")), (lambda c: F.col(f"r.{c}"))
+    cond = (
+        (lc(key_col) == rc(key_col))
+        & (rc(ts_col) > lc(ts_col))
+        & (rc(ts_col) <= lc(ts_col) + F.expr(f"INTERVAL {max_gap_minutes} MINUTES"))
+    )
+    return l.join(r, cond, "inner").select(
+        lc(key_col).alias(key_col),
+        lc(ts_col).alias("left_ts"),
+        rc(ts_col).alias("right_ts"),
+        lc("event_id").alias("left_event_id"),
+        rc("event_id").alias("right_event_id"),
+    )
+
+
 def sessionize(
     events: DataFrame,
     gap_minutes: int = 30,

@@ -946,6 +946,31 @@ def q_docs_filter_funnel(spark, sf_dir):
     return pipeline.filter_funnel(_table(spark, sf_dir, "documents"))
 
 
+def q_stream_interval_join(spark, sf_dir):
+    """Stream-stream event-time interval join with a hash gate: clicks
+    joined to the same user's purchases within the following hour, both
+    sides WATERMARKED streams (state bounded by the join's time range),
+    run to completion with availableNow — must hash-match the batch
+    self-join oracle. Covers the last major Structured Streaming
+    surface (stream-stream joins) with driver evidence."""
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    clicks = stream_parquet(spark, path, schema).filter(
+        F.col("event_type") == "click"
+    ).withWatermark("ts", "2 hours")
+    purchases = stream_parquet(spark, path, schema).filter(
+        F.col("event_type") == "purchase"
+    ).withWatermark("ts", "2 hours")
+    out = run_bounded(ev.interval_join(clicks, purchases, max_gap_minutes=60))
+    return out.select(
+        "user_id",
+        F.date_format("left_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.date_format("right_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.col("left_event_id").alias("click_event_id"),
+        F.col("right_event_id").alias("purchase_event_id"),
+    )
+
+
 def q_stream_stateful_sessions(spark, sf_dir):
     """Custom stateful streaming operator with a hash gate:
     applyInPandasWithState sessionization over the events file stream,
@@ -1254,6 +1279,21 @@ EXTRA_QUERIES = {
                    CAST(COALESCE(SUM(nt), 0) AS BIGINT)
             FROM (SELECT dg, arg_min(nt, doc_id) AS nt
                   FROM w WHERE len_ok GROUP BY dg)""",
+    ),
+    # stream-stream event-time interval join (watermarked both sides)
+    # == batch self-join
+    "stream_interval_join": (
+        q_stream_interval_join,
+        """SELECT l.user_id,
+                  strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+                  strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+                  l.event_id AS click_event_id,
+                  r.event_id AS purchase_event_id
+           FROM events l JOIN events r
+             ON l.user_id = r.user_id
+            AND l.event_type = 'click' AND r.event_type = 'purchase'
+            AND r.ts > l.ts
+            AND r.ts <= l.ts + INTERVAL 60 MINUTE""",
     ),
     # custom stateful streaming (applyInPandasWithState) with a hash
     # gate: final per-user session/event counters == batch lag-window
@@ -2051,10 +2091,9 @@ CATALOG_FRONT = [
     "dedup_embedding_cosine",
     "ann_cosine_topk",
     "docs_domain_cap",
-    "docs_topk_per_source",
-    # (sample_stratified + sample_hash displaced to r6 — stable
-    # deterministic samplers, green r3, code untouched; front-load both
-    # in r6 with text_token_count)
+    # (docs_topk_per_source, sample_stratified, sample_hash displaced
+    # to r6 — stable deterministic window/sampler ops, green r3, code
+    # untouched; front-load all three in r6 with text_token_count)
     "doc_chunks",
     "doc_pack_shards",
     "dedup_keep_best",
@@ -2100,6 +2139,8 @@ CATALOG_FRONT = [
     "graph_pagerank",
     # new in r5: stateful streaming (applyInPandasWithState) hash gate
     "stream_stateful_sessions",
+    # new in r5: stream-stream interval join hash gate
+    "stream_interval_join",
     # new in r5: corpus data card + cleaning-funnel observability
     "corpus_stats",
     "docs_filter_funnel",

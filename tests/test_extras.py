@@ -1122,3 +1122,42 @@ def test_filter_funnel(spark):
     assert [r["stage_idx"] for r in sorted(
         pipeline.filter_funnel(docs, min_tokens=10).collect(),
         key=lambda r: r["stage_idx"])] == [0, 1, 2, 3]
+
+
+def test_interval_join_batch_and_stream(spark, tmp_path):
+    """interval_join on batch DFs matches hand-computed attribution;
+    the same call on two watermarked streams (availableNow) returns the
+    identical pair set (stream-stream join path)."""
+    from scio_sparql_spark.streaming.bounded import run_bounded, stream_parquet
+
+    rows = [
+        (1, 10, "2024-01-01 10:00:00", "click"),
+        (2, 10, "2024-01-01 10:30:00", "purchase"),  # within 1h of click 1
+        (3, 10, "2024-01-01 12:00:00", "purchase"),  # too late
+        (4, 20, "2024-01-01 10:10:00", "purchase"),  # different user's purchase
+        (5, 20, "2024-01-01 10:05:00", "click"),     # -> pairs with 4
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "event_type"]).withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    clicks = df.filter(F.col("event_type") == "click")
+    purchases = df.filter(F.col("event_type") == "purchase")
+    batch = {
+        (r["left_event_id"], r["right_event_id"])
+        for r in ev.interval_join(clicks, purchases, 60).collect()
+    }
+    assert batch == {(1, 2), (5, 4)}
+
+    src = str(tmp_path / "ev_parquet")
+    df.write.parquet(src)
+    sc = stream_parquet(spark, src, df.schema).filter(
+        F.col("event_type") == "click"
+    ).withWatermark("ts", "2 hours")
+    sp = stream_parquet(spark, src, df.schema).filter(
+        F.col("event_type") == "purchase"
+    ).withWatermark("ts", "2 hours")
+    streamed = {
+        (r["left_event_id"], r["right_event_id"])
+        for r in run_bounded(ev.interval_join(sc, sp, 60)).collect()
+    }
+    assert streamed == batch
