@@ -83,6 +83,8 @@ BENCH_QUERIES = [
     "docs_filter_funnel",
     # stream-stream event-time interval join (watermarked both sides)
     "stream_interval_join",
+    # quality-tiered importance sampling (classifier score -> md5 keep)
+    "sample_quality_weighted",
 ]
 
 

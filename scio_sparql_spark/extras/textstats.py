@@ -272,6 +272,49 @@ def classifier_score(
     )
 
 
+def quality_weighted_sample(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    high_micro: int = 500_000,
+    frac_high: float = 1.0,
+    frac_mid: float = 0.5,
+    frac_low: float = 0.25,
+) -> DataFrame:
+    """Importance sampling by quality: documents keep with a
+    probability set by their classifier-score tier (high keeps
+    everything by default, mid half, low a quarter) — the "upsample
+    good data, downsample the tail" mixing step, composed from
+    classifier_score and the md5-threshold membership trick
+    (pipeline.deterministic_sample): a doc is kept iff the first 8 hex
+    chars of md5(id) fall under its tier's fraction-scaled threshold.
+
+    Deterministic and engine-portable (same rows survive anywhere with
+    md5), zero shuffle, map-only codegen. Output: (id, score_micro,
+    tier) for the survivors."""
+
+    def thr(f: float) -> str:
+        return format(int(f * 0xFFFFFFFF), "08x")
+
+    scored = classifier_score(docs, text_col, id_col)
+    tier = (
+        F.when(F.col("score_micro") >= high_micro, F.lit("high"))
+        .when(F.col("score_micro") >= 0, F.lit("mid"))
+        .otherwise(F.lit("low"))
+    )
+    tier_thr = (
+        F.when(F.col("score_micro") >= high_micro, F.lit(thr(frac_high)))
+        .when(F.col("score_micro") >= 0, F.lit(thr(frac_mid)))
+        .otherwise(F.lit(thr(frac_low)))
+    )
+    h = F.substring(F.md5(F.col(id_col).cast("string")), 1, 8)
+    return (
+        scored.withColumn("tier", tier)
+        .filter(h <= tier_thr)
+        .select(id_col, "score_micro", "tier")
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Order-insensitive content fingerprint: md5 over the sorted distinct
     token set — robust to shuffled word order, the cheap canonical-form

@@ -938,6 +938,10 @@ _CLS_WEIGHT = (
 )
 
 
+def q_sample_quality_weighted(spark, sf_dir):
+    return textstats.quality_weighted_sample(_table(spark, sf_dir, "documents"))
+
+
 def q_corpus_stats(spark, sf_dir):
     return pipeline.corpus_stats(_table(spark, sf_dir, "documents"))
 
@@ -1224,6 +1228,26 @@ EXTRA_QUERIES = {
     "sparql_quads_roundtrip": (
         q_quads_roundtrip,
         "SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey",
+    ),
+    # quality-tiered importance sampling: classifier score tier sets
+    # the md5-threshold keep fraction (map-only, fully deterministic)
+    "sample_quality_weighted": (
+        q_sample_quality_weighted,
+        f"""WITH s AS (
+              SELECT doc_id,
+                     CAST(COALESCE(list_aggregate(
+                         list_transform({_TOKS}, t -> {_CLS_WEIGHT}),
+                         'sum'), 0) AS BIGINT) AS score_micro
+              FROM documents)
+            SELECT doc_id, score_micro,
+                   CASE WHEN score_micro >= 500000 THEN 'high'
+                        WHEN score_micro >= 0 THEN 'mid'
+                        ELSE 'low' END AS tier
+            FROM s
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <=
+                  CASE WHEN score_micro >= 500000 THEN 'ffffffff'
+                       WHEN score_micro >= 0 THEN '7fffffff'
+                       ELSE '3fffffff' END""",
     ),
     # per-source corpus data card (one groupBy; all-integer signals)
     "corpus_stats": (
@@ -2091,10 +2115,10 @@ CATALOG_FRONT = [
     "dedup_embedding_cosine",
     "ann_cosine_topk",
     "docs_domain_cap",
-    # (docs_topk_per_source, sample_stratified, sample_hash displaced
-    # to r6 — stable deterministic window/sampler ops, green r3, code
-    # untouched; front-load all three in r6 with text_token_count)
-    "doc_chunks",
+    # (docs_topk_per_source, sample_stratified, sample_hash, doc_chunks
+    # displaced to r6 — stable deterministic window/sampler/chunk ops,
+    # green r3, code untouched; front-load all four in r6 with
+    # text_token_count)
     "doc_pack_shards",
     "dedup_keep_best",
     "events_funnel",
@@ -2141,9 +2165,11 @@ CATALOG_FRONT = [
     "stream_stateful_sessions",
     # new in r5: stream-stream interval join hash gate
     "stream_interval_join",
-    # new in r5: corpus data card + cleaning-funnel observability
+    # new in r5: corpus data card + cleaning-funnel observability +
+    # quality-tiered importance sampling
     "corpus_stats",
     "docs_filter_funnel",
+    "sample_quality_weighted",
     # (rotated out, all r4-green: the remaining sparql surface —
     # stable code, re-window in r6 — plus dedup_semantic,
     # docs_clean_pipeline, ann_lsh_topk, ann_ivf_topk,

@@ -1161,3 +1161,29 @@ def test_interval_join_batch_and_stream(spark, tmp_path):
         for r in run_bounded(ev.interval_join(sc, sp, 60)).collect()
     }
     assert streamed == batch
+
+
+def test_quality_weighted_sample(spark):
+    """Tier thresholds replicated in Python: survivors are exactly the
+    docs whose md5(id) hex falls under their tier's fraction."""
+    import hashlib
+
+    rows = [(i, f"tok{i} " * (i % 7 + 1)) for i in range(60)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    scores = {
+        r["doc_id"]: r["score_micro"]
+        for r in textstats.classifier_score(docs).collect()
+    }
+    got = {
+        r["doc_id"]: r["tier"]
+        for r in textstats.quality_weighted_sample(docs).collect()
+    }
+    for i, _ in rows:
+        s = scores[i]
+        frac = 1.0 if s >= 500_000 else (0.5 if s >= 0 else 0.25)
+        thr = format(int(frac * 0xFFFFFFFF), "08x")
+        keep = hashlib.md5(str(i).encode()).hexdigest()[:8] <= thr
+        assert (i in got) == keep
+        if keep:
+            want_tier = "high" if s >= 500_000 else ("mid" if s >= 0 else "low")
+            assert got[i] == want_tier
