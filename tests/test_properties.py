@@ -344,3 +344,52 @@ def test_update_data_sequence_matches_set_oracle(spark, ops):
     }
     assert got == store
     assert out.count() == len(store)  # exact set: no duplicate quads
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),      # user
+            st.integers(min_value=0, max_value=7200),   # seconds offset
+            st.booleans(),                              # is_click
+        ),
+        min_size=2,
+        max_size=14,
+    )
+)
+def test_interval_join_matches_python_oracle(spark, events):
+    """Random event sets: the event-time interval join (clicks ->
+    purchases within 1h, strict lower bound) must equal the
+    brute-force Python pairing."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from scio_sparql_spark.streaming.events import interval_join
+
+    base = datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (i, u, base + timedelta(seconds=off), "click" if c else "purchase")
+        for i, (u, off, c) in enumerate(events)
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "event_type"])
+    got = {
+        (r["left_event_id"], r["right_event_id"])
+        for r in interval_join(
+            df.filter(F.col("event_type") == "click"),
+            df.filter(F.col("event_type") == "purchase"),
+            max_gap_minutes=60,
+        ).collect()
+    }
+    want = {
+        (li, ri)
+        for li, lu, lt, lk in rows
+        if lk == "click"
+        for ri, ru, rt, rk in rows
+        if rk == "purchase"
+        and ru == lu
+        and rt > lt
+        and rt <= lt + timedelta(minutes=60)
+    }
+    assert got == want
