@@ -393,3 +393,39 @@ def test_interval_join_matches_python_oracle(spark, events):
         and rt <= lt + timedelta(minutes=60)
     }
     assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    edges=st.sets(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),
+            st.integers(min_value=0, max_value=6),
+        ),
+        min_size=1,
+        max_size=16,
+    ),
+    iters=st.integers(min_value=1, max_value=3),
+)
+def test_pagerank_micro_matches_python_oracle(spark, edges, iters):
+    """Random digraphs (self-loops included): the distributed
+    integer-micro PageRank must equal a literal Python replication of
+    the same integer recurrence — bit-identical, any iteration count."""
+    from scio_sparql_spark.extras.graph import pagerank_micro
+
+    df = spark.createDataFrame(
+        [(f"n{a}", f"n{b}") for a, b in edges], ["src", "dst"]
+    )
+    got = {r["node"]: r["rank_micro"] for r in pagerank_micro(df, iters=iters).collect()}
+
+    nodes = {f"n{a}" for a, _ in edges} | {f"n{b}" for _, b in edges}
+    outdeg: dict = {}
+    for a, _ in edges:
+        outdeg[f"n{a}"] = outdeg.get(f"n{a}", 0) + 1
+    rank = {n: 1_000_000 for n in nodes}
+    for _ in range(iters):
+        incoming = {n: 0 for n in nodes}
+        for a, b in edges:
+            incoming[f"n{b}"] += rank[f"n{a}"] // outdeg[f"n{a}"]
+        rank = {n: 150_000 + (850_000 * incoming[n]) // 1_000_000 for n in nodes}
+    assert got == rank
