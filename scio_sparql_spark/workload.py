@@ -1616,7 +1616,7 @@ EXTRA_QUERIES = {
         q_events_window,
         """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
                   event_type, COUNT(*) AS n_events,
-                  SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS sum_value_micro
+                  CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_value_micro
            FROM events GROUP BY 1, 2""",
     ),
     # streaming==batch equivalence rows: same answer through the real
@@ -1625,7 +1625,7 @@ EXTRA_QUERIES = {
         q_stream_windowed_counts,
         """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
                   event_type, COUNT(*) AS n_events,
-                  SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS sum_value_micro
+                  CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_value_micro
            FROM events GROUP BY 1, 2""",
     ),
     "stream_dedup_exact": (
@@ -2053,7 +2053,7 @@ EXTRA_QUERIES = {
         q_events_props,
         """SELECT event_type, COUNT(*) AS n_events,
                   COUNT(CAST(props->>'$.k' AS BIGINT)) AS n_with_field,
-                  SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_field,
+                  CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_field,
                   CAST(CASE WHEN COUNT(CAST(props->>'$.k' AS BIGINT)) > 0
                             THEN (SUM(CAST(props->>'$.k' AS BIGINT)) * 1000000)
                                  // COUNT(CAST(props->>'$.k' AS BIGINT))
