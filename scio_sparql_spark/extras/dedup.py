@@ -31,7 +31,11 @@ TOKEN_RE = r"\s+"
 
 
 def _tokens(col):
-    return F.split(F.trim(F.lower(col)), TOKEN_RE)
+    # Filter empties so a whitespace-only / empty document tokenizes to
+    # [] (n_tokens=0), matching the DuckDB oracles' list_filter(...,
+    # t -> t <> '') and textstats._tokens — a bare split yields one
+    # empty-string token on such docs (latent hash mismatch; ADVICE r5).
+    return F.filter(F.split(F.trim(F.lower(col)), TOKEN_RE), lambda t: t != "")
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -575,4 +579,116 @@ def keep_best_per_cluster(
             F.col("__best")[score_col].alias(score_col),
             F.col("n_copies"),
         )
+    )
+
+
+def minhash_verified_pairs(
+    docs: DataFrame,
+    threshold: float = 0.6,
+    num_hashes: int = 64,
+    bands: int = 32,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash-LSH candidate generation + EXACT Jaccard verification —
+    the standard two-phase production dedup (candidates from banding,
+    then the exact measure only on candidate pairs). Output (id_a,
+    id_b, jaccard) is bit-identical to ngram_jaccard_pairs whenever
+    banding recall reaches every true pair, which makes the LSH path
+    oracle-checkable against the quadratic exact baseline (VERDICT r5
+    item 6) instead of rows-only.
+
+    bands=32 (2 rows/band) by default: candidate-side recall at
+    J=0.2 is 1-(1-J^2)^32 ~ 0.73 per independent pair in theory, but
+    near-dup corpora are bimodal (true dups cluster at J>=0.5 where
+    recall is >0.9998); the catalog entry pins fixture-verified
+    equality at both sf0.001 and sf0.01 via the driver hash.
+
+    Scale shape (100 TB): banding join is bucket-pruned as in
+    minhash_lsh_pairs (never all-pairs); the verify join fetches the
+    two shingle sets per CANDIDATE pair only — cost is
+    O(candidates x shingles), not O(docs^2)."""
+    sig = minhash_signatures(docs, num_hashes, n, text_col, id_col)
+    rows = num_hashes // bands
+    banded = sig.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.array_join(F.slice("sig", b * rows + 1, rows), ","),
+                        F.lit(b),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    cand = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    # exact verify: identical arithmetic to ngram_jaccard_pairs so the
+    # two entries agree bit-for-bit on shared pairs
+    sh = spread(docs).select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(token_ngrams(F.col(text_col), n)).alias("sh"),
+    )
+    jac = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))) / F.size(
+        F.array_union(F.col("a.sh"), F.col("b.sh"))
+    )
+    return (
+        cand.join(sh.alias("a"), cand["id_a"] == F.col("a.id"))
+        .join(sh.alias("b"), cand["id_b"] == F.col("b.id"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_exact_dup_check(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    id_offset: int = 1_000_000,
+) -> DataFrame:
+    """Invariant projection that makes the SimHash pipeline
+    oracle-checkable (VERDICT r5 item 6). The corpus fixtures contain
+    no exact duplicates, so the check MANUFACTURES them: every document
+    (with >= 1 token — tokenless docs produce no simhash row) is
+    mirrored under ``id + id_offset`` and the full pipeline
+    (simhash -> 16-bit chunk blocking -> hamming filter) must recover
+    every mirror pair at hamming 0 — identical text guarantees an
+    identical 64-bit simhash and coinciding chunks, so blocking recall
+    at distance 0 is exact, not probabilistic. A DuckDB oracle
+    reproduces the expected output without computing any hash:
+    (doc_id, doc_id+offset, 0) for every tokenized doc. Any regression
+    in the token hashing, vote arithmetic, chunk extraction, or the
+    blocking join surfaces as a missing pair (row mismatch) or nonzero
+    hamming (hash mismatch). Non-mirror hamming-0 pairs (distinct docs
+    with colliding simhashes, e.g. same token multiset) are filtered
+    out — they are legitimate near-dup output, not part of the
+    invariant."""
+    base = spread(docs).select(F.col(id_col), F.col(text_col)).filter(
+        F.size(_tokens(F.col(text_col))) > 0
+    )
+    mirrored = base.unionByName(
+        base.withColumn(id_col, F.col(id_col) + F.lit(id_offset))
+    )
+    pairs = simhash_dup_pairs(
+        mirrored, max_hamming=0, text_col=text_col, id_col=id_col
+    )
+    return pairs.filter(F.col("id_b") == F.col("id_a") + F.lit(id_offset)).select(
+        "id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming")
     )

@@ -853,8 +853,13 @@ def _ttl_term(c, prefixes: dict | None = None):
 
     iri = F.concat(F.lit("<"), c["lex"], F.lit(">"))
     if prefixes:
-        # longest namespace first so nested namespaces compress right
-        for pfx, ns in sorted(prefixes.items(), key=lambda kv: -len(kv[1])):
+        # Build inner-to-outer: each iteration's F.when wraps the
+        # previous expression, so the LAST-added when is checked first.
+        # Iterate shortest namespace first so the LONGEST namespace ends
+        # up outermost and nested namespaces compress with the most
+        # specific prefix (the longest-first loop had this inverted;
+        # ADVICE r5).
+        for pfx, ns in sorted(prefixes.items(), key=lambda kv: len(kv[1])):
             local = F.substring(c["lex"], len(ns) + 1, 1_000_000)
             iri = F.when(
                 c["lex"].startswith(ns)

@@ -21,12 +21,15 @@ Supported operations (one UpdateOp dataclass each):
 
 Not supported (explicit parse-time errors): USING/USING NAMED on
 modify operations, and blank-node labels inside DELETE templates
-(forbidden by the spec) or quad DATA blocks (INSERT DATA bnodes would
-need per-execution minting — pass materialized IRIs instead).
+(forbidden by the spec) or quad DATA blocks (pass materialized IRIs
+instead). Blank nodes in INSERT templates ARE supported: they mint a
+fresh node per solution during instantiation (update.py _instantiate,
+spec §3.1.3.2).
 """
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 from typing import Optional
 
@@ -97,7 +100,15 @@ class Load:
 
 
 def _is_bnode_var(v) -> bool:
-    return isinstance(v, A.Var) and v.name.startswith("__b_")
+    # labeled bnodes parse to __b_<label>; anonymous [] to __b<N>
+    # (parser.fresh_var("b")). No other parser-minted tag starts with
+    # "__b" followed by "_" or a digit (gk/agg/col/p/np/aps/ape).
+    return isinstance(v, A.Var) and bool(re.match(r"^__b(_|\d)", v.name))
+
+
+def is_bnode_var_name(name: str) -> bool:
+    """Shared predicate for template instantiation (update.py)."""
+    return bool(re.match(r"^__b(_|\d)", name))
 
 
 class UpdateParser(Parser):
@@ -290,7 +301,7 @@ class UpdateParser(Parser):
                 if (
                     isinstance(v, A.Var)
                     and v.name.startswith("__")
-                    and not v.name.startswith("__b_")
+                    and not _is_bnode_var(v)
                 ):
                     raise SyntaxError(
                         "only plain triples are allowed in quad data/"

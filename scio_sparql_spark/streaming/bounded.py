@@ -72,8 +72,17 @@ def run_bounded(
         .start()
     )
     try:
-        q.awaitTermination(timeout_sec)
+        finished = q.awaitTermination(timeout_sec)
     finally:
         if q.isActive:  # timeout rather than completion
             q.stop()
+    if not finished:
+        # A partially-populated memory table would masquerade as a
+        # complete (silently truncated) result downstream — fail loudly
+        # instead so hash-gated callers see a timeout, not an operator
+        # bug (ADVICE r5).
+        raise TimeoutError(
+            f"bounded streaming query {name} did not finish within "
+            f"{timeout_sec}s; partial output discarded"
+        )
     return stream_df.sparkSession.table(name)

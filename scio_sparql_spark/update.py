@@ -35,9 +35,18 @@ from .sparql.update import (
     Load,
     Modify,
     QuadPattern,
+    is_bnode_var_name,
     parse_update,
 )
-from .terms import KIND_IRI, KIND_LITERAL, QUADS_SCHEMA, TERM_TYPE, Term, null_term
+from .terms import (
+    KIND_IRI,
+    KIND_LITERAL,
+    QUADS_SCHEMA,
+    TERM_TYPE,
+    Term,
+    bnode_term,
+    null_term,
+)
 
 _COLS = ("subject", "predicate", "object", "graph")
 
@@ -122,10 +131,24 @@ def _quad_eq(a: str, b: str):
 
 def _insert(cur: DataFrame, new: DataFrame) -> DataFrame:
     """Set-union: only quads absent from the store are appended (the
-    store itself is never dedup-shuffled). The new side is typically
-    small -> AQE broadcasts the anti-join."""
-    fresh = new.dropDuplicates().alias("n").join(
-        cur.alias("c"), _quad_eq("n", "c"), "left_anti"
+    store itself is never dedup-shuffled).
+
+    Join direction matters at scale: a direct ``new left_anti store``
+    would build a hash table on the RIGHT side — the full store — so
+    every INSERT would shuffle/hash 100 TB (ADVICE r5). Instead the
+    store is probed map-side against a BROADCAST of the (small) new
+    side to extract only the already-present quads, and the anti-join
+    then runs between two new-sized relations:
+
+      existing = store ⋉ broadcast(new)   -- map-only store scan
+      fresh    = new  ▷ broadcast(existing)
+    """
+    new_d = new.dropDuplicates()
+    existing = cur.alias("c").join(
+        F.broadcast(new_d.alias("n")), _quad_eq("c", "n"), "left_semi"
+    )
+    fresh = new_d.alias("n").join(
+        F.broadcast(existing.alias("e")), _quad_eq("n", "e"), "left_anti"
     )
     return cur.unionByName(fresh.select(*_COLS))
 
@@ -203,7 +226,26 @@ def _instantiate(sols: DataFrame, templates, with_g) -> DataFrame:
     ``__any_graph`` flag: True on rows from a graph-less template with
     no WITH, which _delete matches against every graph — see _delete).
     Invalid rows (unbound variable, literal subject/predicate/graph,
-    non-IRI predicate) are skipped per spec §3.1.3.2."""
+    non-IRI predicate) are skipped per spec §3.1.3.2.
+
+    Blank node labels in INSERT templates (parser-minted ``__b_`` vars)
+    mint a FRESH blank node per solution per spec §3.1.3.2: the same
+    label within one solution's template yields one node, different
+    solutions yield distinct nodes. Minting always ignores any
+    same-named WHERE binding — template bnode labels never read
+    solution columns (spec forbids sharing a label across template and
+    pattern). The minted label is ``genid_<label>_<row>`` where row is
+    a per-solution ``monotonically_increasing_id`` — label identity is
+    stable within the materialized result, which is all bnode identity
+    promises."""
+    bnode_labels = {
+        v.name
+        for qp in templates
+        for v in (qp.s, qp.p, qp.o, qp.g)
+        if isinstance(v, A.Var) and is_bnode_var_name(v.name)
+    }
+    if bnode_labels:
+        sols = sols.withColumn("__row_id", F.monotonically_increasing_id())
     parts = []
     for qp in templates:
         cols = []
@@ -213,6 +255,15 @@ def _instantiate(sols: DataFrame, templates, with_g) -> DataFrame:
                     with_g.to_column()
                     if with_g is not None
                     else F.lit(None).cast(TERM_TYPE)
+                )
+            elif isinstance(val, A.Var) and val.name in bnode_labels:
+                c = bnode_term(
+                    F.concat_ws(
+                        "_",
+                        F.lit("genid"),
+                        F.lit(val.name.lstrip("_")),  # b_<label> or b<N>
+                        F.col("__row_id").cast("string"),
+                    )
                 )
             elif isinstance(val, A.Var):
                 c = F.col(val.name) if val.name in sols.columns else null_term()

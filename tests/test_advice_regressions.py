@@ -117,3 +117,41 @@ def test_from_multiple_graphs_is_set_union(spark):
         run_sparql(spark, MERGE_TRIG, q),
         [{"v": s("shared")}, {"v": s("one")}, {"v": s("two")}],
     )
+
+
+def test_turtle_nested_prefix_compresses_longest_namespace(spark):
+    # Two declared prefixes where one namespace extends the other with
+    # no '/'-style separator: the LONGEST matching namespace must win
+    # (pre-r6 the when-chain was built outermost-last, so the shortest
+    # won; ADVICE r5).
+    from scio_sparql_spark import parse_turtle, quads_df_from_list, to_turtle
+
+    quads = quads_df_from_list(
+        spark, parse_turtle("<urn:ex:subthing1> <urn:ex:p> <urn:ex:sub2> .")
+    )
+    doc = to_turtle(quads, prefixes={"e": "urn:ex:", "es": "urn:ex:sub"})
+    assert "es:thing1" in doc, doc
+    assert "es:2" in doc, doc
+    assert "e:subthing1" not in doc
+
+
+def test_empty_doc_tokenizes_to_zero_tokens(spark):
+    # dedup._tokens on empty / whitespace-only text must yield [] to
+    # match the DuckDB oracles' list_filter (ADVICE r5).
+    from pyspark.sql import functions as F
+
+    from scio_sparql_spark.extras import dedup
+
+    df = spark.createDataFrame(
+        [("a", ""), ("b", "   "), ("c", "one two")], ["doc_id", "text"]
+    )
+    n = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id", F.size(dedup._tokens(F.col("text"))).alias("n")
+        ).collect()
+    }
+    assert n == {"a": 0, "b": 0, "c": 2}
+    out = dedup.remove_dup_spans(df)
+    nt = {r["doc_id"]: r["n_tokens"] for r in out.collect()}
+    assert nt["a"] == 0 and nt["b"] == 0

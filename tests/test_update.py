@@ -163,3 +163,52 @@ def test_delete_where_graph_pattern(spark):
     assert _select(out, "SELECT ?v WHERE { GRAPH :g { ?s ?q ?v } }").count() == 1
     # default graph untouched
     assert out.filter(out.graph.isNull()).count() == 3
+
+
+def test_insert_template_bnode_mints_fresh_per_solution(spark):
+    # INSERT { ?s :tag [] } WHERE { ?s :p ?v } must mint one FRESH
+    # blank node per solution (spec §3.1.3.2) — not silently drop the
+    # quad (the pre-r6 behavior: the __b_ var was unbound -> null_term
+    # -> filtered; ADVICE r5).
+    out = execute_update(
+        _store(spark),
+        "PREFIX : <urn:u:> INSERT { ?s :tag [] } WHERE { ?s :p ?v }",
+    )
+    rows = _select(out, "SELECT ?s ?b WHERE { ?s :tag ?b }").collect()
+    assert len(rows) == 2  # :a and :b each got a tag
+    labels = {r["b"]["lex"] for r in rows}
+    assert len(labels) == 2, "each solution must mint a distinct bnode"
+    assert all(r["b"]["kind"] == 0 for r in rows)  # KIND_BNODE
+
+
+def test_insert_template_bnode_label_shared_within_solution(spark):
+    # The same label inside ONE solution's template instantiation is
+    # one node; across solutions the nodes differ.
+    out = execute_update(
+        _store(spark),
+        """PREFIX : <urn:u:>
+           INSERT { ?s :l1 _:n . ?s :l2 _:n } WHERE { ?s :p ?v }""",
+    )
+    rows = _select(out, "SELECT ?s ?x ?y WHERE { ?s :l1 ?x . ?s :l2 ?y }").collect()
+    assert len(rows) == 2
+    per_subject = {r["s"]["lex"]: (r["x"]["lex"], r["y"]["lex"]) for r in rows}
+    for x, y in per_subject.values():
+        assert x == y, "same label within a solution is the same node"
+    assert (
+        per_subject["urn:u:a"][0] != per_subject["urn:u:b"][0]
+    ), "different solutions mint different nodes"
+
+
+def test_insert_template_bnode_ignores_where_binding(spark):
+    # A bnode label in the template never reads a same-named WHERE
+    # binding — it always mints fresh.
+    base = quads_df_from_list(
+        spark, parse_turtle("@prefix : <urn:u:> . _:w :p 1 .")
+    )
+    out = execute_update(
+        base, "PREFIX : <urn:u:> INSERT { :r :tag _:w } WHERE { _:w :p ?v }"
+    )
+    rows = _select(out, "SELECT ?b WHERE { :r :tag ?b }").collect()
+    assert len(rows) == 1
+    src = _select(out, "SELECT ?s WHERE { ?s :p ?v }").collect()
+    assert rows[0]["b"]["lex"] != src[0]["s"]["lex"]
