@@ -38,19 +38,20 @@ from .dedup import _tokens, token_ngrams
 from .util import spread
 
 
-def lm_bigram_score(
+def lm_occurrence_scores(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """(id, n_bigrams, sum_lp_micro, avg_lp_micro) for EVERY document:
-    the add-one-smoothed bigram log-likelihood of the document under
-    the corpus-trained LM, in BIGINT micro-nats.
-
-    p(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V) with V = |vocabulary|;
-    per-occurrence lp = round(ln(p) * 1e6); sum/avg by integer
-    arithmetic. Documents with fewer than 2 tokens score 0/0/0 (no
-    bigram — same zero-window rule as token_ngrams)."""
+    """(id, b, lp): the add-one-smoothed bigram log-prob of every
+    bigram OCCURRENCE in BIGINT micro-nats — the exact intermediate
+    that lm_bigram_score sums per document. Public so the property
+    suite can compare per-bigram values (not just document sums)
+    against DuckDB's ln()+ROUND on random corpora: the in-module claim
+    that ln is correctly rounded identically across JVM/libm for
+    identical double inputs is load-bearing for the driver hash, and a
+    future JVM/libm change should surface as a unit failure here, not
+    as a driver red (VERDICT r5 item 8)."""
     base = spread(docs)
     # all bigram OCCURRENCES (token_ngrams keeps duplicates), plus the
     # conditioning first token of each occurrence
@@ -71,14 +72,33 @@ def lm_bigram_score(
     vocab = uni.agg(F.count("*").alias("V"))
     bc = occ.groupBy("b").agg(F.count("*").alias("c12"))
     p = (F.col("c12") + 1).cast("double") / (F.col("c1") + F.col("V")).cast("double")
-    scored = (
+    return (
         occ.join(bc, on="b")
         .join(uni, occ["w1"] == uni["w"])
         .crossJoin(F.broadcast(vocab))
         .select(
             F.col(id_col),
+            F.col("b"),
             F.round(F.log(p) * 1000000).cast("bigint").alias("lp"),
         )
+    )
+
+
+def lm_bigram_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_bigrams, sum_lp_micro, avg_lp_micro) for EVERY document:
+    the add-one-smoothed bigram log-likelihood of the document under
+    the corpus-trained LM, in BIGINT micro-nats.
+
+    p(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V) with V = |vocabulary|;
+    per-occurrence lp = round(ln(p) * 1e6); sum/avg by integer
+    arithmetic. Documents with fewer than 2 tokens score 0/0/0 (no
+    bigram — same zero-window rule as token_ngrams)."""
+    scored = lm_occurrence_scores(docs, text_col, id_col).select(
+        F.col(id_col), F.col("lp")
     )
     per_doc = scored.groupBy(id_col).agg(
         F.count("*").alias("n_bigrams"),

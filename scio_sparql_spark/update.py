@@ -158,20 +158,30 @@ def _delete(cur: DataFrame, dels: DataFrame) -> DataFrame:
     with no GRAPH, under this engine's union-default-graph semantics —
     the default graph IS the union, so removing a triple from it removes
     the triple wherever it resides) matches on (s, p, o) in any graph;
-    an explicit-graph row matches the full quad."""
+    an explicit-graph row matches the full quad.
+
+    The two match modes are SPLIT into two null-safe-equi anti-joins
+    rather than OR-ed into one condition: an OR of equalities is not a
+    hash-join key, so the single-join form degrades to a broadcast
+    NESTED-LOOP anti-join — O(store x dels) comparisons, catastrophic
+    when a DELETE WHERE matches millions of solutions. Split, each
+    anti-join is a plain hash join (broadcast when dels is small,
+    shuffled hash when it is not), and an empty branch costs nothing.
+    """
     d = dels
     if "__any_graph" not in d.columns:
         d = d.withColumn("__any_graph", F.lit(False))
-    cond = None
+    d = d.dropDuplicates()
+    anyg = d.filter(F.col("__any_graph")).select("subject", "predicate", "object")
+    exact = d.filter(~F.col("__any_graph")).select(*_COLS)
+
+    spo = None
     for c in ("subject", "predicate", "object"):
         e = F.col(f"c.{c}").eqNullSafe(F.col(f"d.{c}"))
-        cond = e if cond is None else cond & e
-    cond = cond & (
-        F.col("d.__any_graph") | F.col("c.graph").eqNullSafe(F.col("d.graph"))
-    )
-    return cur.alias("c").join(
-        d.dropDuplicates().alias("d"), cond, "left_anti"
-    ).select(*_COLS)
+        spo = e if spo is None else spo & e
+    out = cur.alias("c").join(anyg.alias("d"), spo, "left_anti")
+    out = out.alias("c").join(exact.alias("d"), _quad_eq("c", "d"), "left_anti")
+    return out.select(*_COLS)
 
 
 def _transfer(cur: DataFrame, op) -> DataFrame:

