@@ -91,6 +91,9 @@ BENCH_QUERIES = [
     # simhash + blocking pipeline)
     "dedup_minhash_verified",
     "dedup_simhash_check",
+    # deterministic integer k-means (3 Lloyd iterations over the
+    # embeddings table; broadcast assignment + one shuffle per round)
+    "embed_kmeans",
 ]
 
 

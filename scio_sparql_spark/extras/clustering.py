@@ -1,0 +1,174 @@
+"""Deterministic integer k-means over embedding columns.
+
+The clustering step of large-scale corpus curation (SemDeDup pruning,
+topic balancing, MoE data routing all start from k-means over document
+embeddings). Spark's canonical k-means shape at 100 TB:
+
+- centroids are a k x dim table, collected to the driver and
+  BROADCAST into the assignment pass each iteration (k*dim*8 bytes —
+  kilobytes, the same bounded-collect contract as the IVF quantizer,
+  similarity.py);
+- assignment is map-only whole-stage codegen: the per-centroid squared
+  distance is an UNROLLED sum of ``(v[i] - c_i)^2`` terms with the
+  centroid coordinates inlined as literals (the interpreted
+  ``aggregate(zip_with(...))`` HOF form benchmarked ~4x slower on the
+  cosine top-k operator — same finding as minhash_signatures);
+- the centroid update is ONE groupBy(cluster) shuffle per iteration
+  with map-side partial aggregation of dim running sums + a count.
+
+Determinism (COVERAGE.md hash discipline): all arithmetic is exact
+BIGINT. Embeddings are quantized once to integer micro-units
+(round(x * 1e6)); squared distances are exact integer sums (64 dims x
+(~1.6e6)^2 < 2^63, no overflow); centroid updates are integer mean
+(sum DIV count, truncation toward zero — identical in Spark ``div``
+and DuckDB ``//`` for either sign, verified -7//2 = -3 in both); ties
+in the argmin break to the LOWEST cluster id on both engines
+(strict <). Seeds are the k lowest-id vectors. Every iteration is
+therefore bit-identical across Spark, DuckDB, and a literal Python
+recurrence — no RNG, no float accumulation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .util import spread
+
+
+def quantize_micro(vec_col, dim: int):
+    """array<float> -> array<bigint> micro-units: round(x * 1e6) per
+    coordinate, the same float->double->round path the events oracles
+    use (half away from zero in Spark F.round and DuckDB ROUND)."""
+    return F.transform(
+        F.slice(vec_col, 1, dim),
+        lambda x: F.round(x.cast("double") * 1000000).cast("bigint"),
+    )
+
+
+def kmeans_micro(
+    vecs: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Lloyd's k-means, exact integer arithmetic throughout. Returns
+    (id, cluster, d2) after ``iters`` assignment/update rounds:
+    ``cluster`` is the final 0-based centroid index, ``d2`` the exact
+    squared distance in micro^2 units.
+
+    Per iteration: one driver collect of k centroids (bounded: k x dim
+    BIGINTs), one broadcast-literal assignment pass (map-only), one
+    groupBy(cluster) shuffle for the update. The final assignment pass
+    reuses the same map-only shape. Empty clusters keep their previous
+    centroid (no re-seeding — keeps the recurrence closed-form for the
+    DuckDB/Python oracles)."""
+    q = spread(vecs).select(
+        F.col(id_col).alias("id"), quantize_micro(F.col(vec_col), dim).alias("v")
+    )
+    q = q.localCheckpoint()  # scanned iters+1 times; quantize once
+
+    # seeds: the k lowest-id vectors, in id order -> cluster j = j-th id
+    seed_rows = q.orderBy("id").limit(k).collect()
+    centroids = [list(r["v"]) for r in seed_rows]
+
+    # |v|^2 is centroid-independent, so the per-centroid score is the
+    # factorized |c_j|^2 - 2*v.c_j (argmin-equivalent to the squared
+    # distance, exact in integer arithmetic); the true d2 adds |v|^2
+    # back once. The whole expression is ONE SQL string per pass:
+    # building it as composed Column objects costs thousands of py4j
+    # round trips (~6s of pure driver chatter per iteration, measured),
+    # while one F.expr parses JVM-side in milliseconds — same codegen
+    # after analysis.
+    v2_sql = "+".join(f"v[{i}]*v[{i}]" for i in range(dim))
+
+    def assign(df):
+        scores = []
+        for c in centroids:
+            c2 = sum(int(x) * int(x) for x in c)
+            dot = "+".join(f"v[{i}]*{int(c[i])}L" for i in range(dim))
+            scores.append(f"CAST({c2}L - 2*({dot}) AS BIGINT)")
+        d_arr = F.expr("array(" + ",".join(scores) + ")")
+        best = F.array_min(d_arr)
+        cluster = (F.array_position(d_arr, best) - 1).cast("bigint")
+        d2 = (best + F.expr(v2_sql)).cast("bigint")
+        return df.select("id", "v", cluster.alias("cluster"), d2.alias("d2"))
+
+    for _ in range(iters):
+        assigned = assign(q)
+        sums = assigned.groupBy("cluster").agg(
+            F.count("*").alias("n"),
+            *[F.expr(f"sum(v[{i}]) AS s{i}") for i in range(dim)],
+        )
+        new_c = {
+            int(r["cluster"]): [int(r[f"s{i}"]) for i in range(dim)]
+            # Spark `div` truncates toward zero like DuckDB `//`
+            for r in sums.selectExpr(
+                "cluster", "n", *[f"s{i} DIV n AS s{i}" for i in range(dim)]
+            ).collect()
+        }
+        centroids = [new_c.get(j, centroids[j]) for j in range(k)]
+
+    return assign(q).select("id", "cluster", "d2")
+
+
+def kmeans_micro_oracle_sql(
+    table: str = "embeddings",
+    k: int = 8,
+    iters: int = 3,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """The DuckDB replica of kmeans_micro as chained CTEs (one
+    assignment + one update pair per iteration, then the final
+    assignment). Pure integer arithmetic — bit-identical to the Spark
+    plan by construction; kept next to the operator so the unrolling
+    stays in lockstep with the implementation."""
+    quant = (
+        f"SELECT {id_col} AS id, "
+        f"list_transform({vec_col}[1:{dim}], "
+        "x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS v "
+        f"FROM {table}"
+    )
+    # c0: seeds = k lowest ids, cluster = rank-1
+    parts = [
+        f"q AS ({quant})",
+        f"c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS BIGINT)"
+        f" AS cluster, v FROM q ORDER BY id LIMIT {k})",
+    ]
+    d2 = (
+        "list_aggregate(list_transform(generate_series(1, {dim}), "
+        "i -> (a.v[i] - c.v[i]) * (a.v[i] - c.v[i])), 'sum')"
+    ).format(dim=dim)
+    for it in range(iters):
+        cin, aout, cout = f"c{it}", f"a{it + 1}", f"c{it + 1}"
+        parts.append(
+            f"{aout} AS (SELECT id, v, cluster, d2 FROM ("
+            f"  SELECT a.id, a.v, c.cluster, {d2} AS d2,"
+            f"         ROW_NUMBER() OVER (PARTITION BY a.id"
+            f"           ORDER BY {d2}, c.cluster) AS rn"
+            f"  FROM q a CROSS JOIN {cin} c)"
+            f" WHERE rn = 1)"
+        )
+        parts.append(
+            f"{cout} AS ("
+            f"  SELECT p.cluster,"
+            f"         COALESCE(u.v, p.v) AS v"
+            f"  FROM {cin} p LEFT JOIN ("
+            f"    SELECT cluster,"
+            f"           list_transform(generate_series(1, {dim}),"
+            f"             i -> list_aggregate(list_transform(list(v), x -> x[i]),"
+            f"                  'sum') // COUNT(*)) AS v"
+            f"    FROM {aout} GROUP BY cluster) u USING (cluster))"
+        )
+    final = (
+        f"SELECT id AS {id_col}, cluster, d2 FROM ("
+        f"  SELECT a.id, c.cluster, {d2} AS d2,"
+        f"         ROW_NUMBER() OVER (PARTITION BY a.id"
+        f"           ORDER BY {d2}, c.cluster) AS rn"
+        f"  FROM q a CROSS JOIN c{iters} c)"
+        f" WHERE rn = 1"
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + final

@@ -82,6 +82,10 @@ def _apply(cur: DataFrame, op) -> DataFrame:
         return _delete(cur, _instantiate(sols, op.patterns, None))
     if isinstance(op, Modify):
         sols = _solutions(cur, op.where)
+        if op.delete and op.insert:
+            # both templates instantiate from the same solution set —
+            # materialize it once instead of running the WHERE twice
+            sols = sols.localCheckpoint()
         with_g = Term.iri(op.with_iri) if op.with_iri else None
         # spec §3.1.3: evaluate WHERE once against the current store,
         # THEN delete, THEN insert
@@ -142,8 +146,14 @@ def _insert(cur: DataFrame, new: DataFrame) -> DataFrame:
 
       existing = store ⋉ broadcast(new)   -- map-only store scan
       fresh    = new  ▷ broadcast(existing)
-    """
-    new_d = new.dropDuplicates()
+
+    The new side is localCheckpointed first: it appears in TWO plan
+    branches (the broadcast probe and the fresh anti-join), and for a
+    MODIFY op it is a full WHERE-query + template instantiation that
+    would otherwise execute twice (measured 2x on the sf0.1 update
+    round-trip). The checkpoint materializes delete/insert-sized data,
+    never store-sized."""
+    new_d = new.dropDuplicates().localCheckpoint()
     existing = cur.alias("c").join(
         F.broadcast(new_d.alias("n")), _quad_eq("c", "n"), "left_semi"
     )
@@ -171,7 +181,10 @@ def _delete(cur: DataFrame, dels: DataFrame) -> DataFrame:
     d = dels
     if "__any_graph" not in d.columns:
         d = d.withColumn("__any_graph", F.lit(False))
-    d = d.dropDuplicates()
+    # checkpoint before fanning into the two branches: for DELETE WHERE
+    # / MODIFY the dels plan embeds the WHERE query, which would
+    # otherwise run once per branch (see _insert on the same pattern)
+    d = d.dropDuplicates().localCheckpoint()
     anyg = d.filter(F.col("__any_graph")).select("subject", "predicate", "object")
     exact = d.filter(~F.col("__any_graph")).select(*_COLS)
 

@@ -18,7 +18,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .engine import execute_sparql
-from .extras import dedup, multimodal, pipeline, retrieval, similarity, textstats
+from .extras import (
+    clustering,
+    dedup,
+    multimodal,
+    pipeline,
+    retrieval,
+    similarity,
+    textstats,
+)
 from .sources.bridge import (
     bridge_ctx,
     load_table,
@@ -715,6 +723,17 @@ def q_docs_clean_pipeline(spark, sf_dir):
     return pipeline.clean_corpus(
         _table(spark, sf_dir, "documents"), min_tokens=10, langs=("en",)
     )
+
+
+def q_embed_kmeans(spark, sf_dir):
+    """Deterministic integer k-means over the embeddings table (k=8,
+    3 Lloyd iterations): broadcast-literal assignment passes, one
+    groupBy(cluster) shuffle per iteration, exact BIGINT arithmetic so
+    the DuckDB CTE oracle reproduces every assignment bit-for-bit
+    (extras/clustering.py)."""
+    return clustering.kmeans_micro(
+        _table(spark, sf_dir, "embeddings"), k=8, iters=3
+    ).select(F.col("id").alias("vec_id"), "cluster", "d2")
 
 
 def q_ann_cosine_topk(spark, sf_dir):
@@ -1507,6 +1526,12 @@ EXTRA_QUERIES = {
             WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                   / len(list_distinct(a.sh || b.sh)) >= 0.2""",
     ),
+    # deterministic integer k-means (extras/clustering.py): the full
+    # 3-iteration Lloyd recurrence replicated in chained DuckDB CTEs
+    "embed_kmeans": (
+        q_embed_kmeans,
+        clustering.kmeans_micro_oracle_sql(k=8, iters=3),
+    ),
     "dedup_simhash_check": (
         q_dedup_simhash_check,
         f"""SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
@@ -2197,6 +2222,7 @@ CATALOG_FRONT = [
     "dedup_minhash_verified",
     "dedup_simhash_check",
     "rdf_egress_turtle",
+    "embed_kmeans",
     # (4) r4-green, evidence 2 rounds old — 39 of 46 re-windowed
     # (the remaining 7 are displaced to r7, listed at the bottom):
     "sparql_bgp_join",
@@ -2229,7 +2255,6 @@ CATALOG_FRONT = [
     "sparql_path_negated",
     "sparql_path_zero_or_one",
     "sparql_path_plus",
-    "sparql_ask",
     "sparql_construct",
     "sparql_bindings",
     "sparql_quads_roundtrip",
@@ -2243,9 +2268,14 @@ CATALOG_FRONT = [
     # sparql_offset_limit (offset+topk), sparql_path_star (path_plus
     # fixpoint), sparql_values_undef (values), sparql_reduced
     # (distinct), sparql_describe (construct), sparql_count_empty
-    # (agg_count), sparql_singleton (bgp machinery). Front-load all
-    # seven in r7 together with this round's 47 r5-green entries as
-    # their evidence turns 2 rounds old.)
+    # (agg_count), sparql_singleton (bgp machinery), sparql_ask
+    # (exists semi-join machinery — displaced for the new embed_kmeans
+    # row). Front-load all eight in r7 together with this round's 47
+    # r5-green entries as their evidence turns 2 rounds old. NOTE:
+    # with 105 catalog entries and a 50-entry window, full <=2-round
+    # freshness is no longer arithmetically possible (100 slots per
+    # two rounds); the rotation keeps the overflow on redundantly-
+    # covered entries only.)
 ]
 
 

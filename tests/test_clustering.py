@@ -1,0 +1,105 @@
+"""Deterministic integer k-means (extras/clustering.py): the Spark
+plan, the DuckDB CTE oracle, and a literal Python recurrence must agree
+bit-for-bit — all three are exact BIGINT arithmetic by construction."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from scio_sparql_spark.extras.clustering import (
+    kmeans_micro,
+    kmeans_micro_oracle_sql,
+)
+
+
+def _python_kmeans(vecs: dict, k: int, iters: int, dim: int):
+    """The literal recurrence: micro-quantized ints in, exact ints out.
+    vecs: {id: [float, ...]}."""
+    import math
+
+    def quant(x):
+        # round half away from zero, like Spark F.round / DuckDB ROUND
+        v = float(x) * 1_000_000
+        return int(math.floor(v + 0.5)) if v >= 0 else int(math.ceil(v - 0.5))
+
+    q = {i: [quant(x) for x in v[:dim]] for i, v in vecs.items()}
+    cent = [q[i] for i in sorted(q)[:k]]
+
+    def assign():
+        out = {}
+        for i, v in q.items():
+            best, bj = None, None
+            for j, c in enumerate(cent):
+                d = sum((a - b) * (a - b) for a, b in zip(v, c))
+                if best is None or d < best:
+                    best, bj = d, j
+            out[i] = (bj, best)
+        return out
+
+    def trunc_div(a, b):
+        qd = abs(a) // abs(b)
+        return qd if (a >= 0) == (b >= 0) else -qd
+
+    for _ in range(iters):
+        a = assign()
+        sums = {}
+        for i, (j, _) in a.items():
+            s, n = sums.get(j, ([0] * dim, 0))
+            sums[j] = ([x + y for x, y in zip(s, q[i])], n + 1)
+        cent = [
+            [trunc_div(x, sums[j][1]) for x in sums[j][0]] if j in sums else cent[j]
+            for j in range(k)
+        ]
+    return assign()
+
+
+@pytest.fixture(scope="module")
+def small_vecs(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(80)
+    return df.localCheckpoint()
+
+
+def test_kmeans_matches_python_recurrence(spark, small_vecs):
+    rows = small_vecs.collect()
+    vecs = {r["vec_id"]: list(r["embedding"]) for r in rows}
+    want = _python_kmeans(vecs, k=4, iters=2, dim=64)
+    got = {
+        r["id"]: (r["cluster"], r["d2"])
+        for r in kmeans_micro(small_vecs, k=4, iters=2).collect()
+    }
+    assert got == want
+
+
+def test_kmeans_matches_duckdb_oracle(spark, small_vecs):
+    import pandas as pd
+
+    sp = (
+        kmeans_micro(small_vecs, k=4, iters=2)
+        .toPandas()
+        .rename(columns={"id": "vec_id"})
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    pdf = small_vecs.select("vec_id", "embedding").toPandas()
+    con = duckdb.connect()
+    con.register("embeddings", pdf)
+    od = (
+        con.sql(kmeans_micro_oracle_sql(k=4, iters=2))
+        .df()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        sp[["vec_id", "cluster", "d2"]].astype("int64"),
+        od[["vec_id", "cluster", "d2"]].astype("int64"),
+    )
+
+
+def test_kmeans_every_vector_assigned_once(spark, small_vecs):
+    out = kmeans_micro(small_vecs, k=4, iters=1)
+    n = small_vecs.count()
+    assert out.count() == n
+    assert out.select("id").distinct().count() == n
+    clusters = {r["cluster"] for r in out.select("cluster").distinct().collect()}
+    assert clusters <= set(range(4))
