@@ -314,12 +314,13 @@ class Compiler:
         return df.select(*sel) if sel else df.select()
 
     def _c_values(self, node: A.Values) -> DataFrame:
-        schema = T.StructType([T.StructField(n, TERM_TYPE) for n in node.names])
-        data = [
-            tuple(t.as_tuple() if t is not None else None for t in row)
-            for row in node.rows
-        ]
-        return self.spark.createDataFrame(data, schema)
+        # Arrow LocalRelation, not createDataFrame(rows, schema): the
+        # classic route pickles a Python RDD for struct schemas and
+        # every action on any plan containing the VALUES pays a
+        # Python-worker round trip (see terms.arrow_terms_df)
+        from .terms import arrow_terms_df
+
+        return arrow_terms_df(self.spark, list(node.names), list(node.rows))
 
     # --- joins ---
     def _join_cond(self, lnode, rnode, la: str, ra: str):

@@ -288,10 +288,22 @@ def ivf_build_index(
     assigned.repartition(*parts).write.mode("overwrite").partitionBy(
         "bucket"
     ).parquet(f"{path}/vectors")
-    cents = [(i, [float(x) for x in c]) for i, c in enumerate(C)]
-    spark.createDataFrame(
-        cents, "bucket int, centroid array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    import pyarrow as pa
+
+    # Arrow table -> JVM LocalRelation: createDataFrame(list, ddl)
+    # builds a pickled Python RDD whose write job pays a Python-worker
+    # round trip (same pathology as terms.arrow_terms_df documents)
+    cents = pa.table(
+        {
+            "bucket": pa.array(range(len(C)), pa.int32()),
+            "centroid": pa.array(
+                [[float(x) for x in c] for c in C], pa.list_(pa.float64())
+            ),
+        }
+    )
+    spark.createDataFrame(cents).coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/centroids"
+    )
     return path
 
 

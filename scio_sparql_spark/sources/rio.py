@@ -557,12 +557,18 @@ def parse_trix(text: str, bnode_scope: str = "") -> list[tuple]:
 
 
 def quads_df_from_list(spark: SparkSession, quads: list[tuple]) -> DataFrame:
-    rows = [
-        tuple(t.as_tuple() if t is not None else None for t in q) for q in quads
-    ]
+    """Driver-side quad list -> quads DataFrame via an Arrow-table
+    LocalRelation (terms.arrow_terms_df): the classic
+    createDataFrame(rows, QUADS_SCHEMA) route pickled a Python RDD, so
+    EVERY downstream action paid a Python-worker round trip (~1s on
+    local[8], ~4s on local[32], for any corpus size)."""
+    from ..terms import arrow_terms_df
+
     # single partition: driver-side lists are small, and one partition keeps
     # task counts flat when patterns over them are cross-joined
-    return spark.createDataFrame(rows, QUADS_SCHEMA).coalesce(1)
+    return arrow_terms_df(
+        spark, ["subject", "predicate", "object", "graph"], quads
+    ).coalesce(1)
 
 
 # --- distributed N-Triples/N-Quads parse (native Columns, splittable) ------

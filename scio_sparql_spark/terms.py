@@ -354,3 +354,38 @@ def ebv(t: Column) -> Column:
         )
         .otherwise(F.lit(None).cast("boolean"))
     )
+
+
+def arrow_terms_df(spark, names: list[str], rows: list[tuple]):
+    """Driver-side rows of Term|None -> DataFrame of term-struct columns
+    via an Arrow table. The classic ``createDataFrame(rows, schema)``
+    route builds a pickled Python RDD for struct schemas, so every
+    downstream action pays a Python-worker round trip (~1-4s per job
+    regardless of row count); an Arrow table becomes a JVM
+    LocalRelation — Python is involved exactly once, at creation.
+    Used by VALUES compilation, quads_df_from_list, and ground update
+    quads."""
+    import pyarrow as pa
+
+    term_pa = pa.struct(
+        [
+            ("kind", pa.int8()),
+            ("lex", pa.string()),
+            ("dt", pa.string()),
+            ("lang", pa.string()),
+        ]
+    )
+
+    def tdict(t):
+        if t is None:
+            return None
+        kind, lex, dt, lang = t.as_tuple()
+        return {"kind": kind, "lex": lex, "dt": dt, "lang": lang}
+
+    tbl = pa.table(
+        {
+            n: pa.array([tdict(r[i]) for r in rows], type=term_pa)
+            for i, n in enumerate(names)
+        }
+    )
+    return spark.createDataFrame(tbl)

@@ -44,6 +44,7 @@ from .terms import (
     QUADS_SCHEMA,
     TERM_TYPE,
     Term,
+    arrow_terms_df,
     bnode_term,
     null_term,
 )
@@ -74,27 +75,31 @@ def execute_update(
 
 def _apply(cur: DataFrame, op) -> DataFrame:
     if isinstance(op, InsertData):
-        return _insert(cur, _ground_df(cur, op.quads))
+        # ground quads are a driver-built LocalRelation — free to
+        # re-evaluate, no materialization needed
+        return _insert(cur, _ground_df(cur, op.quads), materialized=True)
     if isinstance(op, DeleteData):
-        return _delete(cur, _ground_df(cur, op.quads))
+        return _delete(cur, _ground_df(cur, op.quads), materialized=True)
     if isinstance(op, DeleteWhere):
-        sols = _solutions(cur, _patterns_algebra(op.patterns))
-        return _delete(cur, _instantiate(sols, op.patterns, None))
+        # materialize the WHERE solutions once; the template projection
+        # over the checkpoint is free to re-evaluate per join branch
+        sols = _solutions(cur, _patterns_algebra(op.patterns)).localCheckpoint()
+        return _delete(cur, _instantiate(sols, op.patterns, None), materialized=True)
     if isinstance(op, Modify):
-        sols = _solutions(cur, op.where)
-        if op.delete and op.insert:
-            # both templates instantiate from the same solution set —
-            # materialize it once instead of running the WHERE twice
-            sols = sols.localCheckpoint()
+        # materialize the WHERE solutions once: delete AND insert
+        # templates project from it, and each downstream join branch
+        # references its side twice — one checkpoint here replaces up
+        # to three nested ones (solution-set-sized, never store-sized)
+        sols = _solutions(cur, op.where).localCheckpoint()
         with_g = Term.iri(op.with_iri) if op.with_iri else None
         # spec §3.1.3: evaluate WHERE once against the current store,
         # THEN delete, THEN insert
         dels = _instantiate(sols, op.delete, with_g) if op.delete else None
         ins = _instantiate(sols, op.insert, with_g) if op.insert else None
         if dels is not None:
-            cur = _delete(cur, dels)
+            cur = _delete(cur, dels, materialized=True)
         if ins is not None:
-            cur = _insert(cur, ins)
+            cur = _insert(cur, ins, materialized=True)
         return cur
     if isinstance(op, GraphManagement):
         if op.op == "create":
@@ -133,7 +138,9 @@ def _quad_eq(a: str, b: str):
     return cond
 
 
-def _insert(cur: DataFrame, new: DataFrame) -> DataFrame:
+def _insert(
+    cur: DataFrame, new: DataFrame, materialized: bool = False
+) -> DataFrame:
     """Set-union: only quads absent from the store are appended (the
     store itself is never dedup-shuffled).
 
@@ -147,13 +154,15 @@ def _insert(cur: DataFrame, new: DataFrame) -> DataFrame:
       existing = store ⋉ broadcast(new)   -- map-only store scan
       fresh    = new  ▷ broadcast(existing)
 
-    The new side is localCheckpointed first: it appears in TWO plan
-    branches (the broadcast probe and the fresh anti-join), and for a
-    MODIFY op it is a full WHERE-query + template instantiation that
-    would otherwise execute twice (measured 2x on the sf0.1 update
-    round-trip). The checkpoint materializes delete/insert-sized data,
-    never store-sized."""
-    new_d = new.dropDuplicates().localCheckpoint()
+    The new side appears in TWO plan branches (the broadcast probe and
+    the fresh anti-join); unless the caller vouches that it is already
+    cheap to re-evaluate (``materialized=True``: a ground LocalRelation
+    or a projection of checkpointed solutions), it is localCheckpointed
+    first — for a LOAD it would otherwise re-read the file per branch.
+    The checkpoint materializes insert-sized data, never store-sized."""
+    new_d = new.dropDuplicates()
+    if not materialized:
+        new_d = new_d.localCheckpoint()
     existing = cur.alias("c").join(
         F.broadcast(new_d.alias("n")), _quad_eq("c", "n"), "left_semi"
     )
@@ -163,7 +172,9 @@ def _insert(cur: DataFrame, new: DataFrame) -> DataFrame:
     return cur.unionByName(fresh.select(*_COLS))
 
 
-def _delete(cur: DataFrame, dels: DataFrame) -> DataFrame:
+def _delete(
+    cur: DataFrame, dels: DataFrame, materialized: bool = False
+) -> DataFrame:
     """Subtract quads. A delete row flagged ``__any_graph`` (a template
     with no GRAPH, under this engine's union-default-graph semantics —
     the default graph IS the union, so removing a triple from it removes
@@ -181,10 +192,12 @@ def _delete(cur: DataFrame, dels: DataFrame) -> DataFrame:
     d = dels
     if "__any_graph" not in d.columns:
         d = d.withColumn("__any_graph", F.lit(False))
-    # checkpoint before fanning into the two branches: for DELETE WHERE
-    # / MODIFY the dels plan embeds the WHERE query, which would
-    # otherwise run once per branch (see _insert on the same pattern)
-    d = d.dropDuplicates().localCheckpoint()
+    # the dels plan fans into two branches; materialize unless the
+    # caller already checkpointed upstream (see _insert on the same
+    # materialized contract)
+    d = d.dropDuplicates()
+    if not materialized:
+        d = d.localCheckpoint()
     anyg = d.filter(F.col("__any_graph")).select("subject", "predicate", "object")
     exact = d.filter(~F.col("__any_graph")).select(*_COLS)
 
@@ -313,11 +326,118 @@ def _instantiate(sols: DataFrame, templates, with_g) -> DataFrame:
 
 
 def _ground_df(cur: DataFrame, quads) -> DataFrame:
-    rows = [
-        tuple(
-            (t.as_tuple() if t is not None else None)
-            for t in (qp.s, qp.p, qp.o, qp.g)
+    """Ground quads as an Arrow-table LocalRelation (terms.
+    arrow_terms_df). createDataFrame(rows, QUADS_SCHEMA) built a
+    pickled Python RDD for struct schemas, so every downstream action
+    paid a Python-worker round trip — measured ~4s per job for a
+    ONE-ROW insert, which dominated the whole update round-trip."""
+    rows = [(qp.s, qp.p, qp.o, qp.g) for qp in quads]
+    return arrow_terms_df(cur.sparkSession, list(_COLS), rows).coalesce(1)
+
+
+def _patterns_algebra(patterns) -> A.Node:
+    node: A.Node | None = None
+    for qp in patterns:
+        sp = A.StatementPattern(
+            qp.s,
+            qp.p,
+            qp.o,
+            graph_mode="named" if qp.g is not None else "default",
+            graph=qp.g,
         )
-        for qp in quads
-    ]
-    return cur.sparkSession.createDataFrame(rows, QUADS_SCHEMA).coalesce(1)
+        node = sp if node is None else A.Join(node, sp)
+    return node if node is not None else A.Singleton()
+
+
+def _solutions(quads: DataFrame, where: A.Node) -> DataFrame:
+    names = tuple(sorted(where.vars))
+    return compile_query(quads, A.Project(where, names))
+
+
+def _instantiate(sols: DataFrame, templates, with_g) -> DataFrame:
+    """Template quads x solutions -> quads DataFrame (plus an
+    ``__any_graph`` flag: True on rows from a graph-less template with
+    no WITH, which _delete matches against every graph — see _delete).
+    Invalid rows (unbound variable, literal subject/predicate/graph,
+    non-IRI predicate) are skipped per spec §3.1.3.2.
+
+    Blank node labels in INSERT templates (parser-minted ``__b_`` vars)
+    mint a FRESH blank node per solution per spec §3.1.3.2: the same
+    label within one solution's template yields one node, different
+    solutions yield distinct nodes. Minting always ignores any
+    same-named WHERE binding — template bnode labels never read
+    solution columns (spec forbids sharing a label across template and
+    pattern). The minted label is ``genid_<label>_<row>`` where row is
+    a per-solution ``monotonically_increasing_id`` — label identity is
+    stable within the materialized result, which is all bnode identity
+    promises."""
+    bnode_labels = {
+        v.name
+        for qp in templates
+        for v in (qp.s, qp.p, qp.o, qp.g)
+        if isinstance(v, A.Var) and is_bnode_var_name(v.name)
+    }
+    if bnode_labels:
+        sols = sols.withColumn("__row_id", F.monotonically_increasing_id())
+    parts = []
+    for qp in templates:
+        cols = []
+        for name, val in zip(_COLS, (qp.s, qp.p, qp.o, qp.g)):
+            if name == "graph" and val is None:
+                c = (
+                    with_g.to_column()
+                    if with_g is not None
+                    else F.lit(None).cast(TERM_TYPE)
+                )
+            elif isinstance(val, A.Var) and val.name in bnode_labels:
+                c = bnode_term(
+                    F.concat_ws(
+                        "_",
+                        F.lit("genid"),
+                        F.lit(val.name.lstrip("_")),  # b_<label> or b<N>
+                        F.col("__row_id").cast("string"),
+                    )
+                )
+            elif isinstance(val, A.Var):
+                c = F.col(val.name) if val.name in sols.columns else null_term()
+            else:
+                c = val.to_column()
+            cols.append(c.alias(name))
+        cols.append(
+            F.lit(qp.g is None and with_g is None).alias("__any_graph")
+        )
+        parts.append(sols.select(*cols))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    s, p, o, g = (F.col(c) for c in _COLS)
+    valid = (
+        s.isNotNull()
+        & (s["kind"] != KIND_LITERAL)
+        & p.isNotNull()
+        & (p["kind"] == KIND_IRI)
+        & o.isNotNull()
+        & (g.isNull() | (g["kind"] == KIND_IRI))
+    )
+    return out.filter(valid)
+
+
+def _ground_df(cur: DataFrame, quads) -> DataFrame:
+    """Ground quads as a pure-JVM literal plan: range(1).select(struct
+    literals) per quad, unioned. createDataFrame(rows, QUADS_SCHEMA)
+    builds a pickled Python RDD instead of a LocalRelation for struct
+    schemas, so EVERY downstream action paid a Python-worker round
+    trip — measured ~4s per job for a ONE-ROW insert, which dominated
+    the whole update round-trip. Literal columns never leave the JVM."""
+    spark = cur.sparkSession
+    parts = []
+    for qp in quads:
+        cols = []
+        for name, t in zip(_COLS, (qp.s, qp.p, qp.o, qp.g)):
+            c = t.to_column() if t is not None else F.lit(None).cast(TERM_TYPE)
+            cols.append(c.alias(name))
+        parts.append(spark.range(1).select(*cols))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.coalesce(1)
