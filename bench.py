@@ -94,6 +94,8 @@ BENCH_QUERIES = [
     # deterministic integer k-means (3 Lloyd iterations over the
     # embeddings table; broadcast assignment + one shuffle per round)
     "embed_kmeans",
+    # SemDeDup proper: k-means blocking + exact within-cluster cosine
+    "embed_semdedup",
 ]
 
 

@@ -52,6 +52,7 @@ def kmeans_micro(
     dim: int = 64,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    with_vectors: bool = False,
 ) -> DataFrame:
     """Lloyd's k-means, exact integer arithmetic throughout. Returns
     (id, cluster, d2) after ``iters`` assignment/update rounds:
@@ -110,7 +111,10 @@ def kmeans_micro(
         }
         centroids = [new_c.get(j, centroids[j]) for j in range(k)]
 
-    return assign(q).select("id", "cluster", "d2")
+    final = assign(q)
+    if with_vectors:
+        return final.select("id", "cluster", "d2", "v")
+    return final.select("id", "cluster", "d2")
 
 
 def kmeans_micro_oracle_sql(
@@ -164,7 +168,9 @@ def kmeans_micro_oracle_sql(
             f"    FROM {aout} GROUP BY cluster) u USING (cluster))"
         )
     final = (
-        f"SELECT id AS {id_col}, cluster, d2 FROM ("
+        # CAST: DuckDB widens the integer list_aggregate sum to
+        # HUGEINT, which the driver hash rejects (tests/test_oracle_types)
+        f"SELECT id AS {id_col}, cluster, CAST(d2 AS BIGINT) AS d2 FROM ("
         f"  SELECT a.id, c.cluster, {d2} AS d2,"
         f"         ROW_NUMBER() OVER (PARTITION BY a.id"
         f"           ORDER BY {d2}, c.cluster) AS rn"
@@ -172,3 +178,110 @@ def kmeans_micro_oracle_sql(
         f" WHERE rn = 1"
     )
     return "WITH " + ",\n".join(parts) + "\n" + final
+
+
+def semdedup_pairs(
+    vecs: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    threshold_pct: int = 70,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup proper (Abbas et al. 2023): k-means-cluster the
+    embeddings, then exact cosine >= threshold WITHIN each cluster
+    (a < b). similarity.semantic_dup_pairs approximates the blocking
+    with sign-pattern buckets because fitted k-means is normally
+    non-reproducible; kmeans_micro is bit-deterministic, so the real
+    composition becomes oracle-checkable.
+
+    The cosine test is EXACT INTEGER arithmetic end to end — no float
+    boundary anywhere: with micro-quantized vectors,
+    ``cos >= t``  <=>  ``dot > 0  AND  10^4 * dot^2 >= t_pct^2 * |a|^2
+    * |b|^2`` (t = t_pct/100). dot and the squared norms are exact
+    BIGINTs; the products overflow 64 bits, so both sides compare in
+    decimal(38,0) on Spark and HUGEINT on DuckDB — exact in both.
+
+    Scale design (100 TB): one shuffle on the cluster key; pairs are
+    quadratic only within a cluster (SemDeDup's own contract — k grows
+    with corpus size to keep clusters bounded); the per-pair dot is a
+    single zip_with/aggregate loop over the two arrays."""
+    assigned = kmeans_micro(
+        vecs, k, iters, dim, vec_col, id_col, with_vectors=True
+    ).localCheckpoint()  # used on both sides of the pair join
+    n2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("v"), lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    base = assigned.select("id", "cluster", "v", n2.alias("n2"))
+    a, b = base.alias("a"), base.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    dec = "decimal(38,0)"
+    cond = (dot > 0) & (
+        dot.cast(dec) * dot.cast(dec) * F.lit(10000).cast(dec)
+        >= F.col("a.n2").cast(dec)
+        * F.col("b.n2").cast(dec)
+        * F.lit(threshold_pct * threshold_pct).cast(dec)
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .filter(cond)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.cluster").alias("cluster"),
+        )
+    )
+
+
+def semdedup_oracle_sql(
+    table: str = "embeddings",
+    k: int = 8,
+    iters: int = 3,
+    threshold_pct: int = 70,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """DuckDB replica of semdedup_pairs: the kmeans CTE chain, then the
+    within-cluster exact-integer cosine test (HUGEINT products)."""
+    km = kmeans_micro_oracle_sql(table, k, iters, dim, vec_col, id_col)
+    # reuse the kmeans oracle's CTEs; rebuild assignment WITH vectors
+    head, _, _tail = km.rpartition("SELECT id AS")
+    dot = (
+        "list_aggregate(list_transform(generate_series(1, {dim}), "
+        "i -> a.v[i] * b.v[i]), 'sum')"
+    ).format(dim=dim)
+    n2 = (
+        "list_aggregate(list_transform(generate_series(1, {dim}), "
+        "i -> {s}.v[i] * {s}.v[i]), 'sum')"
+    )
+    return (
+        head.rstrip().rstrip(",")
+        + f""",
+        fin AS (
+          SELECT id, v, cluster FROM (
+            SELECT a.id, a.v, c.cluster,
+                   ROW_NUMBER() OVER (PARTITION BY a.id ORDER BY
+                     list_aggregate(list_transform(generate_series(1, {dim}),
+                       i -> (a.v[i] - c.v[i]) * (a.v[i] - c.v[i])), 'sum'),
+                     c.cluster) AS rn
+            FROM q a CROSS JOIN c{iters} c) WHERE rn = 1)
+        SELECT a.id AS id_a, b.id AS id_b, a.cluster
+        FROM fin a JOIN fin b ON a.cluster = b.cluster AND a.id < b.id
+        WHERE {dot} > 0
+          AND 10000 * CAST({dot} AS HUGEINT) * CAST({dot} AS HUGEINT)
+              >= CAST({n2.format(dim=dim, s='a')} AS HUGEINT)
+                 * CAST({n2.format(dim=dim, s='b')} AS HUGEINT)
+                 * {threshold_pct * threshold_pct}"""
+    )

@@ -103,3 +103,49 @@ def test_kmeans_every_vector_assigned_once(spark, small_vecs):
     assert out.select("id").distinct().count() == n
     clusters = {r["cluster"] for r in out.select("cluster").distinct().collect()}
     assert clusters <= set(range(4))
+
+
+def test_semdedup_matches_duckdb_oracle(spark, small_vecs):
+    import pandas as pd
+
+    from scio_sparql_spark.extras.clustering import (
+        semdedup_oracle_sql,
+        semdedup_pairs,
+    )
+
+    sp = (
+        semdedup_pairs(small_vecs, k=4, iters=2, threshold_pct=30)
+        .toPandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("embeddings", small_vecs.select("vec_id", "embedding").toPandas())
+    od = (
+        con.sql(semdedup_oracle_sql(k=4, iters=2, threshold_pct=30))
+        .df()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    assert len(sp) == len(od) and len(sp) > 0
+    pd.testing.assert_frame_equal(sp.astype("int64"), od.astype("int64"))
+
+
+def test_semdedup_pairs_share_cluster_and_pass_exact_cosine(spark, small_vecs):
+    # every reported pair must be same-cluster and above the exact
+    # float cosine recomputed driver-side (sanity vs the integer test)
+    import math
+
+    from scio_sparql_spark.extras.clustering import kmeans_micro, semdedup_pairs
+
+    assign = {
+        r["id"]: r["cluster"] for r in kmeans_micro(small_vecs, k=4, iters=2).collect()
+    }
+    vecs = {r["vec_id"]: list(r["embedding"]) for r in small_vecs.collect()}
+    for r in semdedup_pairs(small_vecs, k=4, iters=2, threshold_pct=30).collect():
+        assert assign[r["id_a"]] == assign[r["id_b"]] == r["cluster"]
+        a, b = vecs[r["id_a"]], vecs[r["id_b"]]
+        dot = sum(x * y for x, y in zip(a, b))
+        cos = dot / math.sqrt(sum(x * x for x in a) * sum(x * x for x in b))
+        # micro-quantization shifts the boundary by <1e-5
+        assert cos >= 0.30 - 1e-4
