@@ -292,3 +292,25 @@ def test_update_ops_plan_as_hash_joins_no_store_build(spark, quads):
         ln for ln in p2.splitlines() if _re.search(r"Exchange (hash|range)", ln)
     ]
     assert not shuffles, shuffles
+
+
+def test_kmeans_assignment_is_map_only_no_python(spark):
+    """kmeans_micro scale shape: the assignment pass must be map-only
+    whole-stage codegen over broadcast-literal centroids — no shuffle
+    exchange, no Python eval, no join; and the d2/cluster expressions
+    stay in the JVM."""
+    from scio_sparql_spark.extras.clustering import kmeans_micro
+
+    vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(64)
+    out = kmeans_micro(vecs.localCheckpoint(), k=4, iters=1)
+    plan = _plan(out)
+    import re as _re
+
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan  # assignment is a projection, not a join
+    # exactly the update-pass exchange happens inside the loop (already
+    # executed); the FINAL assignment plan itself is exchange-free
+    shuffles = [
+        ln for ln in plan.splitlines() if _re.search(r"Exchange (hash|range)", ln)
+    ]
+    assert not shuffles, shuffles
