@@ -96,6 +96,8 @@ BENCH_QUERIES = [
     "embed_kmeans",
     # SemDeDup proper: k-means blocking + exact within-cluster cosine
     "embed_semdedup",
+    # exact discrete per-key percentiles (rank select, no sketch)
+    "events_quantiles",
 ]
 
 

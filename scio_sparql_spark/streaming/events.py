@@ -320,3 +320,45 @@ def props_field_stats(
             " THEN sum_field * CAST(1000000 AS BIGINT) DIV n_with_field END"
         ),
     )
+
+
+def value_quantiles(
+    events: DataFrame,
+    quantiles: tuple = (50, 90, 99),
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Exact discrete per-key percentiles of the (micro-quantized)
+    value: for quantile q, the element at rank ceil(q/100 * n) in the
+    per-key sort — the classic windowed-analytics shape the engine was
+    missing. ``percentile_approx`` is a sketch (non-deterministic
+    across engines, hash-unsafe); the discrete rank formula is exact
+    integer selection, so DuckDB reproduces it bit-for-bit.
+
+    Output: (key, n_events, p{q}_micro ...) — all BIGINT. Values are
+    micro-quantized with the same round-half-away double path as the
+    windowed sums; the value AT a rank is deterministic even under
+    ties (equal values are interchangeable at the boundary).
+
+    Scale design (100 TB): one shuffle on the key, one within-key sort
+    (the window function); no global sort, no driver state. Skewed
+    keys inherit AQE's skew handling like any windowed analytic."""
+    micro = F.round(F.col(value_col).cast("double") * 1000000).cast("bigint")
+    ranked = (
+        events.select(F.col(key_col), micro.alias("__v"))
+        .withColumn(
+            "__rn",
+            F.row_number().over(Window.partitionBy(key_col).orderBy("__v")),
+        )
+        .withColumn("__n", F.count("*").over(Window.partitionBy(key_col)))
+    )
+    aggs = [F.max("__n").cast("bigint").alias("n_events")]
+    for q in quantiles:
+        # rank = ceil(q/100 * n): integer arithmetic — (q*n + 99) DIV 100
+        rank = F.expr(f"CAST(({q} * __n + 99) DIV 100 AS BIGINT)")
+        aggs.append(
+            F.max(F.when(F.col("__rn") == rank, F.col("__v")))
+            .cast("bigint")
+            .alias(f"p{q}_micro")
+        )
+    return ranked.groupBy(key_col).agg(*aggs)

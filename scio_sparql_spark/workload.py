@@ -725,6 +725,14 @@ def q_docs_clean_pipeline(spark, sf_dir):
     )
 
 
+def q_events_quantiles(spark, sf_dir):
+    """Exact discrete p50/p90/p99 of the event value per type (rank
+    ceil(q*n/100) in the per-key sort — deterministic integer
+    selection, no percentile_approx sketch; streaming/events.py
+    value_quantiles)."""
+    return ev.value_quantiles(_table(spark, sf_dir, "events"))
+
+
 def q_embed_kmeans(spark, sf_dir):
     """Deterministic integer k-means over the embeddings table (k=8,
     3 Lloyd iterations): broadcast-literal assignment passes, one
@@ -1543,6 +1551,26 @@ EXTRA_QUERIES = {
         q_embed_kmeans,
         clustering.kmeans_micro_oracle_sql(k=8, iters=3),
     ),
+    # exact discrete per-key percentiles (rank-select, no sketch)
+    "events_quantiles": (
+        q_events_quantiles,
+        """WITH v AS (SELECT event_type,
+                             CAST(ROUND(value * 1000000, 0) AS BIGINT) AS vm
+                      FROM events),
+                r AS (SELECT event_type, vm,
+                             ROW_NUMBER() OVER (PARTITION BY event_type
+                                                ORDER BY vm) AS rn,
+                             COUNT(*) OVER (PARTITION BY event_type) AS n
+                      FROM v)
+           SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_events,
+                  CAST(MAX(CASE WHEN rn = (50 * n + 99) // 100 THEN vm END)
+                       AS BIGINT) AS p50_micro,
+                  CAST(MAX(CASE WHEN rn = (90 * n + 99) // 100 THEN vm END)
+                       AS BIGINT) AS p90_micro,
+                  CAST(MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN vm END)
+                       AS BIGINT) AS p99_micro
+           FROM r GROUP BY event_type""",
+    ),
     "embed_semdedup": (
         q_embed_semdedup,
         clustering.semdedup_oracle_sql(k=8, iters=3, threshold_pct=40),
@@ -2239,6 +2267,7 @@ CATALOG_FRONT = [
     "rdf_egress_turtle",
     "embed_kmeans",
     "embed_semdedup",
+    "events_quantiles",
     # (4) r4-green, evidence 2 rounds old — 39 of 46 re-windowed
     # (the remaining 7 are displaced to r7, listed at the bottom):
     "sparql_bgp_join",
@@ -2277,7 +2306,6 @@ CATALOG_FRONT = [
     "sparql_property_table",
     "ann_lsh_topk",
     "dedup_semantic",
-    "docs_clean_pipeline",
     # (displaced to r7 — r4-green, each redundantly covered by an
     # in-window sibling exercising the same code path:
     # sparql_offset_limit (offset+topk), sparql_path_star (path_plus
@@ -2287,8 +2315,11 @@ CATALOG_FRONT = [
     # (exists semi-join machinery — displaced for the new embed_kmeans
     # row), ann_ivf_topk (rows-only; its recall invariants are
     # pytest-side and its build is a separate bench metric — displaced
-    # for the new hash-checked embed_semdedup row). Front-load all
-    # nine in r7 together with this round's 47
+    # for the new hash-checked embed_semdedup row), docs_clean_pipeline
+    # (r4-green composite whose constituent operators — text_quality,
+    # text_langid, dedup_exact — are all individually in-window;
+    # displaced for the new events_quantiles row). Front-load all
+    # ten in r7 together with this round's 47
     # r5-green entries as their evidence turns 2 rounds old. NOTE:
     # with 105 catalog entries and a 50-entry window, full <=2-round
     # freshness is no longer arithmetically possible (100 slots per

@@ -1216,3 +1216,20 @@ def test_simhash_exact_dup_check_recovers_all_mirrors(spark):
     assert len(out) == n_tokenized
     assert all(r.hamming == 0 for r in out)
     assert all(r.id_b == r.id_a + 1_000_000 for r in out)
+
+
+def test_value_quantiles_exact_rank_select(spark):
+    # rank formula: p-th quantile is the element at ceil(p/100 * n)
+    rows = [("a", float(v)) for v in range(1, 11)] + [("b", 5.0)]
+    df = spark.createDataFrame(rows, ["event_type", "value"])
+    out = {
+        r["event_type"]: r.asDict()
+        for r in ev.value_quantiles(df).collect()
+    }
+    # a: n=10 -> p50 = 5th value = 5.0, p90 = 9th = 9.0, p99 = 10th = 10.0
+    assert out["a"]["n_events"] == 10
+    assert out["a"]["p50_micro"] == 5_000_000
+    assert out["a"]["p90_micro"] == 9_000_000
+    assert out["a"]["p99_micro"] == 10_000_000
+    # b: single element is every percentile
+    assert out["b"]["p50_micro"] == out["b"]["p99_micro"] == 5_000_000
