@@ -98,6 +98,8 @@ BENCH_QUERIES = [
     "embed_semdedup",
     # exact discrete per-key percentiles (rank select, no sketch)
     "events_quantiles",
+    # hierarchical ROLLUP totals in one expand+aggregate pass
+    "events_rollup",
 ]
 
 

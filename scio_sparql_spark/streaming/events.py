@@ -362,3 +362,35 @@ def value_quantiles(
             .alias(f"p{q}_micro")
         )
     return ranked.groupBy(key_col).agg(*aggs)
+
+
+def rollup_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Hierarchical totals via ROLLUP(key, hour): per-(key, hour) rows,
+    per-key subtotals, and the grand total in one pass — Spark plans a
+    single expand + hash aggregate (one shuffle), the warehouse-native
+    way to get all three granularities without three scans.
+
+    Grouping-null keys are COALESCEd to the sentinel '(all)' on both
+    engines: the fixture keys are never NULL, and a string sentinel
+    keeps the driver hash away from NULL-vs-NaN representation
+    differences. All measures BIGINT (COVERAGE.md discipline)."""
+    hour = F.date_format(F.date_trunc("hour", F.col(ts_col)), "yyyy-MM-dd HH:mm:ss")
+    micro = F.round(F.col("value").cast("double") * 1000000).cast("bigint")
+    return (
+        events.select(F.col(key_col), hour.alias("__h"), micro.alias("__v"))
+        .rollup(key_col, "__h")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum("__v").cast("bigint").alias("sum_value_micro"),
+        )
+        .select(
+            F.coalesce(F.col(key_col), F.lit("(all)")).alias(key_col),
+            F.coalesce(F.col("__h"), F.lit("(all)")).alias("bucket"),
+            "n_events",
+            "sum_value_micro",
+        )
+    )

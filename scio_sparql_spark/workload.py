@@ -733,6 +733,13 @@ def q_events_quantiles(spark, sf_dir):
     return ev.value_quantiles(_table(spark, sf_dir, "events"))
 
 
+def q_events_rollup(spark, sf_dir):
+    """ROLLUP(event_type, hour): per-(type, hour) rows + per-type
+    subtotals + grand total in ONE expand+aggregate pass
+    (streaming/events.py rollup_counts)."""
+    return ev.rollup_counts(_table(spark, sf_dir, "events"))
+
+
 def q_embed_kmeans(spark, sf_dir):
     """Deterministic integer k-means over the embeddings table (k=8,
     3 Lloyd iterations): broadcast-literal assignment passes, one
@@ -1551,6 +1558,20 @@ EXTRA_QUERIES = {
         q_embed_kmeans,
         clustering.kmeans_micro_oracle_sql(k=8, iters=3),
     ),
+    # hierarchical ROLLUP totals (tail entry this round — front-load
+    # in r7 per the CATALOG_FRONT ledger; DuckDB-differential pytest
+    # covers it until then)
+    "events_rollup": (
+        q_events_rollup,
+        """SELECT COALESCE(event_type, '(all)') AS event_type,
+                  COALESCE(strftime(date_trunc('hour', ts),
+                                    '%Y-%m-%d %H:%M:%S'), '(all)') AS bucket,
+                  CAST(COUNT(*) AS BIGINT) AS n_events,
+                  CAST(SUM(CAST(ROUND(value * 1000000, 0) AS BIGINT))
+                       AS BIGINT) AS sum_value_micro
+           FROM events
+           GROUP BY ROLLUP(event_type, date_trunc('hour', ts))""",
+    ),
     # exact discrete per-key percentiles (rank-select, no sketch)
     "events_quantiles": (
         q_events_quantiles,
@@ -2319,7 +2340,7 @@ CATALOG_FRONT = [
     # (r4-green composite whose constituent operators — text_quality,
     # text_langid, dedup_exact — are all individually in-window;
     # displaced for the new events_quantiles row). Front-load all
-    # ten in r7 together with this round's 47
+    # ten in r7, plus the tail-born events_rollup entry together with this round's 47
     # r5-green entries as their evidence turns 2 rounds old. NOTE:
     # with 105 catalog entries and a 50-entry window, full <=2-round
     # freshness is no longer arithmetically possible (100 slots per

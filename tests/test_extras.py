@@ -1233,3 +1233,39 @@ def test_value_quantiles_exact_rank_select(spark):
     assert out["a"]["p99_micro"] == 10_000_000
     # b: single element is every percentile
     assert out["b"]["p50_micro"] == out["b"]["p99_micro"] == 5_000_000
+
+
+def test_rollup_counts_matches_duckdb(spark):
+    import duckdb
+
+    df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    sp = (
+        ev.rollup_counts(df)
+        .toPandas()
+        .sort_values(["event_type", "bucket"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet')"
+    )
+    od = (
+        con.sql(
+            """SELECT COALESCE(event_type, '(all)') AS event_type,
+                      COALESCE(strftime(date_trunc('hour', ts),
+                                        '%Y-%m-%d %H:%M:%S'), '(all)') AS bucket,
+                      CAST(COUNT(*) AS BIGINT) AS n_events,
+                      CAST(SUM(CAST(ROUND(value * 1000000, 0) AS BIGINT))
+                           AS BIGINT) AS sum_value_micro
+               FROM events
+               GROUP BY ROLLUP(event_type, date_trunc('hour', ts))"""
+        )
+        .df()
+        .sort_values(["event_type", "bucket"])
+        .reset_index(drop=True)
+    )
+    assert len(sp) == len(od) and len(sp) > 10
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(sp, od)

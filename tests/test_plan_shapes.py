@@ -314,3 +314,33 @@ def test_kmeans_assignment_is_map_only_no_python(spark):
         ln for ln in plan.splitlines() if _re.search(r"Exchange (hash|range)", ln)
     ]
     assert not shuffles, shuffles
+
+
+def test_semdedup_pair_join_is_hash_join_on_cluster(spark):
+    """semdedup_pairs: the within-cluster pair join must plan as a hash
+    join keyed on the cluster id (broadcast or shuffled) — never a
+    cartesian/nested-loop — and the exact-integer cosine test stays in
+    the JVM."""
+    from scio_sparql_spark.extras.clustering import semdedup_pairs
+
+    vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(64)
+    out = semdedup_pairs(vecs.localCheckpoint(), k=4, iters=1, threshold_pct=30)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_value_quantiles_single_keyed_exchange(spark):
+    """value_quantiles: one hash exchange on the key feeding the window
+    sort — no global sort (range exchange), no Python."""
+    import re as _re
+
+    from scio_sparql_spark.streaming import events as ev
+
+    df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = _plan(ev.value_quantiles(df))
+    assert "BatchEvalPython" not in plan
+    assert not _re.search(r"Exchange range", plan), "global sort leaked in"
+    n_hash = len(_re.findall(r"Exchange hashpartitioning", plan))
+    assert n_hash <= 2, plan  # key exchange (+ AQE final agg reuse at most)
