@@ -422,22 +422,3 @@ def _instantiate(sols: DataFrame, templates, with_g) -> DataFrame:
     return out.filter(valid)
 
 
-def _ground_df(cur: DataFrame, quads) -> DataFrame:
-    """Ground quads as a pure-JVM literal plan: range(1).select(struct
-    literals) per quad, unioned. createDataFrame(rows, QUADS_SCHEMA)
-    builds a pickled Python RDD instead of a LocalRelation for struct
-    schemas, so EVERY downstream action paid a Python-worker round
-    trip — measured ~4s per job for a ONE-ROW insert, which dominated
-    the whole update round-trip. Literal columns never leave the JVM."""
-    spark = cur.sparkSession
-    parts = []
-    for qp in quads:
-        cols = []
-        for name, t in zip(_COLS, (qp.s, qp.p, qp.o, qp.g)):
-            c = t.to_column() if t is not None else F.lit(None).cast(TERM_TYPE)
-            cols.append(c.alias(name))
-        parts.append(spark.range(1).select(*cols))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.coalesce(1)
