@@ -344,3 +344,18 @@ def test_value_quantiles_single_keyed_exchange(spark):
     assert not _re.search(r"Exchange range", plan), "global sort leaked in"
     n_hash = len(_re.findall(r"Exchange hashpartitioning", plan))
     assert n_hash <= 2, plan  # key exchange (+ AQE final agg reuse at most)
+
+
+def test_rollup_counts_single_expand_aggregate(spark):
+    """rollup_counts: ROLLUP lowers to ONE Expand + hash aggregate
+    (single shuffle) — not a union of three scans."""
+    import re as _re
+
+    from scio_sparql_spark.streaming import events as ev
+
+    df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = _plan(ev.rollup_counts(df))
+    assert "Expand" in plan
+    n_hash = len(_re.findall(r"Exchange hashpartitioning", plan))
+    assert n_hash == 1, plan
+    assert plan.count("FileScan") == 1, "rollup must not rescan the source"
