@@ -695,3 +695,39 @@ def simhash_exact_dup_check(
     return pairs.filter(F.col("id_b") == F.col("id_a") + F.lit(id_offset)).select(
         "id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming")
     )
+
+
+def normalized_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Normalization-canonical dedup: documents that differ only in
+    case, punctuation, or whitespace collapse to one canonical form
+    (lowercase, punctuation stripped, runs of whitespace folded to a
+    single space, trimmed) and are grouped by the md5 of that form —
+    the standard "fuzzy-exact" pass between exact dedup and MinHash in
+    an LLM cleaning pipeline (catches 'Hello,  World!' == 'hello
+    world').
+
+    Output: one row per canonical group — (norm_digest, n_docs,
+    keep_id) with keep_id = min id, the group's survivor.
+
+    Scale: normalization is per-row codegen; only the 16-byte digest
+    and the id shuffle (never the text), one groupBy with map-side
+    combine — identical cost profile to exact_dedup."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), r"[^\w\s]", ""),
+            r"\s+",
+            " ",
+        )
+    )
+    return (
+        docs.select(F.col(id_col), F.md5(norm).alias("norm_digest"))
+        .groupBy("norm_digest")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("keep_id"),
+        )
+    )

@@ -324,3 +324,37 @@ def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         F.col(id_col),
         F.md5(F.array_join(toks, " ")).alias("fingerprint"),
     )
+
+
+def top_ngrams(
+    docs: DataFrame,
+    n: int = 2,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide top-k word n-grams with counts — the vocabulary /
+    boilerplate discovery pass every corpus audit starts with (and the
+    seed step for stopword lists and repeated-template detection).
+
+    Plan shape at 100 TB: tokenization and the n-gram window transform
+    are per-row codegen (zero shuffle); the count is ONE groupBy with
+    map-side partial aggregation, so each executor ships at most its
+    distinct-local n-grams; the top-k is orderBy+limit, which Spark
+    lowers to TakeOrderedAndProject (per-partition heaps, no global
+    sort). Tie-break on the n-gram text keeps the cut deterministic
+    across engines."""
+    toks = _tokens(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    grams = F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("ngram"))
+        .limit(k)
+    )

@@ -364,6 +364,131 @@ def value_quantiles(
     return ranked.groupBy(key_col).agg(*aggs)
 
 
+def session_window_stats(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Native session windows (`F.session_window`): events of one key
+    merge into a session while each gap stays under `gap_minutes`; the
+    aggregate is computed per merged session. This is Spark's own
+    session-window state machine — in streaming mode it does true
+    incremental session MERGING in the state store (two open sessions
+    fuse when a bridging event arrives), which the lag()-based
+    `sessionize` above cannot do incrementally.
+
+    Identical code runs batch and streaming; the bounded runner turns
+    the streaming form into hash-checkable output. Output timestamps
+    are integer epoch-micros and the value sum is integer micro-units
+    (COVERAGE.md hash discipline: no DOUBLE, no raw TIMESTAMP).
+
+    Scale: one keyed shuffle; streaming state is O(open sessions), not
+    O(events), and the watermark closes sessions for eviction."""
+    micro = F.round(F.col("value") * 1000000).cast("bigint")
+    # parquet timestamps may arrive as TIMESTAMP_NTZ; unix_micros needs
+    # the instant type, and the cast is wall-clock-preserving under the
+    # pinned UTC session timezone (same normalization as stream_parquet)
+    ts = F.col(ts_col).cast("timestamp")
+    return (
+        events.groupBy(
+            F.session_window(ts, f"{gap_minutes} minutes").alias("w"),
+            F.col(user_col),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(micro).alias("sum_value_micro"),
+        )
+        .select(
+            F.col(user_col),
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            "n_events",
+            "sum_value_micro",
+        )
+    )
+
+
+def streaming_session_windows(
+    spark,
+    path: str,
+    schema,
+    gap_minutes: int = 30,
+    watermark: str = "10 days",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """File-source streaming variant of `session_window_stats`: the
+    real incremental session-merge path (readStream -> watermark ->
+    session_window agg). Run with run_bounded(..., "complete") so every
+    session is emitted regardless of where the watermark stops at
+    end-of-stream."""
+    from .bounded import stream_parquet
+
+    stream = stream_parquet(spark, path, schema)
+    return session_window_stats(
+        stream.withWatermark(ts_col, watermark), gap_minutes, ts_col, user_col
+    )
+
+
+def type_pivot_counts(
+    events: DataFrame,
+    types: tuple = ("click", "error", "purchase", "signup", "view"),
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Wide per-user activity matrix: pivot `type_col` into one count
+    column per type — the feature-engineering reshape every analytics
+    store ships (`PIVOT` in SQL warehouses).
+
+    The pivot values are EXPLICIT: `.pivot(col)` without values runs a
+    hidden distinct-collect job over the full input to discover them —
+    a scan you don't want at 100 TB. With values supplied, the plan is
+    a single groupBy shuffle whose map side already projects the k
+    conditional counts (Spark lowers pivot-with-values to exactly the
+    CASE-WHEN aggregate the oracle spells out). Missing combinations
+    are 0, not NULL, keeping every output column BIGINT-total."""
+    pivoted = (
+        events.groupBy(user_col)
+        .pivot(type_col, list(types))
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        F.col(user_col),
+        *[
+            F.coalesce(F.col(f"`{t}`"), F.lit(0)).cast("bigint").alias(f"n_{t}")
+            for t in types
+        ],
+    )
+
+
+def running_value_totals(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-user running total of the (micro-quantized) value — the
+    cumulative-window analytic (SUM ... ROWS UNBOUNDED PRECEDING).
+    Ordering is (ts, event_id) so ties are deterministic on both
+    engines; per-row quantization BEFORE the sum keeps the cumulative
+    values exact integers (order-independent, hash-stable).
+
+    Scale: one shuffle on the user key, one within-partition sort; the
+    running sum streams through the sorted partition with O(1) state —
+    no self-join, no collect_list."""
+    micro = F.round(F.col("value") * 1000000).cast("bigint")
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return events.select(
+        F.col(id_col),
+        F.col(user_col),
+        F.sum(micro).over(w).alias("running_value_micro"),
+    )
+
+
 def rollup_counts(
     events: DataFrame,
     ts_col: str = "ts",

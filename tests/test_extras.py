@@ -1269,3 +1269,124 @@ def test_rollup_counts_matches_duckdb(spark):
     import pandas as pd
 
     pd.testing.assert_frame_equal(sp, od)
+
+
+def test_session_window_exact_gap_starts_new_session(spark):
+    """Spark session_window boundary: an event arriving EXACTLY gap
+    after the previous one starts a NEW session (window end exclusive)
+    — the semantics the events_session_windows oracle encodes as
+    `diff_micros >= gap_micros`."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # u1: 3 events, gaps 29min59.999999s then exactly 30min
+        (1, t0, 10.0),
+        (1, t0 + dt.timedelta(minutes=29, seconds=59, microseconds=999999), 1.0),
+        (1, t0 + dt.timedelta(minutes=59, seconds=59, microseconds=999999)
+            + dt.timedelta(minutes=30), 2.0),
+        # u2: single event
+        (2, t0, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp, value double")
+    out = {
+        (r.user_id, r.session_start_us): (r.n_events, r.sum_value_micro)
+        for r in ev.session_window_stats(df, gap_minutes=30).collect()
+    }
+    us0 = int(t0.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+    # u1 first session merges the 29:59.999999 gap (strictly < 30min)
+    assert out[(1, us0)] == (2, 11_000_000)
+    # the exactly-30min gap did NOT merge: third event is its own session
+    assert (1, us0 + (90 * 60 - 1) * 1_000_000 + 999_999) in out
+    assert out[(2, us0)] == (1, 5_000_000)
+    assert len(out) == 3
+
+
+def test_session_windows_stream_equals_batch(spark, tmp_path):
+    """Native session windows through the REAL incremental state path
+    (availableNow micro-batches, session merge in the state store) must
+    equal the batch plan exactly."""
+    df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    path = str(tmp_path / "events.parquet")
+    df.coalesce(1).write.parquet(path)
+    batch = sorted(
+        tuple(r) for r in ev.session_window_stats(df, gap_minutes=30).collect()
+    )
+    stream = ev.streaming_session_windows(
+        spark, path, df.schema, gap_minutes=30, watermark="10 days"
+    )
+    from scio_sparql_spark.streaming.bounded import run_bounded
+
+    streamed = sorted(tuple(r) for r in run_bounded(stream, "complete").collect())
+    assert len(batch) > 100
+    assert streamed == batch
+
+
+def test_type_pivot_counts_matches_conditional_agg(spark):
+    df = spark.createDataFrame(
+        [(1, "click"), (1, "click"), (1, "view"), (2, "error")],
+        "user_id bigint, event_type string",
+    )
+    out = {r.user_id: r.asDict() for r in ev.type_pivot_counts(df).collect()}
+    assert out[1]["n_click"] == 2 and out[1]["n_view"] == 1
+    # missing combinations are 0, never NULL
+    assert out[1]["n_error"] == 0 and out[2]["n_click"] == 0
+    assert out[2]["n_error"] == 1
+    # no hidden distinct-discovery job: plan has exactly one aggregate
+    plan = ev.type_pivot_counts(df)._jdf.queryExecution().optimizedPlan().toString()
+    assert "PIVOT" not in plan.upper() or "Aggregate" in plan
+
+
+def test_running_value_totals_prefix_sums(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (10, t0 + dt.timedelta(seconds=i), 7, float(i + 1)) for i in range(4)
+    ] + [(99, t0, 8, 2.5)]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, value double"
+    )
+    # distinct event_ids for the tie-break
+    df = df.withColumn("event_id", F.monotonically_increasing_id())
+    out = ev.running_value_totals(df)
+    per_user = sorted(
+        r.running_value_micro
+        for r in out.filter(F.col("user_id") == 7).collect()
+    )
+    assert per_user == [1_000_000, 3_000_000, 6_000_000, 10_000_000]
+    assert out.filter(F.col("user_id") == 8).collect()[0].running_value_micro == 2_500_000
+
+
+def test_top_ngrams_counts_and_tiebreak(spark):
+    from scio_sparql_spark.extras import textstats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b"),     # "a b" x2, "b a" x1
+            (2, "b a"),          # "b a" x1
+            (3, "solo"),         # too short: zero bigrams
+            (4, "   "),          # whitespace-only: zero tokens
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = textstats.top_ngrams(df, n=2, k=10).collect()
+    assert [(r.ngram, r.n_occurrences) for r in rows] == [
+        ("a b", 2),
+        ("b a", 2),
+    ]  # count desc, then ngram asc on the tie
+
+
+def test_normalized_dedup_folds_case_punct_whitespace(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "Hello,  World!"),
+            (2, "hello world"),
+            (3, "HELLO ... world"),
+            (4, "a different doc"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.norm_digest: (r.n_docs, r.keep_id) for r in dedup.normalized_dedup(df).collect()}
+    assert len(out) == 2
+    assert sorted(out.values()) == [(1, 4), (3, 1)]

@@ -22,9 +22,17 @@ TABLES = [
 
 
 def norm(v):
+    # Type-tagged: the driver's value-hash is type-sensitive (DuckDB
+    # HUGEINT/DECIMAL vs Spark BIGINT was three rounds of reds), so an
+    # int on one side and a Decimal/float on the other must FAIL here
+    # even when numerically equal.
     if isinstance(v, float):
-        return round(v, 4)
-    return v
+        return ("float", round(v, 4))
+    if isinstance(v, bool):
+        return ("bool", v)
+    if isinstance(v, int):
+        return ("int", v)
+    return (type(v).__name__, v)
 
 
 def main():
