@@ -100,6 +100,16 @@ BENCH_QUERIES = [
     "events_quantiles",
     # hierarchical ROLLUP totals in one expand+aggregate pass
     "events_rollup",
+    # new in r7 (appended; prior-round common comparisons unchanged):
+    # native session windows (batch + the real streaming state path),
+    # pivot activity matrix, cumulative window analytic, canonical-form
+    # dedup, corpus-wide top-k n-grams
+    "events_session_windows",
+    "stream_session_windows",
+    "events_pivot",
+    "events_running_total",
+    "dedup_normalized",
+    "corpus_top_ngrams",
 ]
 
 

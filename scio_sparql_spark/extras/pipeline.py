@@ -537,3 +537,34 @@ def pack_sequences(
             f"ELSE CAST(0 AS BIGINT) END"
         ).cast("bigint").alias("n_seqs"),
     )
+
+
+def write_bucketed(
+    df,
+    table_name: str,
+    path: str,
+    key: str = "doc_id",
+    buckets: int = 8,
+):
+    """Persist `df` as a bucketed+sorted parquet table: rows are hash-
+    partitioned into `buckets` files by `key` and sorted by it within
+    each bucket, and the layout is recorded in the session catalog.
+
+    This is THE storage-side lever for repeated large-scale joins: two
+    tables bucketed the same way join with ZERO shuffle (Spark plans a
+    SortMergeJoin whose children are bare bucketed scans — no Exchange
+    node), so at 100 TB the join cost is a co-located merge instead of
+    re-shuffling both sides every query. The plan shape is locked by
+    test_bucketed_join_has_no_shuffle_exchange.
+
+    `path` makes it an external table (data lives where the caller
+    says); mode("overwrite") keeps the entry re-runnable."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .option("path", path)
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+    return df.sparkSession.table(table_name)

@@ -590,6 +590,28 @@ def q_rdf_egress_turtle(spark, sf_dir):
     )
 
 
+def q_rdf_egress_jsonld(spark, sf_dir):
+    """JSON-LD egress round-trip: bridge quads -> to_jsonld (expanded
+    form, typed values) -> parse_jsonld -> quads, same string
+    projection and oracle family as the Turtle entry — closes the
+    pretty-egress evidence gap for the JSON family (Turtle got its
+    driver row in r6). Constant-sized (region, 5 rows x 3 cols): a
+    correctness gate for the serializer pair, not a throughput entry."""
+    from . import quads_df_from_list
+    from .sources.rio import parse_jsonld, to_jsonld
+
+    quads = tables_to_quads(spark, sf_dir, ["region"])
+    doc = to_jsonld(quads)
+    back = quads_df_from_list(spark, parse_jsonld(doc))
+    return back.select(
+        F.col("subject")["lex"].alias("s"),
+        F.col("predicate")["lex"].alias("p"),
+        F.col("object")["lex"].alias("o_lex"),
+        F.col("object")["kind"].cast("bigint").alias("o_kind"),
+        F.col("object")["dt"].alias("o_dt"),
+    )
+
+
 def q_text_token_count(spark, sf_dir):
     return textstats.token_count(_table(spark, sf_dir, "documents"))
 
@@ -676,6 +698,24 @@ def q_corpus_top_ngrams(spark, sf_dir):
     """Corpus-wide top-20 bigrams (explode -> one partial-agg shuffle ->
     TakeOrderedAndProject)."""
     return textstats.top_ngrams(_table(spark, sf_dir, "documents"), n=2, k=20)
+
+
+def q_docs_bucketed_join(spark, sf_dir):
+    """Bucketed co-located join: documents and a derived per-doc token
+    stats table are both written bucketed+sorted by doc_id, then joined
+    WITHOUT a shuffle (SortMergeJoin over bare bucketed scans — the
+    plan lock lives in test_plan_shapes). The hash gate checks the join
+    output; the scale win is the layout."""
+    import tempfile
+
+    docs = _table(spark, sf_dir, "documents")
+    stats = textstats.token_count(docs)
+    base = tempfile.mkdtemp(prefix="bucketed_")
+    left = pipeline.write_bucketed(
+        docs.select("doc_id", "n_chars"), "wb_docs", f"{base}/docs", "doc_id", 8
+    )
+    right = pipeline.write_bucketed(stats, "wb_stats", f"{base}/stats", "doc_id", 8)
+    return left.join(right, "doc_id").select("doc_id", "n_chars", "n_tokens")
 
 
 def q_dedup_keep_best(spark, sf_dir):
@@ -1664,6 +1704,24 @@ EXTRA_QUERIES = {
                   'urn:region:' || n_regionkey, 1, CAST(NULL AS VARCHAR)
            FROM nation""",
     ),
+    "docs_bucketed_join": (
+        q_docs_bucketed_join,
+        f"""SELECT doc_id, n_chars, len({_TOKS}) AS n_tokens
+            FROM documents""",
+    ),
+    "rdf_egress_jsonld": (
+        q_rdf_egress_jsonld,
+        """SELECT 'urn:region:' || r_regionkey AS s,
+                  'urn:col:r_regionkey' AS p,
+                  CAST(r_regionkey AS VARCHAR) AS o_lex,
+                  CAST(2 AS BIGINT) AS o_kind,
+                  'http://www.w3.org/2001/XMLSchema#integer' AS o_dt
+           FROM region
+           UNION ALL
+           SELECT 'urn:region:' || r_regionkey, 'urn:col:r_name', r_name,
+                  2, 'http://www.w3.org/2001/XMLSchema#string'
+           FROM region""",
+    ),
     "text_token_count": (
         q_text_token_count,
         f"""SELECT doc_id, len({_TOKS}) AS n_tokens,
@@ -2413,6 +2471,8 @@ CATALOG_FRONT = [
     "events_running_total",
     "dedup_normalized",
     "corpus_top_ngrams",
+    "rdf_egress_jsonld",
+    "docs_bucketed_join",
     # (2) the r6 ledger's displaced ten + tail-born events_rollup:
     "sparql_offset_limit",
     "sparql_path_star",
@@ -2438,14 +2498,17 @@ CATALOG_FRONT = [
     "dedup_exact",
     "dedup_clusters",
     "dedup_embedding_cosine",
-    "dedup_spans",
+    # (dedup_spans displaced to r8 for the new docs_bucketed_join row —
+    # dedup_span_removal below exercises the same hashed-window path)
     "dedup_span_removal",
     "dedup_incremental",
     "ann_cosine_topk",
     "text_quality",
     "text_langid",
     "text_repetition",
-    "text_pii",
+    # (text_pii displaced to r8 for the new rdf_egress_jsonld row —
+    # its regex-codegen path is exercised by the four in-window
+    # textstats siblings)
     "text_contamination",
     "text_lm_score",
     "text_classifier_score",

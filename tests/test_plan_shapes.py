@@ -359,3 +359,35 @@ def test_rollup_counts_single_expand_aggregate(spark):
     n_hash = len(_re.findall(r"Exchange hashpartitioning", plan))
     assert n_hash == 1, plan
     assert plan.count("FileScan") == 1, "rollup must not rescan the source"
+
+
+def test_bucketed_join_has_no_shuffle_exchange(spark, tmp_path):
+    """Bucketing is the storage-side join strategy for 100-TB repeated
+    joins: two tables bucketed+sorted on the same key must join as a
+    SortMergeJoin over BARE bucketed scans — zero Exchange, and (being
+    sorted within buckets) zero extra Sort. Broadcast is disabled for
+    the assertion so the co-location is what's proven, not a small-side
+    shortcut."""
+    from scio_sparql_spark.extras import pipeline, textstats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    left = pipeline.write_bucketed(
+        docs.select("doc_id", "n_chars"), "pl_docs", str(tmp_path / "d"), "doc_id", 4
+    )
+    right = pipeline.write_bucketed(
+        textstats.token_count(docs), "pl_stats", str(tmp_path / "s"), "doc_id", 4
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = left.join(right, "doc_id").select("doc_id", "n_chars", "n_tokens")
+        plan = _plan(joined)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert joined.count() == docs.count()
+    # values survive the layout round-trip
+    row = joined.filter(F.col("doc_id") == 0).collect()[0]
+    src = docs.filter(F.col("doc_id") == 0).collect()[0]
+    assert row.n_chars == src.n_chars
