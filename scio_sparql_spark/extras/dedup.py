@@ -289,9 +289,18 @@ def connected_components(
     `p*`/`p+` property-path fixpoint, compiler.py). For graphs with
     giant high-diameter components, swap in large-star/small-star
     (O(log n) rounds) — not the dedup shape."""
-    sym = edges.select(
-        F.col(src_col).alias("node"), F.col(dst_col).alias("nbr")
-    ).union(edges.select(F.col(dst_col).alias("node"), F.col(src_col).alias("nbr")))
+    sym = (
+        edges.select(F.col(src_col).alias("node"), F.col(dst_col).alias("nbr"))
+        .union(
+            edges.select(F.col(dst_col).alias("node"), F.col(src_col).alias("nbr"))
+        )
+        # Materialize ONCE: sym joins into every iteration, and without
+        # the checkpoint each round re-executes the upstream pair
+        # generation (for the exact-Jaccard caller that's the full
+        # quadratic candidate pass, re-run per iteration — measured 5x
+        # the whole operator's runtime at sf0.01).
+        .localCheckpoint(eager=True)
+    )
     labels = (
         sym.select("node")
         .distinct()

@@ -86,3 +86,36 @@ def run_bounded(
             f"{timeout_sec}s; partial output discarded"
         )
     return stream_df.sparkSession.table(name)
+
+
+def run_bounded_to_parquet(
+    stream_df: DataFrame,
+    sink_dir: str,
+    checkpoint_dir: str,
+    timeout_sec: int = 300,
+) -> None:
+    """Run a streaming DataFrame to a PARQUET sink with a durable
+    checkpoint — the production exit path (the memory sink above is
+    verification-only). availableNow processes whatever the source
+    holds right now, then stops; calling this again with the SAME
+    checkpoint after more data arrived processes ONLY the new data:
+    the checkpoint's source offsets + the sink's transaction log give
+    end-to-end exactly-once file output across restarts. That resume
+    contract is what test_checkpoint_resume_exactly_once locks."""
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        finished = q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:
+            q.stop()
+    if not finished:
+        raise TimeoutError(
+            f"bounded parquet-sink query did not finish within {timeout_sec}s"
+        )
