@@ -252,20 +252,42 @@ def main():
         )
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "steal_pct": steal_pct,
-                "remeasured": remeasured,
-                "build": builds,
-                "sf": sf,
-            }
-        )
+    # The driver captures only the LAST 2,000 bytes of stdout, and the
+    # r7 line (with the 59-entry steal_pct dict) overflowed that window
+    # -> BENCH_r07 recorded parsed:null (VERDICT r7 item 1). So the
+    # single stdout line carries ONLY the headline contract fields
+    # (metric/value/unit/sf/queries, ms-rounded, no whitespace:
+    # ~1.7 KB at 59 queries) and every diagnostic (steal, remeasure
+    # ledger, build split) goes to the committed BENCH_DETAIL.json.
+    detail = {
+        "steal_pct": steal_pct,
+        "remeasured": remeasured,
+        "build": builds,
+        "sf": sf,
+        "cpus": int(cpus),
+        "total": total,
+        "queries": timings,
+    }
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(repo_dir, "BENCH_DETAIL.json"), "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
+    except OSError as e:
+        print(f"# BENCH_DETAIL.json write failed: {e}", file=sys.stderr)
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+        },
+        separators=(",", ":"),
     )
+    if len(line) > 1900:  # stay inside the driver's 2,000-byte tail
+        print(f"# WARNING: headline line {len(line)}B > 1900B budget",
+              file=sys.stderr)
+    print(line)
 
 
 if __name__ == "__main__":

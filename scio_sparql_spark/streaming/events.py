@@ -440,24 +440,25 @@ def type_pivot_counts(
     column per type — the feature-engineering reshape every analytics
     store ships (`PIVOT` in SQL warehouses).
 
-    The pivot values are EXPLICIT: `.pivot(col)` without values runs a
-    hidden distinct-collect job over the full input to discover them —
-    a scan you don't want at 100 TB. With values supplied, the plan is
-    a single groupBy shuffle whose map side already projects the k
-    conditional counts (Spark lowers pivot-with-values to exactly the
-    CASE-WHEN aggregate the oracle spells out). Missing combinations
-    are 0, not NULL, keeping every output column BIGINT-total."""
-    pivoted = (
-        events.groupBy(user_col)
-        .pivot(type_col, list(types))
-        .agg(F.count(F.lit(1)))
-    )
-    return pivoted.select(
-        F.col(user_col),
+    The pivot values are EXPLICIT, and the reshape is hand-lowered to
+    conditional counts rather than `.pivot()`: `.pivot(col)` without
+    values runs a hidden distinct-collect job over the full input to
+    discover them, and even WITH values Spark 4.1 plans pivotfirst as
+    TWO shuffles (group by (user, type), then re-shuffle by user —
+    measured in this repo, ADVICE r7 follow-up). The CASE-WHEN
+    aggregate below is ONE shuffle on `user_col` whose map side
+    already maintains the k partial counts — the plan you want at
+    100 TB, locked by test_type_pivot_counts_matches_conditional_agg
+    (exactly 1 Aggregate node, <=1 Exchange). Missing combinations
+    are 0, not NULL (count of an all-NULL WHEN branch is 0), keeping
+    every output column BIGINT-total."""
+    return events.groupBy(user_col).agg(
         *[
-            F.coalesce(F.col(f"`{t}`"), F.lit(0)).cast("bigint").alias(f"n_{t}")
+            F.count(F.when(F.col(type_col) == t, F.lit(1)))
+            .cast("bigint")
+            .alias(f"n_{t}")
             for t in types
-        ],
+        ]
     )
 
 

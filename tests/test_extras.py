@@ -1271,20 +1271,25 @@ def test_rollup_counts_matches_duckdb(spark):
     pd.testing.assert_frame_equal(sp, od)
 
 
-def test_session_window_exact_gap_starts_new_session(spark):
-    """Spark session_window boundary: an event arriving EXACTLY gap
-    after the previous one starts a NEW session (window end exclusive)
-    — the semantics the events_session_windows oracle encodes as
-    `diff_micros >= gap_micros`."""
+def test_session_window_exact_gap_merges(spark):
+    """Spark session_window boundary (measured on PySpark 4.1.2): an
+    event arriving EXACTLY gap after the previous one MERGES into the
+    same session — only a strictly greater gap splits. This is the
+    semantics the events_session_windows oracle encodes as
+    `diff_micros > gap_micros` (ADVICE r7: the old test double-counted
+    the offset, placed the third event 60min out, and asserted the
+    wrong split-at-exact-gap semantics)."""
     import datetime as dt
 
     t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    e2 = t0 + dt.timedelta(minutes=29, seconds=59, microseconds=999999)
     rows = [
-        # u1: 3 events, gaps 29min59.999999s then exactly 30min
+        # u1: 3 events, gaps 29:59.999999 then EXACTLY 30min
         (1, t0, 10.0),
-        (1, t0 + dt.timedelta(minutes=29, seconds=59, microseconds=999999), 1.0),
-        (1, t0 + dt.timedelta(minutes=59, seconds=59, microseconds=999999)
-            + dt.timedelta(minutes=30), 2.0),
+        (1, e2, 1.0),
+        (1, e2 + dt.timedelta(minutes=30), 2.0),
+        # u1: a 30min+1us gap DOES split
+        (1, e2 + dt.timedelta(minutes=60, microseconds=1), 4.0),
         # u2: single event
         (2, t0, 5.0),
     ]
@@ -1294,10 +1299,12 @@ def test_session_window_exact_gap_starts_new_session(spark):
         for r in ev.session_window_stats(df, gap_minutes=30).collect()
     }
     us0 = int(t0.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
-    # u1 first session merges the 29:59.999999 gap (strictly < 30min)
-    assert out[(1, us0)] == (2, 11_000_000)
-    # the exactly-30min gap did NOT merge: third event is its own session
-    assert (1, us0 + (90 * 60 - 1) * 1_000_000 + 999_999) in out
+    # u1 first session: 29:59.999999 gap merges AND the exactly-30min
+    # gap merges too -> one session of 3 events
+    assert out[(1, us0)] == (3, 13_000_000)
+    # the 30min+1us gap split: fourth event is its own session
+    us4 = us0 + (30 * 60 - 1) * 1_000_000 + 999_999 + 60 * 60 * 1_000_000 + 1
+    assert out[(1, us4)] == (1, 4_000_000)
     assert out[(2, us0)] == (1, 5_000_000)
     assert len(out) == 3
 
@@ -1332,9 +1339,17 @@ def test_type_pivot_counts_matches_conditional_agg(spark):
     # missing combinations are 0, never NULL
     assert out[1]["n_error"] == 0 and out[2]["n_click"] == 0
     assert out[2]["n_error"] == 1
-    # no hidden distinct-discovery job: plan has exactly one aggregate
-    plan = ev.type_pivot_counts(df)._jdf.queryExecution().optimizedPlan().toString()
-    assert "PIVOT" not in plan.upper() or "Aggregate" in plan
+    # no hidden distinct-discovery job: the optimized plan is exactly
+    # one Aggregate over the scan (explicit pivot values -> Spark never
+    # runs a separate collect job to discover the distinct event types),
+    # and the physical plan has at most the one agg exchange (ADVICE r7:
+    # the old `"PIVOT" not in plan or "Aggregate" in plan` assert was
+    # vacuously true for any aggregate plan)
+    qe = ev.type_pivot_counts(df)._jdf.queryExecution()
+    opt = qe.optimizedPlan().toString()
+    assert opt.count("Aggregate") == 1, opt
+    phys = qe.executedPlan().toString()
+    assert phys.count("Exchange") <= 1, phys
 
 
 def test_running_value_totals_prefix_sums(spark):
