@@ -7,6 +7,11 @@ declarative plans, Catalyst optimization, Tungsten execution.
 """
 
 from .engine import execute_sparql  # noqa: F401
+from .functions.registry import (  # noqa: F401
+    pandas_scalar_builder,
+    register_function,
+    unregister_function,
+)
 from .sources.results import (  # noqa: F401
     to_result_csv_df,
     to_result_json,

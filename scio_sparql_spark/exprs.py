@@ -205,6 +205,17 @@ def _call(e: A.ECall, env: Env) -> Column:
     args = [compile_value(a, env) for a in e.args]
     if name in BUILTINS:
         return BUILTINS[name](args)
-    if ":" in name:  # cast-style call, e.g. xsd:integer(?x)
-        return compile_cast(name, args)
+    if ":" in name:  # IRI call: user-registered function, else cast
+        from .functions.registry import lookup_function
+
+        builder = lookup_function(name)
+        if builder is not None:
+            return builder(args)
+        try:
+            return compile_cast(name, args)
+        except NotImplementedError:
+            raise ValueError(
+                f"unregistered function IRI <{name}> — register it with "
+                f"scio_sparql_spark.register_function(iri, builder)"
+            ) from None
     raise NotImplementedError(f"builtin {name}")

@@ -834,6 +834,52 @@ def q_embed_semdedup(spark, sf_dir):
     )
 
 
+_COLLAPSE_IRI = "http://example.org/fn#collapse"
+
+
+def _register_collapse():
+    """Idempotently register the demo extension function: lowercase +
+    collapse non-alphanumeric runs to single spaces + trim, as a
+    native Column builder (whole-stage codegen — no UDF). The same
+    normalizer the dedup pipeline uses, exposed to SPARQL text."""
+    from scio_sparql_spark.functions.registry import (
+        lookup_function,
+        register_function,
+    )
+    from scio_sparql_spark.terms import is_literal, string_term
+
+    if lookup_function(_COLLAPSE_IRI) is not None:
+        return
+
+    def _collapse(args):
+        lex = args[0]["lex"]
+        v = F.trim(F.regexp_replace(F.lower(lex), "[^a-z0-9]+", " "))
+        return F.when(is_literal(args[0]), string_term(v))
+
+    register_function(_COLLAPSE_IRI, _collapse)
+
+
+def q_sparql_custom_function(spark, sf_dir):
+    """SURVEY §2.11 extension point (strict upgrade over the
+    reference, which has no extension-function surface): a registered
+    IRI function used in both BIND and FILTER positions."""
+    _register_collapse()
+    quads, catalog = bridge_ctx(spark, sf_dir, ["part"])
+    df = execute_sparql(
+        quads,
+        PREFIXES
+        + f"""SELECT ?k ?norm WHERE {{
+             ?p col:p_partkey ?k ; col:p_brand ?b .
+             BIND(<{_COLLAPSE_IRI}>(?b) AS ?norm)
+             FILTER(STRENDS(<{_COLLAPSE_IRI}>(?b), "3")) }}""",
+        star_tables=catalog,
+    )
+    return df.select(
+        F.col("k")["lex"].cast("double").cast("bigint").alias("k"),
+        F.col("norm")["lex"].alias("norm"),
+    )
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     emb = _table(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
@@ -1865,6 +1911,18 @@ EXTRA_QUERIES = {
                       FROM e JOIN q USING (i) GROUP BY vec_id)
            SELECT vec_id, ROUND(dot / (sqrt(ne) * sqrt(nq)), 6) AS score
            FROM d ORDER BY score DESC, vec_id LIMIT 10""",
+    ),
+    # §2.11 extension point: user-registered scalar function (native
+    # Column builder) in BIND + FILTER; oracle replicates the collapse
+    # normalizer in DuckDB SQL
+    "sparql_custom_function": (
+        q_sparql_custom_function,
+        """SELECT p_partkey AS k,
+                  trim(regexp_replace(lower(p_brand), '[^a-z0-9]+', ' ', 'g'))
+                    AS norm
+           FROM part
+           WHERE trim(regexp_replace(lower(p_brand), '[^a-z0-9]+', ' ', 'g'))
+                 LIKE '%3'""",
     ),
     # both ANN variants hash-gated since r8 (VERDICT r7 item 3): LSH
     # against a full in-SQL replica of the approximate semantics; IVF
