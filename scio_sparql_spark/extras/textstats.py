@@ -25,6 +25,79 @@ def token_count(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+# Deterministic greedy-merge BPE table (rank order). Well-formed: each
+# component is a base symbol or the output of an EARLIER merge, which
+# is what makes sequential rank-order application equal to standard
+# min-rank-first BPE apply. No merge has identical left and right
+# components — that invariant is what makes the two-pass replace below
+# EXACT (see bpe_token_count); _validate_merges enforces both.
+BPE_MERGES = [
+    ("t", "h"), ("th", "e"), (" ", "the"),
+    ("i", "n"), ("a", "n"), ("an", "d"), (" ", "and"),
+    ("e", "r"), ("o", "n"), ("r", "e"), ("o", "r"),
+    ("e", "n"), ("a", "t"), ("e", "s"), ("o", "u"),
+    ("i", "t"), ("o", "f"), (" ", "of"), (" ", "a"),
+    ("in", "g"), ("t", "o"), (" ", "to"), ("s", " "),
+    ("e", "d"), ("a", "r"), ("o", "w"),
+]
+
+
+def _validate_merges(merges):
+    known = set()
+    for a, b in merges:
+        if a == b:
+            raise ValueError(f"self-pair merge {(a, b)}: breaks two-pass exactness")
+        for c in (a, b):
+            if len(c) > 1 and c not in known:
+                raise ValueError(f"merge {(a, b)}: component {c!r} not yet formed")
+        known.add(a + b)
+
+
+_validate_merges(BPE_MERGES)
+
+
+def bpe_token_count(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    merges: list | None = None,
+) -> DataFrame:
+    """Token-accurate greedy-merge BPE count (replaces the chars/4
+    estimate as the packing/LM-scoring length signal — VERDICT r7
+    item 7), entirely in native Column expressions.
+
+    Encoding: sanitize (lower, non-[a-z0-9 ] -> '_'), explode to a
+    '|'-delimited symbol string, then apply each merge in rank order
+    as TWO literal string replaces of ``|a|b|`` -> ``|ab|``.
+
+    Why two replaces are exact: a single left-to-right non-overlapping
+    replace misses an occurrence only when its leading '|' was consumed
+    by an immediately preceding match; such missed occurrences are
+    never adjacent to each other (a merged token separates them), so a
+    second pass catches all of them and can create no new sharing.
+    This holds only when a merge's left != right (a same-symbol run
+    like 'aaaa' re-shares boundaries) — _validate_merges forbids those.
+    Rank-order application equals standard min-rank-first BPE because
+    the table is well-formed (components only from earlier merges).
+
+    Scale: one narrow projection per document, zero shuffle, zero
+    Python; ~2x|merges| string replaces inside whole-stage codegen.
+    The merge table is a query-plan constant (a few hundred bytes) —
+    nothing to broadcast or look up. The DuckDB oracle replicates the
+    same replace chain symbol-for-symbol (workload._bpe_oracle_sql)."""
+    merges = BPE_MERGES if merges is None else merges
+    _validate_merges(merges)
+    s = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", "_")
+    s = F.concat(F.lit("|"), F.regexp_replace(s, "(.)", "$1|"))
+    for a, b in merges:
+        pat, rep = F.lit(f"|{a}|{b}|"), F.lit(f"|{a}{b}|")
+        s = F.replace(F.replace(s, pat, rep), pat, rep)
+    n = F.length(s) - F.length(F.replace(s, F.lit("|"), F.lit(""))) - F.lit(1)
+    return docs.select(
+        F.col(id_col), n.cast("bigint").alias("n_bpe_tokens")
+    )
+
+
 def _stopword_hits(toks, words):
     return F.size(F.filter(toks, lambda t: t.isin(words)))
 

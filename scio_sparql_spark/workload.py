@@ -834,6 +834,34 @@ def q_embed_semdedup(spark, sf_dir):
     )
 
 
+def q_text_bpe_tokens(spark, sf_dir):
+    """Token-accurate greedy-merge BPE counts over documents (native
+    replace chain, zero shuffle — see textstats.bpe_token_count)."""
+    return textstats.bpe_token_count(_table(spark, sf_dir, "documents"))
+
+
+def _bpe_oracle_sql() -> str:
+    """DuckDB replica of bpe_token_count: the identical sanitize ->
+    '|'-delimit -> two-replaces-per-merge chain (replace() in both
+    engines is left-to-right non-overlapping — verified equal on the
+    adversarial alternating/odd-run cases)."""
+    from .extras.textstats import BPE_MERGES
+
+    s = (
+        "'|' || regexp_replace(regexp_replace(lower(text), "
+        "'[^a-z0-9 ]', '_', 'g'), '(.)', '\\1|', 'g')"
+    )
+    for a, b in BPE_MERGES:
+        pat, rep = f"|{a}|{b}|", f"|{a}{b}|"
+        for _ in range(2):
+            s = f"replace({s}, '{pat}', '{rep}')"
+    return (
+        "SELECT doc_id, CAST(length(x) - length(replace(x, '|', '')) - 1 "
+        "AS BIGINT) AS n_bpe_tokens "
+        f"FROM (SELECT doc_id, {s} AS x FROM documents)"
+    )
+
+
 _COLLAPSE_IRI = "http://example.org/fn#collapse"
 
 
@@ -1263,7 +1291,14 @@ def q_stream_interval_join(spark, sf_dir):
     purchases = stream_parquet(spark, path, schema).filter(
         F.col("event_type") == "purchase"
     ).withWatermark("ts", "2 hours")
-    out = run_bounded(ev.interval_join(clicks, purchases, max_gap_minutes=60))
+    # 8 state partitions: join state here is a few thousand rows; 32
+    # partitions made per-batch state-store maintenance 75% of the
+    # runtime (7.5s -> 1.9s measured at sf0.1 — see run_bounded's
+    # shuffle_partitions note; VERDICT r7 item 8)
+    out = run_bounded(
+        ev.interval_join(clicks, purchases, max_gap_minutes=60),
+        shuffle_partitions=8,
+    )
     return out.select(
         "user_id",
         F.date_format("left_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
@@ -1912,6 +1947,10 @@ EXTRA_QUERIES = {
            SELECT vec_id, ROUND(dot / (sqrt(ne) * sqrt(nq)), 6) AS score
            FROM d ORDER BY score DESC, vec_id LIMIT 10""",
     ),
+    # token-accurate subword counting (VERDICT r7 item 7): greedy-merge
+    # BPE as a native replace chain; oracle replicates it replace-for-
+    # replace in DuckDB
+    "text_bpe_tokens": (q_text_bpe_tokens, _bpe_oracle_sql()),
     # §2.11 extension point: user-registered scalar function (native
     # Column builder) in BIND + FILTER; oracle replicates the collapse
     # normalizer in DuckDB SQL

@@ -1405,3 +1405,72 @@ def test_normalized_dedup_folds_case_punct_whitespace(spark):
     out = {r.norm_digest: (r.n_docs, r.keep_id) for r in dedup.normalized_dedup(df).collect()}
     assert len(out) == 2
     assert sorted(out.values()) == [(1, 4), (3, 1)]
+
+
+def _bpe_reference(text, merges):
+    """True min-rank-first BPE apply (priority-queue semantics) — the
+    ground truth the replace-chain implementation must equal."""
+    import re
+
+    symbols = list(re.sub(r"[^a-z0-9 ]", "_", text.lower()))
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    while len(symbols) > 1:
+        pairs = [
+            (ranks.get((a, b)), i)
+            for i, (a, b) in enumerate(zip(symbols, symbols[1:]))
+            if (a, b) in ranks
+        ]
+        if not pairs:
+            break
+        best_rank = min(r for r, _ in pairs)
+        a, b = merges[best_rank]
+        # merge all occurrences of the best pair left-to-right
+        out, i = [], 0
+        while i < len(symbols):
+            if i + 1 < len(symbols) and symbols[i] == a and symbols[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(symbols[i])
+                i += 1
+        symbols = out
+    return symbols
+
+
+def test_bpe_token_count_equals_reference_apply(spark):
+    texts = [
+        "The cat sat on the mat and the dog ran to the inn",
+        "ingoing winter errors; 100% of the output!",
+        "totototo and andanand",
+        "",
+        "TH-E th|e the",  # sanitization: '|' and '-' -> '_'
+        "s s s s s",  # merge ('s',' ') chains across spaces
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    got = {
+        r.doc_id: r.n_bpe_tokens
+        for r in textstats.bpe_token_count(df).collect()
+    }
+    for i, t in enumerate(texts):
+        want = len(_bpe_reference(t, textstats.BPE_MERGES)) if t else 0
+        assert got[i] == want, (t, got[i], want)
+
+
+def test_bpe_token_count_plan_is_map_only(spark):
+    df = spark.createDataFrame([(1, "the and of")], "doc_id bigint, text string")
+    plan = (
+        textstats.bpe_token_count(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_bpe_validate_merges_rejects_bad_tables():
+    with pytest.raises(ValueError, match="self-pair"):
+        textstats._validate_merges([("a", "a")])
+    with pytest.raises(ValueError, match="not yet formed"):
+        textstats._validate_merges([("ab", "c")])
