@@ -110,6 +110,11 @@ BENCH_QUERIES = [
     "events_running_total",
     "dedup_normalized",
     "corpus_top_ngrams",
+    # new in r8 (appended; prior-round common comparisons unchanged):
+    # token-accurate BPE counting (native replace chain) and the
+    # registered-scalar-function SPARQL path
+    "text_bpe_tokens",
+    "sparql_custom_function",
 ]
 
 
