@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     # token-accurate BPE counting (native replace chain) and the
     # registered-scalar-function SPARQL path
     "text_bpe_tokens",
+    "docs_pack_bpe",
     "sparql_custom_function",
 ]
 
