@@ -128,49 +128,45 @@ def _hyperplanes(spark, dim: int, bits: int, seed: int) -> list[list[float]]:
     ]
 
 
-def _quantized_unrolled(vec_col_name: str, dim: int):
-    """Per-component integer micro-units: CAST(ROUND(v[i]*1e6) AS
-    BIGINT). Sign decisions on these are bit-exact across engines —
-    the double-sum alternative depends on summation order, so the same
-    vector could land in different LSH buckets on Spark vs the DuckDB
-    oracle (or across Spark versions). Reproducible bucketing is a
-    production feature, not just a test convenience: incremental dedup
-    re-runs must re-derive the same buckets."""
-    return [
-        F.expr(
-            f"CAST(ROUND(CAST(element_at(`{vec_col_name}`, {i + 1}) AS DOUBLE)"
-            f" * 1000000, 0) AS BIGINT)"
-        )
-        for i in range(dim)
-    ]
-
-
 def quantize_micro(x: float) -> int:
-    """Driver-side twin of _quantized_unrolled's per-component map
-    (round-half-away-from-zero, like Spark/DuckDB ROUND on doubles —
-    Python's round() is half-even and would disagree on exact .5s)."""
-    return int(math.floor(abs(x) * 1_000_000 + 0.5)) * (1 if x >= 0 else -1)
+    """Driver-side twin of _signature_udf's per-component map: scale
+    by 2^20 (EXACT in double arithmetic — a power of two only shifts
+    the exponent, so no rounding decision exists to diverge across
+    engines) and truncate toward zero (Python int(), Spark
+    CAST(double AS BIGINT), DuckDB trunc() all agree; DuckDB's bare
+    CAST rounds, hence the explicit trunc in the oracle SQL)."""
+    return int(float(x) * 1048576)
 
 
-def _signature_unrolled(vec_col_name: str, planes: list[list[float]]):
-    """Signature against known-constant planes: bits x dim unrolled
-    integer add/subtracts (plane components are +-1, so the 'dot' is a
-    signed sum of quantized components), whole-stage codegen. Integer
-    arithmetic makes bucket membership deterministic across engines —
-    see _quantized_unrolled."""
-    dim = len(planes[0]) if planes else 0
-    q = _quantized_unrolled(vec_col_name, dim)
-    sig = F.lit(0).cast("long")
-    for b, plane in enumerate(planes):
-        dot = None
-        for i, p in enumerate(plane):
-            term = q[i] if p >= 0 else -q[i]
-            dot = term if dot is None else dot + term
-        bit = F.when(
-            dot >= 0, F.shiftleft(F.lit(1).cast("long"), b)
-        ).otherwise(F.lit(0).cast("long"))
-        sig = sig.bitwiseOR(bit)
-    return sig
+def _signature_udf(planes: list[list[float]]):
+    """Arrow-batched signature: quantize to int64 (exact — power-of-
+    two scale + truncation, see quantize_micro) and matmul against the
+    +-1 plane matrix; bit b set iff dot_b >= 0.
+
+    Why a pandas UDF and not native Columns: this is the same dense-
+    linear-algebra spot ivf_build_index documents for its centroid
+    assignment — the unrolled-SQL formulation is bits x dim quantize-
+    multiply-add terms whose generated bytecode exceeds janino's 64KB
+    method cap ("Code grows beyond 64 KB" ERROR in the log), silently
+    dropping the whole filter stage to interpreted per-row eval; the
+    projected-intermediate-array alternative OOMs the driver because
+    CollapseProject substitutes the dim-term array into every
+    reference. The matmul batches thousands of rows per Arrow call,
+    is dimension/bits independent, and all-int64 exact, so bucket
+    membership stays deterministic across engines and re-runs."""
+    from pyspark.sql.functions import pandas_udf
+
+    S = np.asarray(planes, dtype=np.int64)  # (bits, dim) of +-1
+    powers = (1 << np.arange(S.shape[0], dtype=np.int64))
+
+    @pandas_udf("long")
+    def _sig(vecs: pd.Series) -> pd.Series:
+        X = np.stack(vecs.to_numpy()).astype(np.float64)
+        Q = (X * 1048576.0).astype(np.int64)  # astype truncates toward 0
+        D = Q @ S.T  # (n, bits), exact int64
+        return pd.Series(((D >= 0) * powers).sum(axis=1).astype(np.int64))
+
+    return _sig
 
 
 def lsh_cosine_topk(
@@ -199,9 +195,8 @@ def lsh_cosine_topk(
     # substantially better recall (single-bucket recall is what round 1
     # flagged as the weak spot).
     probe_sigs = [qsig] + [qsig ^ (1 << b) for b in range(bits)]
-    bucket = spread(emb).filter(
-        _signature_unrolled(vec_col, planes).isin(probe_sigs)
-    )
+    sig = _signature_udf(planes)
+    bucket = spread(emb).filter(sig(F.col(vec_col)).isin(probe_sigs))
     return cosine_topk(bucket, query_vec, k, id_col, vec_col)
 
 

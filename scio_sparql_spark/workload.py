@@ -956,7 +956,7 @@ def q_ann_lsh_topk(spark, sf_dir):
     # hash-gated since r8: the DuckDB oracle replicates the FULL
     # approximate semantics — identical +-1 hyperplanes (derived via
     # the Spark-exact xxhash64 replica in extras/xxh.py and embedded
-    # as SQL constants), integer micro-unit sign decisions, hamming<=1
+    # as SQL constants), exact power-of-two integer sign decisions,
     # multi-probe bucket membership, exact cosine within candidates.
     # Not a degenerate full-coverage check: partial probing itself is
     # verified (VERDICT r7 item 3).
@@ -968,8 +968,8 @@ def q_ann_lsh_topk(spark, sf_dir):
 def _lsh_oracle_sql(bits: int = 4, dim: int = 64, seed: int = 42) -> str:
     """DuckDB replica of lsh_cosine_topk(bits=4) for the vec_id=0
     query: same hyperplanes (xxh.xxhash64 parity is test-locked by
-    tests/test_xxh.py), same integer micro-unit signature arithmetic
-    (similarity._quantized_unrolled), same hamming<=1 multi-probe set,
+    tests/test_xxh.py), same exact 2^20-quantized signature arithmetic
+    (similarity._signature_udf), same hamming<=1 multi-probe set,
     same ROUND(cosine, 6) ranking."""
     from .extras.xxh import xxhash64
 
@@ -980,7 +980,7 @@ def _lsh_oracle_sql(bits: int = 4, dim: int = 64, seed: int = 42) -> str:
     )
     return f"""WITH pl(b, i, p) AS (VALUES {rows}),
        e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
-                    CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0)
+                    CAST(trunc(CAST(unnest(embedding) AS DOUBLE) * 1048576)
                          AS BIGINT) AS vm
              FROM embeddings),
        dots AS (SELECT e.vec_id, pl.b, SUM(pl.p * e.vm) AS d
@@ -1090,7 +1090,10 @@ def q_stream_windowed_counts(spark, sf_dir):
     stream = ev.streaming_windowed_counts(
         spark, path, schema, window="1 hour", watermark="2 hours"
     )
-    out = run_bounded(stream, output_mode="complete")
+    # state here is one row per (hour-window, event_type) — dozens of
+    # groups; 8 state partitions (see run_bounded) cut per-batch state-
+    # store maintenance without touching the result
+    out = run_bounded(stream, output_mode="complete", shuffle_partitions=8)
     return out.select(
         F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         "event_type",
@@ -1109,7 +1112,9 @@ def q_stream_dedup_exact(spark, sf_dir):
     path = f"{sf_dir}/documents.parquet"
     schema = spark.read.parquet(path).schema
     stream = stream_parquet(spark, path, schema)
-    out = run_bounded(streaming_exact_dedup(stream, watermark=None))
+    out = run_bounded(
+        streaming_exact_dedup(stream, watermark=None), shuffle_partitions=8
+    )
     return out.select(F.md5("text").alias("digest")).distinct()
 
 
@@ -1135,7 +1140,7 @@ def q_stream_session_windows(spark, sf_dir):
     stream = ev.streaming_session_windows(
         spark, path, schema, gap_minutes=30, watermark="10 days"
     )
-    return run_bounded(stream, output_mode="complete")
+    return run_bounded(stream, output_mode="complete", shuffle_partitions=8)
 
 
 def q_events_pivot(spark, sf_dir):
@@ -1359,7 +1364,10 @@ def q_stream_stateful_sessions(spark, sf_dir):
     path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(path).schema
     stream = stream_parquet(spark, path, schema)
-    out = run_bounded(session_counts_stateful(stream, gap_minutes=30), "update")
+    out = run_bounded(
+        session_counts_stateful(stream, gap_minutes=30), "update",
+        shuffle_partitions=8,
+    )
     return out.groupBy("user_id").agg(
         F.max("n_sessions").alias("n_sessions"),
         F.max("n_events").alias("n_events"),
