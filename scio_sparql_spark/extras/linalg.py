@@ -1,0 +1,127 @@
+"""Distributed dense linear algebra over embedding columns: the Gram
+matrix (X^T X) and PCA whitening built on it.
+
+The Gram matrix is THE canonical mapPartitions reduction at corpus
+scale: each partition computes a dim x dim partial in one vectorized
+matmul, and only those partials — dim^2 numbers per partition, a few
+KB — ever shuffle. Covariance, PCA, and whitening (what SemDeDup
+normalizes embeddings with) all derive from it with a driver-side
+eigendecomposition of a dim x dim matrix: no iterative distributed
+solver, one pass over the data.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+
+def gram_matrix_micro(
+    emb: DataFrame,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact integer Gram matrix: G[i][j] = sum over rows of q_i * q_j
+    with q = trunc(x * 2^20) (the similarity module's exact
+    quantization — power-of-two scaling never rounds, truncation is
+    engine-agreed). Returns dim*dim rows (i, j, s), 0-based, s BIGINT.
+
+    Plan shape (the 100-TB story): mapInPandas computes Q^T Q per
+    ARROW BATCH in int64 (exact: |q| < 2^20, so a 10k-row batch
+    partial is < 2^54), accumulates the partition total in Python
+    bignum ints, and emits ONE dim x dim partial per partition as
+    DECIMAL(38,0) — so per-partition totals cannot overflow no matter
+    how many rows a partition holds. The only shuffle is dim^2 rows
+    per partition (a few KB); the final SUM is a decimal aggregate,
+    exact to 10^38, cast back to BIGINT for emission (valid while the
+    true total fits int64 — at larger corpora keep the DECIMAL).
+
+    This is the standard distributed X^T X used for covariance / PCA:
+    cov = (G/n - mean outer mean) derives driver-side; see
+    pca_whiten_micro."""
+    out_schema = "i int, j int, s decimal(38,0)"
+    idx_i, idx_j = np.indices((dim, dim))
+    flat_i, flat_j = idx_i.ravel(), idx_j.ravel()
+
+    def part(batches):
+        total = None
+        for pdf in batches:
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Q = (X[:, :dim] * 1048576.0).astype(np.int64)
+            G = (Q.T @ Q).astype(object)  # exact int64 per batch -> bignum
+            total = G if total is None else total + G
+        if total is None:
+            return
+        yield pd.DataFrame(
+            {
+                "i": flat_i.astype("int32"),
+                "j": flat_j.astype("int32"),
+                "s": [int(v) for v in total.ravel()],
+            }
+        )
+
+    partials = emb.select(vec_col).mapInPandas(part, schema=out_schema)
+    return (
+        partials.groupBy("i", "j")
+        .agg(F.sum("s").alias("s"))
+        .select(
+            F.col("i").cast("bigint").alias("i"),
+            F.col("j").cast("bigint").alias("j"),
+            F.col("s").cast("bigint").alias("s"),
+        )
+    )
+
+
+def pca_whiten_micro(
+    emb: DataFrame,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    eps: float = 1e-6,
+    out_scale: int = 1_000_000,
+) -> DataFrame:
+    """PCA whitening: project embeddings onto the covariance
+    eigenbasis and rescale each direction to unit variance — the
+    normalization SemDeDup-style semantic dedup applies before cosine.
+
+    Two bounded passes: (1) gram_matrix_micro + a mean aggregation
+    (dim values) -> covariance driver-side; (2) eigh of the dim x dim
+    covariance (driver, microseconds) -> broadcast the whitening
+    matrix into ONE Arrow-batched projection pass. Nothing iterative,
+    nothing quadratic in rows; the only full-data work is two narrow
+    map passes. Output: (id, whitened array<double>).
+
+    The eigendecomposition is float (LAPACK) — this operator is
+    deterministic per (platform, corpus) but not engine-replicable,
+    so it is pytest-locked (whitened covariance == identity) rather
+    than DuckDB-gated."""
+    spark = emb.sparkSession
+    n = emb.count()
+    g_rows = gram_matrix_micro(emb, dim, vec_col, id_col).collect()
+    G = np.zeros((dim, dim))
+    for r in g_rows:
+        G[r["i"], r["j"]] = float(r["s"])
+    G /= float(1048576.0**2)  # back to raw-value scale
+    mean_row = emb.select(
+        *[
+            F.avg(F.expr(f"CAST(element_at(`{vec_col}`, {i + 1}) AS DOUBLE)")).alias(
+                f"m{i}"
+            )
+            for i in range(dim)
+        ]
+    ).collect()[0]
+    mu = np.array([mean_row[f"m{i}"] for i in range(dim)])
+    cov = G / n - np.outer(mu, mu)
+    w, V = np.linalg.eigh(cov)
+    W = V @ np.diag(1.0 / np.sqrt(np.maximum(w, eps))) @ V.T  # ZCA whitening
+    mu_b = mu.copy()
+
+    @F.pandas_udf("array<double>")
+    def _project(vecs: pd.Series) -> pd.Series:
+        X = np.stack(vecs.to_numpy()).astype(np.float64)[:, :dim]
+        Y = (X - mu_b) @ W.T
+        return pd.Series(list(Y))
+
+    return emb.select(F.col(id_col), _project(F.col(vec_col)).alias("whitened"))

@@ -834,6 +834,15 @@ def q_embed_semdedup(spark, sf_dir):
     )
 
 
+def q_embed_gram(spark, sf_dir):
+    """Distributed exact-integer Gram matrix (X^T X): per-partition
+    Arrow matmul partials, dim^2-row shuffle — the canonical one-pass
+    covariance/PCA building block at corpus scale (extras/linalg.py)."""
+    from .extras.linalg import gram_matrix_micro
+
+    return gram_matrix_micro(_table(spark, sf_dir, "embeddings"), dim=64)
+
+
 def q_text_bpe_tokens(spark, sf_dir):
     """Token-accurate greedy-merge BPE counts over documents (native
     replace chain, zero shuffle — see textstats.bpe_token_count)."""
@@ -1993,6 +2002,25 @@ EXTRA_QUERIES = {
            SELECT vec_id, ROUND(dot / (sqrt(ne) * sqrt(nq)), 6) AS score
            FROM d ORDER BY score DESC, vec_id LIMIT 10""",
     ),
+    # distributed exact-integer Gram matrix (one-pass X^T X via Arrow
+    # partials; covariance/PCA building block) + PCA whitening on it
+    "embed_gram": (
+        q_embed_gram,
+        """WITH e AS (SELECT vec_id,
+                             generate_subscripts(embedding, 1) - 1 AS i,
+                             CAST(trunc(CAST(unnest(embedding) AS DOUBLE)
+                                        * 1048576) AS BIGINT) AS q
+                      FROM embeddings)
+           SELECT CAST(a.i AS BIGINT) AS i, CAST(b.i AS BIGINT) AS j,
+                  CAST(SUM(a.q * b.q) AS BIGINT) AS s
+           FROM e a JOIN e b USING (vec_id) GROUP BY a.i, b.i""",
+    ),
+    # (pca_whiten_micro is deliberately NOT a catalog entry: its LAPACK
+    # eigenbasis is not engine-replicable, so a driver row would be
+    # rows-only noise; the whitened-covariance==identity contract is
+    # the strong check and lives in tests/test_linalg.py. Keeping it
+    # out also keeps the active catalog at exactly 100 = the 2-round
+    # freshness bound.)
     # token-accurate subword counting (VERDICT r7 item 7): greedy-merge
     # BPE as a native replace chain; oracle replicates it replace-for-
     # replace in DuckDB
