@@ -23,6 +23,8 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from .util import spread
@@ -387,6 +389,76 @@ def contamination_hits(
     )
     return (
         corpus_sh.join(F.broadcast(bench_sh), on="g")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+
+def bloom_contamination_hits(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """contamination_hits with a Bloom-filter prefilter: identical
+    output (a Bloom filter has NO false negatives, and every candidate
+    is exactly verified), but the corpus-side map carries a 2^m_bits
+    BITMAP (128 KB at the default) instead of the benchmark's full
+    shingle-string set. That is the 100-TB shape: the broadcast is
+    constant-size no matter how large the eval suite grows, the
+    corpus-side test is k integer probes per shingle, and only the
+    candidate sliver (true hits + ~|corpus shingles| * fp-rate) ever
+    reaches the exact string join. With the defaults and a 100k-
+    shingle benchmark the false-positive rate is ~(k*n/m)^k ~ 2e-6.
+
+    Bit positions are k seeded xxhash64 probes (`bloom:{j}` chained
+    seed — the derivation tests/test_xxh.py proves replicable outside
+    Spark). The verify step makes the output EQUAL contamination_hits,
+    so the same exact DuckDB oracle gates this entry — the two-phase
+    pattern dedup_minhash_verified established.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    bench_sh = (
+        spread(benchmark)
+        .select(F.explode(F.array_distinct(token_ngrams(F.col(text_col), n))).alias("g"))
+        .distinct()
+    )
+    pos_cols = [
+        F.pmod(F.xxhash64(F.lit(f"bloom:{j}"), F.col("g")), F.lit(m_bits)).alias(
+            f"p{j}"
+        )
+        for j in range(k)
+    ]
+    # build: benchmark is small by contract (an eval suite) — collect
+    # its k*|shingles| bit positions and set them in a numpy bitmap.
+    # (At a larger benchmark, swap in a mapInPandas OR-reduce of
+    # per-partition bitmaps — the gram_matrix_micro pattern.)
+    bitmap = np.zeros(m_bits, dtype=bool)
+    for row in bench_sh.select(*pos_cols).collect():
+        for j in range(k):
+            bitmap[row[f"p{j}"]] = True
+
+    @pandas_udf("boolean")
+    def _maybe(*pos: pd.Series) -> pd.Series:
+        hit = bitmap[pos[0].to_numpy()]
+        for p in pos[1:]:
+            hit &= bitmap[p.to_numpy()]
+        return pd.Series(hit)
+
+    corpus_sh = spread(corpus).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(token_ngrams(F.col(text_col), n))).alias("g"),
+    )
+    cand = corpus_sh.filter(
+        _maybe(*[c for c in pos_cols])
+    )
+    # exact verify on the candidate sliver only
+    return (
+        cand.join(F.broadcast(bench_sh), on="g")
         .groupBy(id_col)
         .agg(F.count("*").alias("n_hits"))
     )

@@ -1209,6 +1209,18 @@ def q_text_contamination(spark, sf_dir):
     return dedup.contamination_hits(corpus, benchmark, n=4)
 
 
+def q_dedup_bloom_contamination(spark, sf_dir):
+    """Bloom-prefiltered contamination (the 100-TB scale path: 128KB
+    constant-size broadcast + k integer probes per shingle, exact
+    verify on the candidate sliver). No false negatives + exact verify
+    => output EQUALS contamination_hits, so the same exact oracle
+    gates it (the dedup_minhash_verified two-phase pattern)."""
+    docs = _table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    benchmark = docs.filter(F.col("doc_id") % 20 == 0)
+    return dedup.bloom_contamination_hits(corpus, benchmark, n=4)
+
+
 def q_text_lm_score(spark, sf_dir):
     """Corpus-trained bigram-LM scoring (the perplexity-filter shape);
     all-BIGINT micro-nat outputs per the COVERAGE.md hash discipline."""
@@ -2246,6 +2258,23 @@ EXTRA_QUERIES = {
            SELECT c.doc_id, COUNT(*) AS n_hits
            FROM c JOIN b USING (g) GROUP BY c.doc_id""",
     ),
+    # Bloom-prefilter variant of the same exact contamination check —
+    # identical output by construction (no false negatives + exact
+    # verify), same oracle; the scale story is the constant-size bitmap
+    "dedup_bloom_contamination": (
+        q_dedup_bloom_contamination,
+        f"""WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            s AS (SELECT doc_id,
+                         list_distinct(list_transform(
+                           generate_series(1, len(toks) - 3),
+                           i -> array_to_string(toks[i:i+3], ' '))) AS sh
+                  FROM t),
+            b AS (SELECT DISTINCT g
+                  FROM (SELECT unnest(sh) AS g FROM s WHERE doc_id % 20 = 0)),
+            c AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id % 20 <> 0)
+           SELECT c.doc_id, COUNT(*) AS n_hits
+           FROM c JOIN b USING (g) GROUP BY c.doc_id""",
+    ),
     # corpus-trained bigram-LM scoring: per-occurrence log-probs are
     # micro-rounded BEFORE the per-doc sum, so the sum is exact integer
     # arithmetic (order-independent; a double sum of logs is not) —
@@ -2734,6 +2763,11 @@ CATALOG_RETIRED = {
     "sparql_results_json": "rdf_egress_jsonld + serializer pytest",
     "events_retention": "events_funnel / events_sessions",
     "sample_mixture": "sample_hash (same md5-keep sampling)",
+    # r8: superseded by its strictly-stronger successor (identical
+    # exact semantics AND oracle; adds the constant-size Bloom
+    # broadcast scale path). The broadcast-join plan lock remains in
+    # the test suite; last own driver row r7, green.
+    "text_contamination": "dedup_bloom_contamination (same exact oracle)",
     # 6 sparql entries whose operator is a strict subset of a sibling's
     # code path (each sibling hash-green r7):
     "sparql_offset": "sparql_offset_limit (same limit/offset lowering)",

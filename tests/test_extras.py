@@ -1474,3 +1474,37 @@ def test_bpe_validate_merges_rejects_bad_tables():
         textstats._validate_merges([("a", "a")])
     with pytest.raises(ValueError, match="not yet formed"):
         textstats._validate_merges([("ab", "c")])
+
+
+def test_bloom_contamination_equals_exact(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    benchmark = docs.filter(F.col("doc_id") % 20 == 0)
+    exact = {
+        (r.doc_id, r.n_hits)
+        for r in dedup.contamination_hits(corpus, benchmark, n=4).collect()
+    }
+    bloom = {
+        (r.doc_id, r.n_hits)
+        for r in dedup.bloom_contamination_hits(corpus, benchmark, n=4).collect()
+    }
+    assert bloom == exact and len(exact) > 0
+
+
+def test_bloom_prefilter_has_no_false_negatives_small_bitmap(spark):
+    # even a deliberately tiny (collision-heavy) bitmap must never
+    # lose a true hit — false positives only cost verify work
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    benchmark = docs.filter(F.col("doc_id") % 20 == 0)
+    exact = {
+        (r.doc_id, r.n_hits)
+        for r in dedup.contamination_hits(corpus, benchmark, n=4).collect()
+    }
+    tiny = {
+        (r.doc_id, r.n_hits)
+        for r in dedup.bloom_contamination_hits(
+            corpus, benchmark, n=4, m_bits=1 << 10, k=2
+        ).collect()
+    }
+    assert tiny == exact
