@@ -882,7 +882,12 @@ def q_docs_pack_bpe(spark, sf_dir):
     greedy-merge BPE counts instead of whitespace counts — the length
     signal a GPT-style packed writer actually needs."""
     docs = _table(spark, sf_dir, "documents")
-    counted = textstats.bpe_token_count(docs)
+    # materialize the narrow (id, count) table once: the prefix sum
+    # scans its input twice (range totals + final), and re-running the
+    # 50-replace BPE chain over the full text on both passes doubled
+    # the entry's cost; the checkpointed table is 16 bytes/doc at any
+    # corpus size
+    counted = textstats.bpe_token_count(docs).localCheckpoint()
     return pipeline.pack_sequences(
         counted, seq_len=512, n_tokens_col="n_bpe_tokens"
     )

@@ -235,7 +235,20 @@ def test_catalog_extras_plans_free_of_anti_patterns(spark):
         "text_lm_score",
     }
     SORT_AGG_OK = {"dedup_keep_best"}
-    ARROW_OK = {"multimodal_features", "multimodal_frames"}
+    ARROW_OK = {
+        "multimodal_features",
+        "multimodal_frames",
+        # sanctioned dense-linear-algebra Arrow users (r8): each is the
+        # documented vectorized-matmul path where unrolled SQL either
+        # exceeds janino's 64KB method cap (LSH signature — the codegen
+        # formulation silently fell to interpreted eval) or is the
+        # canonical per-partition partial reduction (Gram matrix), or a
+        # constant-size-bitmap probe (Bloom prefilter). Row-at-a-time
+        # BatchEvalPython remains never-OK for all of them.
+        "ann_lsh_topk",
+        "embed_gram",
+        "dedup_bloom_contamination",
+    }
     sf = "/root/testdata/sf0.001"
     offenders = {}
     for name, fn in workload.build_queries().items():
