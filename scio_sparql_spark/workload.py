@@ -2795,8 +2795,13 @@ CATALOG_FRONT = [
     #              entries whose last driver row is r4.
     #   Displaced to r9 (each covered by an r7-green same-code-path
     #   sibling): sparql_topk (sparql_offset_limit), sparql_values
-    #   (sparql_values_undef), sparql_exists (sparql_ask), and
-    #   sparql_distinct (sparql_reduced's r7 row, same lowering).
+    #   (sparql_values_undef), sparql_exists (sparql_ask),
+    #   sparql_distinct (sparql_reduced's r7 row, same lowering), and
+    #   sparql_path_alt (path_seq/path_inv desugar + sparql_union).
+    #   r9 front-load priorities beyond those: the two r8-born tail
+    #   entries with no driver row yet (embed_gram,
+    #   dedup_bloom_contamination), then the r7-green block as its
+    #   evidence turns 2 rounds old.
     #
     # (1) never/red driver-checked — VERDICT r7 item 2's exact list:
     "text_token_count",
