@@ -179,9 +179,11 @@ def lsh_cosine_topk(
     seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k: probe only rows whose hyperplane signature
-    matches the query's (expected 1/2^bits of the table), then exact
-    cosine within the bucket. Recall grows with multi-probe (not
-    implemented) or fewer bits."""
+    is within hamming distance 1 of the query's (multi-probe —
+    (bits+1)/2^bits of the table), then exact cosine within the
+    candidate set. Recall tunes with bits at query time; signatures
+    are Arrow-batched integer matmuls (_signature_udf) and exactly
+    replicated by the DuckDB oracle (workload._lsh_oracle_sql)."""
     dim = len(query_vec)
     planes = _hyperplanes(emb.sparkSession, dim, bits, seed)
     qv_micro = [quantize_micro(float(x)) for x in query_vec]

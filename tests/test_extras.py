@@ -1508,3 +1508,23 @@ def test_bloom_prefilter_has_no_false_negatives_small_bitmap(spark):
         ).collect()
     }
     assert tiny == exact
+
+
+def test_ivf_full_coverage_probe_equals_brute_force(spark, tmp_path):
+    """The ann_ivf_topk hash gate's premise, pinned as a pytest: with
+    nprobe=None (all buckets) the probe result EQUALS exact cosine
+    top-k — which holds only if the partitioned index build lost or
+    duplicated no vector and the probe reassembles buckets exactly."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    similarity.ivf_build_index(emb, path, n_centroids=8, train_fraction=0.5)
+    qv = list(emb.filter(F.col("vec_id") == 3).collect()[0]["embedding"])
+    exact = [
+        (r["vec_id"], r["score"])
+        for r in similarity.cosine_topk(emb, qv, k=10).collect()
+    ]
+    probed = [
+        (r["vec_id"], r["score"])
+        for r in similarity.ivf_probe(spark, path, qv, k=10, nprobe=None).collect()
+    ]
+    assert probed == exact
