@@ -30,7 +30,9 @@ from .sources.rio import (  # noqa: F401
     to_jsonld,
     to_jsonld_df,
     to_ntriples_df,
+    to_rdfxml,
     to_trig,
+    to_trix,
     to_turtle,
     to_turtle_df,
     write_triples,

@@ -22,6 +22,7 @@ pattern scans prune partitions.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -1042,6 +1043,133 @@ def to_trig(df: DataFrame, prefixes: dict | None = None) -> str:
         )
         body = "\n".join("    " + b.replace("\n", "\n    ") for b in blocks)
         out.append(f"<{g}> {{\n{body}\n}}")
+    return "\n".join(out) + "\n"
+
+
+def to_trix(df: DataFrame) -> str:
+    """The complete TriX document, driver-side — the graph-preserving
+    XML egress matching parse_trix (round-trip-locked in
+    tests/test_readers.py). Completes write-side parity with rdf4j
+    Rio's TriX writer (the reference writes any Rio format —
+    TriplesReader.scala:63-66); like to_trig/to_jsonld this is the
+    small-export path, while write_triples_nt is the distributed one.
+
+    Unlabeled (default-graph) triples go in a label-less <graph>;
+    bnode graph labels use <id>. Deterministic output: graphs and
+    triples are sorted."""
+    from xml.sax.saxutils import escape, quoteattr
+
+    def term_el(t) -> str:
+        if t["kind"] == KIND_IRI:
+            return f"<uri>{escape(t['lex'])}</uri>"
+        if t["kind"] == KIND_BNODE:
+            return f"<id>{escape(t['lex'])}</id>"
+        if t["dt"] == RDF_LANGSTRING:
+            return (
+                f"<plainLiteral xml:lang={quoteattr(t['lang'])}>"
+                f"{escape(t['lex'])}</plainLiteral>"
+            )
+        if t["dt"] is not None and t["dt"] != XSD_STRING:
+            return (
+                f"<typedLiteral datatype={quoteattr(t['dt'])}>"
+                f"{escape(t['lex'])}</typedLiteral>"
+            )
+        return f"<plainLiteral>{escape(t['lex'])}</plainLiteral>"
+
+    by_graph: dict = {}
+    for r in df.collect():
+        g = r["graph"]
+        key = None if g is None else (int(g["kind"]), g["lex"])
+        by_graph.setdefault(key, []).append(
+            "    <triple>"
+            + term_el(r["subject"])
+            + term_el(r["predicate"])
+            + term_el(r["object"])
+            + "</triple>"
+        )
+    out = ['<?xml version="1.0" encoding="UTF-8"?>']
+    out.append('<TriX xmlns="http://www.w3.org/2004/03/trix/trix-1/">')
+    for key in sorted(by_graph, key=lambda k: (k is not None, k)):
+        out.append("  <graph>")
+        if key is not None:
+            kind, lex = key
+            tag = "uri" if kind == KIND_IRI else "id"
+            out.append(f"    <{tag}>{escape(lex)}</{tag}>")
+        out.extend(sorted(by_graph[key]))
+        out.append("  </graph>")
+    out.append("</TriX>")
+    return "\n".join(out) + "\n"
+
+
+_NCNAME_SUFFIX = re.compile(r"[A-Za-z_][A-Za-z0-9_.-]*$")
+
+
+def to_rdfxml(df: DataFrame) -> str:
+    """The complete RDF/XML document, driver-side, matching
+    parse_rdfxml (round-trip-locked). RDF/XML has no named-graph
+    construct, so graph labels are FLATTENED (same contract as
+    to_turtle; use to_trix/to_trig/N-Quads to preserve graphs).
+
+    Predicates must split into namespace + XML-NCName local part —
+    the serialization's own constraint (rdf4j's RDFXMLWriter throws
+    for unqualifiable predicate IRIs too); a ValueError names the
+    offending IRI. Subjects/objects use rdf:about / rdf:resource for
+    IRIs and rdf:nodeID for bnodes; literals carry rdf:datatype /
+    xml:lang. Deterministic: subject blocks and properties sorted."""
+    from xml.sax.saxutils import escape, quoteattr
+
+    rows = df.collect()
+    ns_of: dict[str, str] = {}
+
+    def split_pred(iri: str) -> tuple[str, str]:
+        m = _NCNAME_SUFFIX.search(iri)
+        if not m or m.start() == 0:
+            raise ValueError(
+                f"predicate IRI not RDF/XML-serializable (no NCName "
+                f"local part): <{iri}>"
+            )
+        return iri[: m.start()], iri[m.start() :]
+
+    by_subject: dict = {}
+    for r in rows:
+        s = r["subject"]
+        key = (int(s["kind"]), s["lex"])
+        ns, local = split_pred(r["predicate"]["lex"])
+        pfx = ns_of.setdefault(ns, f"ns{len(ns_of)}")
+        o = r["object"]
+        if o["kind"] == KIND_IRI:
+            prop = f"<{pfx}:{local} rdf:resource={quoteattr(o['lex'])}/>"
+        elif o["kind"] == KIND_BNODE:
+            prop = f"<{pfx}:{local} rdf:nodeID={quoteattr(o['lex'])}/>"
+        elif o["dt"] == RDF_LANGSTRING:
+            prop = (
+                f"<{pfx}:{local} xml:lang={quoteattr(o['lang'])}>"
+                f"{escape(o['lex'])}</{pfx}:{local}>"
+            )
+        elif o["dt"] is not None and o["dt"] != XSD_STRING:
+            prop = (
+                f"<{pfx}:{local} rdf:datatype={quoteattr(o['dt'])}>"
+                f"{escape(o['lex'])}</{pfx}:{local}>"
+            )
+        else:
+            prop = f"<{pfx}:{local}>{escape(o['lex'])}</{pfx}:{local}>"
+        by_subject.setdefault(key, []).append("    " + prop)
+
+    out = ['<?xml version="1.0" encoding="UTF-8"?>']
+    decls = ['xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"'] + [
+        f"xmlns:{pfx}={quoteattr(ns)}" for ns, pfx in sorted(ns_of.items())
+    ]
+    out.append("<rdf:RDF " + " ".join(decls) + ">")
+    for kind, lex in sorted(by_subject):
+        attr = (
+            f"rdf:about={quoteattr(lex)}"
+            if kind == KIND_IRI
+            else f"rdf:nodeID={quoteattr(lex)}"
+        )
+        out.append(f"  <rdf:Description {attr}>")
+        out.extend(sorted(by_subject[(kind, lex)]))
+        out.append("  </rdf:Description>")
+    out.append("</rdf:RDF>")
     return "\n".join(out) + "\n"
 
 

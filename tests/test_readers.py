@@ -651,3 +651,93 @@ def test_jsonld_writer_roundtrip(spark, tmp_path):
     p = tmp_path / "out.jsonld"
     p.write_text(doc)
     assert key(read_triples(spark, str(p))) == key(quads)
+
+
+def test_trix_writer_roundtrip(spark, tmp_path):
+    """to_trix -> parse_trix reproduces the exact quad set: IRIs,
+    bnodes (as terms AND as graph labels), typed/lang/plain literals,
+    XML-special characters, named + default graphs."""
+    from scio_sparql_spark import to_trix
+    from scio_sparql_spark.sources.rio import parse_trix
+
+    quads = quads_df_from_list(
+        spark,
+        [
+            (Term.iri("urn:x:a"), Term.iri("urn:x:p"), Term.integer(7), None),
+            (Term.iri("urn:x:a"), Term.iri("urn:x:q"),
+             Term.literal('<&> "quotes"'), None),
+            (Term.bnode("n1"), Term.iri("urn:x:p"),
+             Term.literal("hola", lang="es"), None),
+            (Term.iri("urn:x:c"), Term.iri("urn:x:p"), Term.integer(9),
+             Term.iri("urn:x:g")),
+            (Term.iri("urn:x:d"), Term.iri("urn:x:p"), Term.iri("urn:x:e"),
+             Term.bnode("gb")),
+        ],
+    )
+    doc = to_trix(quads)
+    back = quads_df_from_list(spark, parse_trix(doc))
+
+    def key(df):
+        def t(x):
+            return ("bnode",) if x is not None and x[0] == 0 else tuple(x or ())
+
+        return sorted(
+            repr((t(r["subject"]), tuple(r["predicate"]), t(r["object"]),
+                  t(r["graph"]) if r["graph"] else None))
+            for r in df.collect()
+        )
+
+    assert key(back) == key(quads)
+    # and the .trix file path round-trips through read_triples
+    p = tmp_path / "out.trix"
+    p.write_text(doc)
+    assert key(read_triples(spark, str(p))) == key(quads)
+
+
+def test_rdfxml_writer_roundtrip(spark, tmp_path):
+    """to_rdfxml -> parse_rdfxml reproduces the triple set (graphs
+    flattened per the format's own model): rdf:about/resource/nodeID,
+    rdf:datatype, xml:lang, XML escaping, multi-namespace predicates."""
+    import pytest as _pytest
+
+    from scio_sparql_spark import to_rdfxml
+    from scio_sparql_spark.sources.rio import parse_rdfxml
+
+    quads = quads_df_from_list(
+        spark,
+        [
+            (Term.iri("urn:a"), Term.iri("http://ex.org/v#p"), Term.integer(7), None),
+            (Term.iri("urn:a"), Term.iri("http://ex.org/v#q"),
+             Term.literal('x < y & "z"'), None),
+            (Term.iri("urn:a"), Term.iri("http://other.org/w#r"),
+             Term.iri("urn:b"), None),
+            (Term.bnode("n1"), Term.iri("http://ex.org/v#p"),
+             Term.literal("bonjour", lang="fr"), None),
+            (Term.iri("urn:a"), Term.iri("http://ex.org/v#s"),
+             Term.bnode("n1"), None),
+        ],
+    )
+    doc = to_rdfxml(quads)
+    back = quads_df_from_list(spark, parse_rdfxml(doc))
+
+    def key(df):
+        def t(x):
+            return ("bnode",) if x is not None and x[0] == 0 else tuple(x or ())
+
+        return sorted(
+            repr((t(r["subject"]), tuple(r["predicate"]), t(r["object"])))
+            for r in df.collect()
+        )
+
+    assert key(back) == key(quads)
+    # the .rdf file path round-trips through read_triples too
+    p = tmp_path / "out.rdf"
+    p.write_text(doc)
+    assert key(read_triples(spark, str(p))) == key(quads)
+    # an unqualifiable predicate (no NCName suffix) raises, naming it
+    bad = quads_df_from_list(
+        spark,
+        [(Term.iri("urn:a"), Term.iri("http://ex.org/123"), Term.integer(1), None)],
+    )
+    with _pytest.raises(ValueError, match="ex.org/123"):
+        to_rdfxml(bad)
