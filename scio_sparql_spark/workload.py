@@ -1036,12 +1036,20 @@ def ivf_index_path(spark, sf_dir, rebuild: bool = False) -> str:
     path = _IVF_INDEX_PATHS.get(key)
     if path is None or rebuild:
         # per-session suffix: same shared-tempdir race as the property
-        # table path (ADVICE r3)
+        # table path (ADVICE r3). The session-unique dir is removed at
+        # interpreter exit — without this, every bench/driver session
+        # left one index dir behind (the same leak class as the r7
+        # bucketed-join ADVICE).
         app_id = spark.sparkContext.applicationId
         path = os.path.join(
             tempfile.gettempdir(),
             f"scio_ivf_{key.strip('/').replace('/', '_')}_{app_id}",
         )
+        if path not in _IVF_INDEX_PATHS.values():
+            import atexit
+            import shutil
+
+            atexit.register(shutil.rmtree, path, ignore_errors=True)
         # quantizer trains on a sample: centroid quality barely moves,
         # recall is governed by nprobe; fit cost drops ~4x
         similarity.ivf_build_index(
