@@ -1,0 +1,185 @@
+"""Differential fuzzing of the SPARQL ENGINE against DuckDB: random
+instances of six query-template families run through the full
+parser -> algebra -> compiler -> DataFrame stack over the relational
+bridge, and must row-for-row match a trivially-written SQL twin on the
+same parquet. The SQL side is deliberately simple (one SELECT per
+template) so a bug in the engine cannot mirror into the oracle.
+
+This complements the 60+ hand-written catalog oracles with mechanical
+breadth: random comparison operators, constants, aggregate choices,
+LIMIT/OFFSET splits, and correlation shapes. Deterministic
+(derandomized) so the suite is reproducible."""
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from scio_sparql_spark import execute_sparql
+from scio_sparql_spark.sources.bridge import bridge_ctx
+
+SF = "/root/testdata/sf0.001"
+PREFIXES = "PREFIX col: <urn:col:>\nPREFIX ref: <urn:ref:>\n"
+
+_settings = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+    derandomize=True,
+)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in ["part", "customer", "orders", "nation", "region", "supplier"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con
+
+
+def _run(spark, tables, query, project):
+    quads, catalog = bridge_ctx(spark, SF, tables)
+    df = execute_sparql(quads, PREFIXES + query, star_tables=catalog)
+    cols = []
+    for out, var, kind in project:
+        lex = F.col(var)["lex"]
+        c = lex.cast("double").cast("bigint") if kind == "i" else lex
+        cols.append(c.alias(out))
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def _sql(duck, q):
+    return sorted(tuple(r) for r in duck.execute(q).fetchall())
+
+
+OPS = ["<", "<=", "=", ">", ">=", "!="]
+
+
+@given(op=st.sampled_from(OPS), const=st.integers(min_value=1, max_value=40))
+@_settings
+def test_fuzz_filter_template(spark, duck, op, const):
+    got = _run(
+        spark,
+        ["part"],
+        f"""SELECT ?name ?size WHERE {{
+             ?p col:p_name ?name ; col:p_size ?size .
+             FILTER(?size {op} {const}) }}""",
+        [("name", "name", "s"), ("size", "size", "i")],
+    )
+    sql_op = "<>" if op == "!=" else op
+    want = _sql(
+        duck, f"SELECT p_name, p_size FROM part WHERE p_size {sql_op} {const}"
+    )
+    assert got == want
+
+
+@given(
+    agg=st.sampled_from(["COUNT", "SUM", "MIN", "MAX"]),
+    having=st.integers(min_value=0, max_value=30),
+)
+@_settings
+def test_fuzz_groupby_template(spark, duck, agg, having):
+    arg = "?size" if agg != "COUNT" else "?p"
+    got = _run(
+        spark,
+        ["part"],
+        f"""SELECT ?brand ({agg}({arg}) AS ?v) WHERE {{
+              ?p col:p_brand ?brand ; col:p_size ?size .
+            }} GROUP BY ?brand HAVING ({agg}({arg}) > {having})""",
+        [("brand", "brand", "s"), ("v", "v", "i")],
+    )
+    fn = {"COUNT": "COUNT(*)", "SUM": "SUM(p_size)", "MIN": "MIN(p_size)",
+          "MAX": "MAX(p_size)"}[agg]
+    want = _sql(
+        duck,
+        f"""SELECT p_brand, CAST({fn} AS BIGINT) FROM part
+            GROUP BY p_brand HAVING {fn} > {having}""",
+    )
+    assert got == want
+
+
+@given(seg=st.sampled_from(["BUILDING", "MACHINERY", "AUTOMOBILE", "HOUSEHOLD"]))
+@_settings
+def test_fuzz_join_template(spark, duck, seg):
+    got = _run(
+        spark,
+        ["customer", "orders"],
+        f"""SELECT ?c_name ?okey WHERE {{
+             ?c col:c_name ?c_name ; col:c_mktsegment "{seg}" .
+             ?o ref:o_custkey ?c ; col:o_orderkey ?okey . }}""",
+        [("c_name", "c_name", "s"), ("okey", "okey", "i")],
+    )
+    want = _sql(
+        duck,
+        f"""SELECT c_name, o_orderkey FROM customer JOIN orders
+            ON o_custkey = c_custkey WHERE c_mktsegment = '{seg}'""",
+    )
+    assert got == want
+
+
+@given(cut=st.integers(min_value=0, max_value=25))
+@_settings
+def test_fuzz_optional_bound_template(spark, duck, cut):
+    # filter on a variable bound only in the OPTIONAL: NULL rows drop
+    got = _run(
+        spark,
+        ["customer", "orders"],
+        f"""SELECT ?c_name ?okey WHERE {{
+             ?c col:c_name ?c_name .
+             OPTIONAL {{ ?o ref:o_custkey ?c ; col:o_orderkey ?okey }}
+             FILTER(!BOUND(?okey) || ?okey > {cut}) }}""",
+        [("c_name", "c_name", "s"), ("okey", "okey", "i")],
+    )
+    want = _sql(
+        duck,
+        f"""SELECT c_name, o_orderkey FROM customer LEFT JOIN orders
+            ON o_custkey = c_custkey
+            WHERE o_orderkey IS NULL OR o_orderkey > {cut}""",
+    )
+    assert got == want
+
+
+@given(
+    limit=st.integers(min_value=1, max_value=20),
+    offset=st.integers(min_value=0, max_value=15),
+)
+@_settings
+def test_fuzz_topk_offset_template(spark, duck, limit, offset):
+    got = _run(
+        spark,
+        ["part"],
+        f"""SELECT ?key ?size WHERE {{
+              ?p col:p_partkey ?key ; col:p_size ?size .
+            }} ORDER BY DESC(?size) ?key OFFSET {offset} LIMIT {limit}""",
+        [("key", "key", "i"), ("size", "size", "i")],
+    )
+    want = _sql(
+        duck,
+        f"""SELECT p_partkey, p_size FROM part
+            ORDER BY p_size DESC, p_partkey LIMIT {limit} OFFSET {offset}""",
+    )
+    assert got == want
+
+
+@given(neg=st.booleans(), const=st.integers(min_value=1, max_value=40))
+@_settings
+def test_fuzz_exists_template(spark, duck, neg, const):
+    word = "NOT EXISTS" if neg else "EXISTS"
+    got = _run(
+        spark,
+        ["customer", "orders"],
+        f"""SELECT ?c_name WHERE {{
+             ?c col:c_name ?c_name ; col:c_custkey ?ck .
+             FILTER(?ck <= {const})
+             FILTER {word} {{ ?o ref:o_custkey ?c }} }}""",
+        [("c_name", "c_name", "s")],
+    )
+    sql_word = "NOT EXISTS" if neg else "EXISTS"
+    want = _sql(
+        duck,
+        f"""SELECT c_name FROM customer
+            WHERE c_custkey <= {const} AND {sql_word}
+              (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    )
+    assert got == want
