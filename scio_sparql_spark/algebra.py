@@ -39,6 +39,22 @@ class EConst:
 
 
 @dataclass(frozen=True)
+class ENumRef:
+    """Compiler-internal reference to a hidden NUMERIC-PARTS column
+    (struct<lex, lvl>) created by the nested-arithmetic CSE pass —
+    never produced by the parser. Storing pulled sub-expressions as
+    slim parts instead of full term structs keeps the per-level
+    attribute reference count ~5 instead of ~10: Catalyst's filter
+    pushdown re-substitutes hidden columns into the predicate with no
+    size guard, so the inlined tree grows as (refs per level)^depth —
+    at ~10 a depth-2 arithmetic inside a FILTER already generated more
+    code than janino's 64KB method cap (found by
+    tests/test_sparql_fuzz.py)."""
+
+    name: str
+
+
+@dataclass(frozen=True)
 class ECall:
     """Builtin / cast function call; ``name`` is uppercased builtin name or
     a full IRI for cast-style calls like xsd:integer(...)."""
@@ -110,7 +126,10 @@ class EAgg:
     separator: str = " "
 
 
-Expr = U[EVar, EConst, ECall, EAnd, EOr, ENot, ECmp, EArith, ENeg, EIn, EExists, EAgg]
+Expr = U[
+    EVar, EConst, ENumRef, ECall, EAnd, EOr, ENot, ECmp, EArith, ENeg, EIn,
+    EExists, EAgg,
+]
 
 
 def expr_vars(e) -> set[str]:
@@ -118,7 +137,7 @@ def expr_vars(e) -> set[str]:
     in-scope vars — needed for correlated semi/anti join planning)."""
     if isinstance(e, EVar):
         return {e.name}
-    if isinstance(e, EConst):
+    if isinstance(e, (EConst, ENumRef)):
         return set()
     if isinstance(e, ECall):
         return set().union(*[expr_vars(a) for a in e.args]) if e.args else set()

@@ -443,7 +443,7 @@ class Compiler:
                     return e2
                 name = f"__cse{next(_alias_counter)}"
                 pulled.append((name, e2))
-                return A.EVar(name)
+                return A.ENumRef(name)
             if isinstance(e, A.ENeg):
                 return A.ENeg(rw(e.arg, False))
             if isinstance(e, A.ECall):
@@ -467,7 +467,39 @@ class Compiler:
         top = rw(expr, True)
         temps = []
         for name, sub in pulled:  # children precede parents (post-order)
-            df = df.withColumn(name, compile_value(sub, _env(df)))
+            # slim struct<lex,lvl> parts, not a full term struct: half
+            # the attribute references per consumer (algebra.ENumRef).
+            #
+            # The always-true nondeterministic guard is an OPTIMIZER
+            # BARRIER: Catalyst substitutes hidden deterministic
+            # columns into consumers with NO size guard (predicate
+            # pushdown unconditionally; physical-planning collapse
+            # likewise), so the inlined tree grows as
+            # (refs per level)^depth — a depth-2 arithmetic FILTER
+            # already generated more bytecode than janino's 64KB
+            # method cap (27s of doomed compile + interpreted
+            # fallback), and depth 4 OOM'd the driver during
+            # optimization (found by tests/test_sparql_fuzz.py).
+            # Nondeterministic expressions are never substituted and
+            # never collapsed, so each CSE level stays one small named
+            # projection: plan size linear in expression depth at any
+            # depth. The guard must taint the temp VALUE itself — a
+            # separate hidden barrier column gets removed by
+            # ColumnPruning before pushdown runs (measured). Results
+            # are untouched: the guard is always true, per-row cost is
+            # one long comparison. Scan-level pattern pushdown is
+            # unaffected (BGP filters bind during pattern compilation,
+            # below this projection); only later same-FILTER parts
+            # lose push-through, and only on queries nesting
+            # arithmetic.
+            from .exprs import arith_parts
+            from .terms import numeric_parts_struct
+
+            parts = numeric_parts_struct(*arith_parts(sub, _env(df)))
+            df = df.withColumn(
+                name,
+                F.when(F.monotonically_increasing_id() >= 0, parts),
+            )
             temps.append(name)
         fn = compile_bool if as_bool else compile_value
         return df, fn(top, _env(df)), temps

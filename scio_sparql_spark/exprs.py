@@ -50,6 +50,10 @@ def compile_value(e, env: Env) -> Column:
     """Expression -> term-struct Column; NULL = error/unbound."""
     if isinstance(e, A.EVar):
         return lookup(env, e.name)
+    if isinstance(e, A.ENumRef):
+        from .terms import term_from_numeric_parts
+
+        return term_from_numeric_parts(lookup(env, e.name))
     if isinstance(e, A.EConst):
         return e.term.to_column()
     if isinstance(e, (A.EAnd, A.EOr, A.ENot, A.ECmp, A.EIn)):
@@ -78,6 +82,24 @@ def compile_bool(e, env: Env) -> Column:
     if isinstance(e, A.ENot):
         return ~compile_bool(e.arg, env)
     if isinstance(e, A.ECmp):
+        # slim lane for ORDERING comparisons with a compile-time-
+        # certain numeric side: the full type-dispatch _compare
+        # references each operand ~12 times, and Catalyst's predicate
+        # pushdown multiplies that into every inlined nested-arith
+        # level (the janino-64KB blowup test_sparql_fuzz found). When
+        # either side can only ever be a numeric term or an error,
+        # ordering semantics collapse to f(num, num) with NULL
+        # propagation — identical row-for-row to the full dispatch
+        # (a non-numeric other side makes every full-path branch fail
+        # to NULL too). =/!= keep the full path: RDFterm-equal gives
+        # real answers across kinds (numeric != IRI is true, not an
+        # error).
+        if e.op not in ("=", "!=") and (
+            _certainly_numeric(e.left) or _certainly_numeric(e.right)
+        ):
+            numl, _, _ = _numeric_parts_of(e.left, env)
+            numr, _, _ = _numeric_parts_of(e.right, env)
+            return _OPS[e.op](numl, numr)
         return _compare(e.op, compile_value(e.left, env), compile_value(e.right, env))
     if isinstance(e, A.EIn):
         arg = compile_value(e.arg, env)
@@ -103,6 +125,19 @@ _OPS = {
     ">": lambda a, b: a > b,
     ">=": lambda a, b: a >= b,
 }
+
+
+def _certainly_numeric(e) -> bool:
+    """True when the expression can only evaluate to a numeric term or
+    an error (never a boolean/string/date/IRI/bnode term) — the
+    licence for compile_bool's slim ordering comparison."""
+    if isinstance(e, (A.EArith, A.ENumRef, A.ENeg)):
+        return True
+    if isinstance(e, A.EConst):
+        from .terms import NUMERIC_DTS
+
+        return e.term.dt in NUMERIC_DTS
+    return False
 
 
 def _compare(op: str, l: Column, r: Column) -> Column:
@@ -150,16 +185,35 @@ def _compare(op: str, l: Column, r: Column) -> Column:
 # --- arithmetic ------------------------------------------------------------
 
 
-def _arith(e: A.EArith, env: Env) -> Column:
-    l = compile_value(e.left, env)
-    r = compile_value(e.right, env)
-    numl, numr = num_value(l), num_value(r)
-    ll, lr = promotion_level(l), promotion_level(r)
+def _numeric_parts_of(e, env: Env) -> tuple[Column, Column, Column]:
+    """(numeric double, promotion level, exact decimal) for an operand.
+    ENumRef reads the slim CSE struct's 2 fields directly — exactly the
+    values num_value/promotion_level/exact_decimal would derive from
+    the full term (see terms.numeric_parts_struct), at half the
+    attribute references, which is what bounds Catalyst's predicate-
+    pushdown inlining growth for nested arithmetic."""
+    from .terms import _EXACT_NUM_RE
+
+    if isinstance(e, A.ENumRef):
+        p = lookup(env, e.name)
+        lex = p["lex"]
+        num = lex.cast("double")
+        exact = F.when(lex.rlike(_EXACT_NUM_RE), lex.cast("decimal(19,6)"))
+        return num, p["lvl"], exact
+    t = compile_value(e, env)
+    return num_value(t), promotion_level(t), exact_decimal(t)
+
+
+def arith_parts(e: A.EArith, env: Env) -> tuple[Column, Column, Column | None]:
+    """The (value, level, exact) triple of an arithmetic expression —
+    the payload make_numeric_term wraps into a term, and
+    numeric_parts_struct stores for hidden CSE columns."""
+    numl, ll, exl = _numeric_parts_of(e.left, env)
+    numr, lr, exr = _numeric_parts_of(e.right, env)
     level = F.greatest(ll, lr)
     # exact decimal lane for + - * at integer/decimal level (spec:
     # xsd:decimal arithmetic is exact; terms.exact_decimal guards the
     # operand width so Spark's decimal result types never round)
-    exl, exr = exact_decimal(l), exact_decimal(r)
     exact = None
     if e.op == "+":
         val = numl + numr
@@ -181,11 +235,15 @@ def _arith(e: A.EArith, env: Env) -> Column:
     else:
         raise ValueError(e.op)
     both = numl.isNotNull() & numr.isNotNull()
-    return make_numeric_term(
+    return (
         F.when(both, val),
         F.when(both, level),
-        exact=None if exact is None else F.when(both, exact),
+        None if exact is None else F.when(both, exact),
     )
+
+
+def _arith(e: A.EArith, env: Env) -> Column:
+    return make_numeric_term(*arith_parts(e, env))
 
 
 # --- function calls --------------------------------------------------------

@@ -287,6 +287,55 @@ def _format_exact_lex(exact: Column, level: Column) -> Column:
     return F.when(level == 0, as_int).otherwise(trimmed)
 
 
+def _numeric_lex(value: Column, level: Column, exact: Column | None) -> Column:
+    """The lexical form a computed numeric term carries (exact lane
+    overriding the double rendering at integer/decimal level) — shared
+    by make_numeric_term and the slim parts-struct path so both emit
+    byte-identical lexicals."""
+    lex = format_numeric_lex(value, level)
+    if exact is not None:
+        lex = F.when(
+            (level <= 1) & exact.isNotNull(), _format_exact_lex(exact, level)
+        ).otherwise(lex)
+    return lex
+
+
+def numeric_parts_struct(
+    value: Column, level: Column, exact: Column | None = None
+) -> Column:
+    """A computed numeric as a slim ``struct<lex, lvl>`` instead of a
+    full term struct — the storage for hidden nested-arithmetic CSE
+    columns (algebra.ENumRef). Semantically equivalent to running
+    make_numeric_term and re-deriving: ``lex`` is the identical
+    lexical (NULL on error), ``lvl`` the promotion level. Re-derivers:
+    num = lex.cast(double) (== num_value of the term, whose dt is
+    always one of NUMERIC_DTS), level = lvl (== promotion_level, the
+    dt_for_level mapping is bijective on 0..3), exact =
+    when(lex rlike guard, lex.cast(decimal)) (== exact_decimal).
+    Keeping only 2 fields minimizes how many attribute references a
+    parent expression needs — see ENumRef's docstring for why that
+    bounds Catalyst's predicate-pushdown tree growth."""
+    ok = value.isNotNull() & level.isNotNull()
+    return F.struct(
+        F.when(ok, _numeric_lex(value, level, exact)).alias("lex"),
+        F.when(ok, level).alias("lvl"),
+    )
+
+
+def term_from_numeric_parts(parts: Column) -> Column:
+    """Rebuild the full term struct from a numeric-parts column —
+    bit-identical to the make_numeric_term output the parts encode."""
+    return F.when(
+        parts["lex"].isNotNull() & parts["lvl"].isNotNull(),
+        make_term(
+            F.lit(KIND_LITERAL),
+            parts["lex"],
+            dt_for_level(parts["lvl"]),
+            F.lit(None),
+        ),
+    )
+
+
 def make_numeric_term(value: Column, level: Column, exact: Column | None = None) -> Column:
     """Build a numeric literal term from a double value + promotion level.
     NULL value or NULL level -> NULL term (error propagation).
@@ -298,11 +347,7 @@ def make_numeric_term(value: Column, level: Column, exact: Column | None = None)
     be off in the last digit (e.g. 105591 * 41.403). The double
     ``value`` still gates error propagation and feeds float/double
     levels."""
-    lex = format_numeric_lex(value, level)
-    if exact is not None:
-        lex = F.when(
-            (level <= 1) & exact.isNotNull(), _format_exact_lex(exact, level)
-        ).otherwise(lex)
+    lex = _numeric_lex(value, level, exact)
     return F.when(
         value.isNotNull() & level.isNotNull(),
         make_term(

@@ -183,3 +183,76 @@ def test_fuzz_exists_template(spark, duck, neg, const):
               (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
     )
     assert got == want
+
+
+@given(
+    mul=st.integers(min_value=1, max_value=9),
+    add=st.integers(min_value=-10, max_value=10),
+)
+@_settings
+def test_fuzz_arith_bind_template(spark, duck, mul, add):
+    # XPath numeric promotion through BIND + a filter over the result
+    got = _run(
+        spark,
+        ["part"],
+        f"""SELECT ?key ?v WHERE {{
+             ?p col:p_partkey ?key ; col:p_size ?size .
+             BIND(?size * {mul} + {add} AS ?v)
+             FILTER(?v >= 0) }}""",
+        [("key", "key", "i"), ("v", "v", "i")],
+    )
+    want = _sql(
+        duck,
+        f"""SELECT p_partkey, p_size * {mul} + {add} FROM part
+            WHERE p_size * {mul} + {add} >= 0""",
+    )
+    assert got == want
+
+
+@given(
+    fn=st.sampled_from(["UCASE", "LCASE", "STRLEN", "REVERSEDSUBSTR"]),
+    start=st.integers(min_value=1, max_value=4),
+    ln=st.integers(min_value=1, max_value=6),
+)
+@_settings
+def test_fuzz_string_fn_template(spark, duck, fn, start, ln):
+    # string builtins are the least-differentially-covered surface:
+    # each SPARQL builtin maps to an independent DuckDB twin (SUBSTR
+    # exercises SPARQL's 1-based start + length form)
+    if fn == "REVERSEDSUBSTR":
+        expr, sql = f"SUBSTR(?name, {start}, {ln})", f"substr(p_name, {start}, {ln})"
+    else:
+        expr = f"{fn}(?name)"
+        sql = {"UCASE": "upper(p_name)", "LCASE": "lower(p_name)",
+               "STRLEN": "CAST(length(p_name) AS BIGINT)"}[fn]
+    kind = "i" if fn == "STRLEN" else "s"
+    got = _run(
+        spark,
+        ["part"],
+        f"""SELECT ?key ?v WHERE {{
+             ?p col:p_partkey ?key ; col:p_name ?name .
+             BIND({expr} AS ?v) }}""",
+        [("key", "key", "i"), ("v", "v", kind)],
+    )
+    want = _sql(duck, f"SELECT p_partkey, {sql} FROM part")
+    assert got == want
+
+
+@given(needle=st.sampled_from(["wid", "bolt", "rod", "blue", "xyz", "e"]))
+@_settings
+def test_fuzz_contains_strstarts_template(spark, duck, needle):
+    got = _run(
+        spark,
+        ["part"],
+        f"""SELECT ?key WHERE {{
+             ?p col:p_partkey ?key ; col:p_name ?name .
+             FILTER(CONTAINS(?name, "{needle}") && !STRSTARTS(?name, "{needle}")) }}""",
+        [("key", "key", "i")],
+    )
+    want = _sql(
+        duck,
+        f"""SELECT p_partkey FROM part
+            WHERE contains(p_name, '{needle}')
+              AND NOT starts_with(p_name, '{needle}')""",
+    )
+    assert got == want
