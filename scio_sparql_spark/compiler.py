@@ -487,19 +487,18 @@ class Compiler:
             # separate hidden barrier column gets removed by
             # ColumnPruning before pushdown runs (measured). Results
             # are untouched: the guard is always true, per-row cost is
-            # one long comparison. Scan-level pattern pushdown is
+            # one int comparison (terms.optimizer_barrier — chosen to
+            # survive both the streaming checker and constant folding,
+            # see its docstring). Scan-level pattern pushdown is
             # unaffected (BGP filters bind during pattern compilation,
             # below this projection); only later same-FILTER parts
             # lose push-through, and only on queries nesting
             # arithmetic.
             from .exprs import arith_parts
-            from .terms import numeric_parts_struct
+            from .terms import numeric_parts_struct, optimizer_barrier
 
             parts = numeric_parts_struct(*arith_parts(sub, _env(df)))
-            df = df.withColumn(
-                name,
-                F.when(F.monotonically_increasing_id() >= 0, parts),
-            )
+            df = df.withColumn(name, optimizer_barrier(parts))
             temps.append(name)
         fn = compile_bool if as_bool else compile_value
         return df, fn(top, _env(df)), temps

@@ -434,19 +434,28 @@ def bloom_contamination_hits(
         for j in range(k)
     ]
     # build: benchmark is small by contract (an eval suite) — collect
-    # its k*|shingles| bit positions and set them in a numpy bitmap.
+    # its k*|shingles| bit positions and set them in a bit-PACKED numpy
+    # bitmap (np.packbits: m_bits/8 bytes — 128 KB at the default — in
+    # every task closure, not the 1 MB a bool-per-bit array costs).
     # (At a larger benchmark, swap in a mapInPandas OR-reduce of
     # per-partition bitmaps — the gram_matrix_micro pattern.)
-    bitmap = np.zeros(m_bits, dtype=bool)
+    bits = np.zeros(m_bits, dtype=bool)
     for row in bench_sh.select(*pos_cols).collect():
         for j in range(k):
-            bitmap[row[f"p{j}"]] = True
+            bits[row[f"p{j}"]] = True
+    bitmap = np.packbits(bits)  # big-endian within each byte
 
     @pandas_udf("boolean")
     def _maybe(*pos: pd.Series) -> pd.Series:
-        hit = bitmap[pos[0].to_numpy()]
+        def probe(p: pd.Series) -> np.ndarray:
+            idx = p.to_numpy()
+            # packbits is MSB-first: bit i lives in byte i>>3 at
+            # position 7 - (i & 7) from the LSB
+            return (bitmap[idx >> 3] >> (7 - (idx & 7)) & 1).astype(bool)
+
+        hit = probe(pos[0])
         for p in pos[1:]:
-            hit &= bitmap[p.to_numpy()]
+            hit &= probe(p)
         return pd.Series(hit)
 
     corpus_sh = spread(corpus).select(

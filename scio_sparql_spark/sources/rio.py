@@ -638,7 +638,19 @@ def _read_ntriples(spark: SparkSession, path: str, quads: bool) -> DataFrame:
 
 def _project_ntriples(lines: DataFrame, quads: bool) -> DataFrame:
     """text lines -> quad term structs, pure native Columns (works
-    identically over batch ``read.text`` and ``readStream.text``)."""
+    identically over batch ``read.text`` and ``readStream.text``).
+
+    Each term struct is wrapped in terms.optimizer_barrier (always-true
+    nondeterministic guard): the parse expressions are ~40 regexp calls
+    per term, and Catalyst's CollapseProject/pushdown substitute
+    deterministic projections into EVERY downstream reference with no
+    size guard, so a query referencing ``?v`` a dozen times (any nested
+    arithmetic after numeric promotion) re-inlines the whole parse tree
+    per reference — measured codegen OOM during optimization on a
+    three-row streaming input. The barrier pins the parse to one
+    projection per row; consumers see plain attribute refs. Per-row cost
+    is one int comparison; the empty-line/comment filter below still
+    reaches the text scan (it binds before this projection)."""
     line = F.trim(F.col("value"))
     lines = lines.filter((line != "") & ~line.startswith("#"))
     term_re = rf"({_IRI}|{_BNODE}|{_LIT})"
@@ -646,12 +658,15 @@ def _project_ntriples(lines: DataFrame, quads: bool) -> DataFrame:
         rf"(?:\s+{term_re})?\s*\.\s*$" if quads else r"\s*\.\s*$"
     )
     parts = [F.regexp_extract(line, pat, 1 + 6 * i) for i in range(4 if quads else 3)]
+
+    from ..terms import optimizer_barrier as barrier
+
     df = lines.select(
-        _term_from_ntoken(parts[0]).alias("subject"),
-        _term_from_ntoken(parts[1]).alias("predicate"),
-        _term_from_ntoken(parts[2]).alias("object"),
+        barrier(_term_from_ntoken(parts[0])).alias("subject"),
+        barrier(_term_from_ntoken(parts[1])).alias("predicate"),
+        barrier(_term_from_ntoken(parts[2])).alias("object"),
         (
-            F.when(parts[3] != "", _term_from_ntoken(parts[3]))
+            barrier(F.when(parts[3] != "", _term_from_ntoken(parts[3])))
             if quads
             else F.lit(None).cast("struct<kind:tinyint,lex:string,dt:string,lang:string>")
         ).alias("graph"),
@@ -1130,12 +1145,21 @@ def to_rdfxml(df: DataFrame) -> str:
             )
         return iri[: m.start()], iri[m.start() :]
 
+    # Prefix numbers are assigned over the SORTED namespace set, not in
+    # row-encounter order: df.collect() row order varies with
+    # partitioning, and the docstring promises deterministic bytes
+    # (ADVICE r8).
+    for r in rows:
+        ns_of[split_pred(r["predicate"]["lex"])[0]] = ""
+    for i, ns in enumerate(sorted(ns_of)):
+        ns_of[ns] = f"ns{i}"
+
     by_subject: dict = {}
     for r in rows:
         s = r["subject"]
         key = (int(s["kind"]), s["lex"])
         ns, local = split_pred(r["predicate"]["lex"])
-        pfx = ns_of.setdefault(ns, f"ns{len(ns_of)}")
+        pfx = ns_of[ns]
         o = r["object"]
         if o["kind"] == KIND_IRI:
             prop = f"<{pfx}:{local} rdf:resource={quoteattr(o['lex'])}/>"

@@ -166,6 +166,24 @@ def null_term() -> Column:
     return F.lit(None).cast(TERM_TYPE)
 
 
+def optimizer_barrier(col: Column) -> Column:
+    """Wrap ``col`` in an always-true NONDETERMINISTIC guard so Catalyst
+    never substitutes it into downstream consumers (CollapseProject and
+    predicate pushdown inline deterministic projections with no size
+    guard — the inlined tree grows as refs^depth, measured janino-cap
+    bytecode blowups and a driver OOM during optimization; see
+    compiler._compile_cse and sources.rio._project_ntriples).
+
+    Guard choice is empirical on this Spark (4.1): ``rand(0) >= -1.0``
+    is FOLDED to true by bounds-based comparison simplification (and
+    ``monotonically_increasing_id`` is rejected by the streaming
+    UnsupportedOperationChecker), so neither survives;
+    ``spark_partition_id() >= 0`` is accepted in streaming plans,
+    survives optimization, and costs one int comparison per row
+    (tests/test_optimize.py locks both properties)."""
+    return F.when(F.spark_partition_id() >= 0, col)
+
+
 def make_term(kind: Column, lex: Column, dt: Column, lang: Column) -> Column:
     return F.struct(
         kind.cast("tinyint").alias("kind"),

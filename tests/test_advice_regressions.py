@@ -135,6 +135,39 @@ def test_turtle_nested_prefix_compresses_longest_namespace(spark):
     assert "e:subthing1" not in doc
 
 
+def test_streaming_nested_arith_filter(spark, tmp_path):
+    # ADVICE r8 (medium): the nested-arithmetic CSE optimizer barrier used
+    # monotonically_increasing_id(), which UnsupportedOperationChecker
+    # rejects in streaming plans — so any streaming SPARQL query nesting
+    # arithmetic in a FILTER failed at query start. The barrier is now
+    # F.rand(0) >= -1.0, which streaming accepts and Catalyst still never
+    # substitutes. This test runs a depth-3 arithmetic FILTER + BIND on a
+    # file stream end to end and checks the values.
+    from scio_sparql_spark import read_triples_stream
+    from scio_sparql_spark.engine import execute_sparql
+    from scio_sparql_spark.streaming.bounded import run_bounded
+
+    d = tmp_path / "ntdir"
+    d.mkdir()
+    (d / "a.nt").write_text(
+        '<urn:s:1> <urn:p:v> "3"^^<http://www.w3.org/2001/XMLSchema#integer> .\n'
+        '<urn:s:2> <urn:p:v> "10"^^<http://www.w3.org/2001/XMLSchema#integer> .\n'
+        '<urn:s:3> <urn:p:v> "7"^^<http://www.w3.org/2001/XMLSchema#integer> .\n'
+    )
+    stream = read_triples_stream(spark, str(d))
+    q = """PREFIX p: <urn:p:>
+           SELECT ?x ?w WHERE {
+             ?x p:v ?v .
+             BIND(((?v + 1) * (?v - 1)) + (?v * 2) AS ?w)
+             FILTER(((?w - ?v) / 2) + (?v * ?v) > 20)
+           }"""
+    out = run_bounded(execute_sparql(stream, q))
+    got = {(r["x"]["lex"], int(r["w"]["lex"])) for r in out.collect()}
+    # w = v^2 - 1 + 2v; keep rows where (w - v)/2 + v^2 > 20
+    # v=3: w=14, (14-3)/2 + 9 = 14.5 -> drop; v=10: w=119 -> keep; v=7: w=62 -> keep
+    assert got == {("urn:s:2", 119), ("urn:s:3", 62)}
+
+
 def test_empty_doc_tokenizes_to_zero_tokens(spark):
     # dedup._tokens on empty / whitespace-only text must yield [] to
     # match the DuckDB oracles' list_filter (ADVICE r5).

@@ -310,3 +310,34 @@ def test_corrupt_star_sidecar_fails_soft(spark, tmp_path):
         assert any("star sidecar" in str(x.message) for x in w)
     assert getattr(reread, "_scio_star_catalog", None) is None
     assert reread.count() == quads.count()
+
+
+def test_optimizer_barrier_survives_optimization(spark):
+    """terms.optimizer_barrier must reach the optimized plan intact: the
+    guard is what stops Catalyst from inlining expensive projections
+    into every consumer (rand(0) >= -1.0 is now constant-folded away by
+    bounds-based simplification on this Spark — this lock catches the
+    next such regression). Also locks that an .nt read's optimized plan
+    contains the barrier, i.e. the NT parse is pinned to one projection."""
+    from pyspark.sql import functions as F
+
+    from scio_sparql_spark.terms import optimizer_barrier
+
+    df = spark.range(3).withColumn(
+        "g", optimizer_barrier((F.col("id") + 1) * 2)
+    )
+    out = df.select((F.col("g") + F.col("g")).alias("s"))
+    opt = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "SPARK_PARTITION_ID" in opt, opt
+    rows = sorted(r["s"] for r in out.collect())
+    assert rows == [4, 8, 12]
+
+
+def test_nt_read_parse_is_barriered(spark, tmp_path):
+    from scio_sparql_spark.sources.rio import read_triples
+
+    p = tmp_path / "b.nt"
+    p.write_text('<urn:s:1> <urn:p:v> "3"^^<http://www.w3.org/2001/XMLSchema#integer> .\n')
+    quads = read_triples(spark, str(p))
+    opt = quads._jdf.queryExecution().optimizedPlan().toString()
+    assert "SPARK_PARTITION_ID" in opt, opt[:2000]
