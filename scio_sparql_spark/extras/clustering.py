@@ -180,6 +180,94 @@ def kmeans_micro_oracle_sql(
     return "WITH " + ",\n".join(parts) + "\n" + final
 
 
+def _split_oversized_clusters(
+    assigned: DataFrame, bound: int, max_rounds: int = 3
+) -> DataFrame:
+    """Enforce SemDeDup's cluster-size contract (VERDICT r8 item 1b):
+    any cluster whose DISTINCT-vector count exceeds ``bound`` is split
+    deterministically into two children, repeatedly (``max_rounds``
+    deep), so the per-cluster all-pairs matmul in semdedup_pairs stays
+    O(bound^2) per task instead of OOMing on a skewed k-means blocking.
+
+    Split recurrence (oracle-replicable — no RNG, no float):
+    seed1 = the vector with the LOWEST min-id in the cluster; seed2 =
+    the vector FARTHEST from seed1 (exact integer squared distance,
+    ties to the lowest min-id); every row goes to the nearer seed (tie
+    to seed1). Both children are nonempty by construction (each seed is
+    at distance 0 from itself), so every round strictly shrinks
+    oversized clusters. Child labels are (parent + B)*2 + child with
+    B = 1 + the max label at entry: children of distinct parents land
+    in disjoint ranges, every child exceeds every pre-existing label
+    (the invariant max < 2*min + 2B holds at entry since max < B and
+    propagates through the affine map), and labels only DOUBLE per
+    round — no 64-bit overflow within any practical depth.
+
+    Clusters with one distinct vector duplicated d times are NEVER
+    split: their matmul is 1x1 after the unique-vector collapse in
+    semdedup_pairs.pairs, so the distinct-count is what the bound must
+    police. Splitting only changes output above the bound (pairs across
+    children are no longer compared — the documented graceful-
+    degradation policy, same spirit as the LSH bucket cap); below it
+    the function is the identity."""
+    from pyspark.sql import Window
+
+    def d2(v, c):
+        return F.aggregate(
+            F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    out = assigned
+    label_base = (assigned.agg(F.max("cluster")).collect()[0][0] or 0) + 1
+    for _ in range(max_rounds):
+        out = out.localCheckpoint()  # each round collects + re-scans
+        sizes = out.groupBy("cluster").agg(F.count_distinct("v").alias("__nu"))
+        overs = [r["cluster"] for r in sizes.filter(F.col("__nu") > bound).collect()]
+        if not overs:
+            return out
+        rest = out.filter(~F.col("cluster").isin(overs))
+        big = out.filter(F.col("cluster").isin(overs))
+        vd = big.groupBy("cluster", "v").agg(F.min("id").alias("mid"))
+        w1 = Window.partitionBy("cluster").orderBy("mid")
+        c1 = (
+            vd.withColumn("__rn", F.row_number().over(w1))
+            .filter(F.col("__rn") == 1)
+            .select("cluster", F.col("v").alias("c1"))
+        )
+        with_d1 = vd.join(c1, "cluster").withColumn(
+            "__d1", d2(F.col("v"), F.col("c1"))
+        )
+        w2 = Window.partitionBy("cluster").orderBy(F.desc("__d1"), "mid")
+        c2 = (
+            with_d1.withColumn("__rn", F.row_number().over(w2))
+            .filter(F.col("__rn") == 1)
+            .select("cluster", F.col("v").alias("c2"))
+        )
+        seeds = c1.join(c2, "cluster")
+        child = F.when(
+            d2(F.col("v"), F.col("c1")) <= d2(F.col("v"), F.col("c2")),
+            F.lit(0),
+        ).otherwise(F.lit(1))
+        split = big.join(F.broadcast(seeds), "cluster").select(
+            "id",
+            ((F.col("cluster") + F.lit(label_base)) * 2 + child)
+            .cast("bigint")
+            .alias("cluster"),
+            "v",
+        )
+        out = rest.select("id", "cluster", "v").unionByName(split)
+    import warnings
+
+    warnings.warn(
+        f"semdedup: clusters still above max_cluster_size={bound} after "
+        f"{max_rounds} split rounds — accepting the oversize",
+        RuntimeWarning,
+        stacklevel=2,
+    )
+    return out
+
+
 def semdedup_pairs(
     vecs: DataFrame,
     k: int = 8,
@@ -188,6 +276,7 @@ def semdedup_pairs(
     dim: int = 64,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_cluster_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup proper (Abbas et al. 2023): k-means-cluster the
     embeddings, then exact cosine >= threshold WITHIN each cluster
@@ -213,11 +302,19 @@ def semdedup_pairs(
     slower at sf0.1 and strictly worse at scale, where the join writes
     O(sum of cluster^2) rows to shuffle while this writes O(rows).
     Quadratic memory/compute stays bounded per cluster by SemDeDup's
-    own contract (k grows with the corpus to cap cluster sizes)."""
+    own contract (k grows with the corpus to cap cluster sizes) — and
+    since r9 the contract is ENFORCED, not assumed: duplicate vectors
+    are collapsed before the matmul (see pairs below), and
+    ``max_cluster_size`` deterministically splits any cluster whose
+    distinct-vector count exceeds it (_split_oversized_clusters)."""
     import numpy as np
     import pandas as pd
 
     assigned = kmeans_micro(vecs, k, iters, dim, vec_col, id_col, with_vectors=True)
+    if max_cluster_size is not None:
+        assigned = _split_oversized_clusters(
+            assigned.select("id", "cluster", "v"), max_cluster_size
+        )
     tt = threshold_pct * threshold_pct
 
     def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -228,24 +325,61 @@ def semdedup_pairs(
         pdf = pdf.sort_values("id")
         ids = pdf["id"].to_numpy()
         Q = np.stack(pdf["v"].to_numpy()).astype(np.int64)
-        D = Q @ Q.T  # exact int64
+        # Skew hardening (VERDICT r8 item 1b): the matmul runs over the
+        # cluster's DISTINCT vectors only. cos depends on the vectors
+        # alone, so collapsing duplicate rows and expanding the
+        # qualifying unique-pairs over their id groups afterwards is
+        # bit-identical output — and the degenerate cluster (one
+        # embedding duplicated d times) costs a 1x1 "matmul" plus the
+        # unavoidable O(d^2) OUTPUT rows, instead of a d x d int64
+        # matrix in one task. Duplicate vectors pair with each other
+        # exactly when the formula passes for i == j: dot = |v|^2 must
+        # be > 0 (zero vectors never pair) and 10^4 >= tt.
+        U, inv = np.unique(Q, axis=0, return_inverse=True)
+        u = len(U)
+        groups = [ids[inv == g] for g in range(u)]
+        D = U @ U.T  # exact int64, distinct vectors only
         n2 = np.diag(D)
-        ii, jj = np.triu_indices(n, k=1)
-        d = D[ii, jj]
-        pos = d > 0
-        if not pos.any():
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+
+        def expand(ga: np.ndarray, gb: np.ndarray) -> None:
+            a = np.repeat(ga, len(gb))
+            b = np.tile(gb, len(ga))
+            lo = np.minimum(a, b)
+            hi = np.maximum(a, b)
+            out_a.append(lo)
+            out_b.append(hi)
+
+        ii, jj = np.triu_indices(u, k=1)
+        if len(ii):
+            d = D[ii, jj]
+            pos = d > 0
+            ii, jj, d = ii[pos], jj[pos], d[pos]
+            do = d.astype(object)  # Python bignums: the squares are exact
+            keep = np.asarray(
+                (10000 * do * do)
+                >= (tt * n2[ii].astype(object) * n2[jj].astype(object)),
+                dtype=bool,
+            )
+            for i, j in zip(ii[keep], jj[keep]):
+                expand(groups[i], groups[j])
+        if 10000 >= tt:
+            for g in range(u):
+                if len(groups[g]) >= 2 and n2[g] > 0:
+                    ga = groups[g]
+                    a, b = np.triu_indices(len(ga), k=1)
+                    out_a.append(ga[a])
+                    out_b.append(ga[b])
+        if not out_a:
             return empty
-        ii, jj, d = ii[pos], jj[pos], d[pos]
-        do = d.astype(object)  # Python bignums: the squares are exact
-        keep = (10000 * do * do) >= (
-            tt * n2[ii].astype(object) * n2[jj].astype(object)
-        )
-        keep = np.asarray(keep, dtype=bool)
+        id_a = np.concatenate(out_a)
+        id_b = np.concatenate(out_b)
         return pd.DataFrame(
             {
-                "id_a": ids[ii[keep]],
-                "id_b": ids[jj[keep]],
-                "cluster": np.full(int(keep.sum()), pdf["cluster"].iloc[0]),
+                "id_a": id_a,
+                "id_b": id_b,
+                "cluster": np.full(len(id_a), pdf["cluster"].iloc[0]),
             }
         )
 

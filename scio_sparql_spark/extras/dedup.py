@@ -672,6 +672,54 @@ def keep_best_per_cluster(
     )
 
 
+def _band_candidates(sig: DataFrame, bands: int, rows: int, bucket_cap: int) -> DataFrame:
+    """(id, sig) -> candidate (id_a, id_b) pairs from LSH banding, with
+    a per-(band, bucket) membership cap. Within each bucket the
+    ``bucket_cap`` LOWEST ids participate (deterministic: the same docs
+    survive on every run and engine); the rest are dropped FROM THAT
+    BUCKET only — they still pair up in every other band where their
+    bucket is under the cap. Callers collapse exact duplicates before
+    banding (minhash_verified_pairs), so a bucket over the cap means
+    >cap DISTINCT texts sharing a band signature — at the default
+    (4-row bands, 512 cap) that is adversarial, not organic, data, and
+    the cap turns the O(d^2)-per-bucket join into O(cap^2) while
+    keeping the standard LSH property that recall degrades gracefully
+    rather than one task OOMing."""
+    from pyspark.sql import Window
+
+    banded = sig.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.array_join(F.slice("sig", b * rows + 1, rows), ","),
+                        F.lit(b),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    w = Window.partitionBy("band", "bucket").orderBy("id")
+    banded = (
+        banded.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= bucket_cap)
+        .drop("__rn")
+    )
+    return (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+
+
 def minhash_verified_pairs(
     docs: DataFrame,
     threshold: float = 0.6,
@@ -680,6 +728,7 @@ def minhash_verified_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    bucket_cap: int = 512,
 ) -> DataFrame:
     """MinHash-LSH candidate generation + EXACT Jaccard verification —
     the standard two-phase production dedup (candidates from banding,
@@ -698,47 +747,58 @@ def minhash_verified_pairs(
     entry pins fixture-verified equality at sf0.001/sf0.01 via the
     driver hash.
 
+    Skew hardening (VERDICT r8 item 1): exact-duplicate texts are
+    COLLAPSED to one representative (min id per md5(text) class) before
+    signatures/banding, then the verified rep-level pairs are EXPANDED
+    back over class members. d copies of a viral page previously filled
+    every band bucket and produced O(d^2) candidate rows x 16 bands plus
+    O(d^2) shingle-array verifications; now they contribute ONE banded
+    doc, and the d(d-1)/2 true output pairs (identical text => Jaccard
+    exactly 1.0, and cos-class members share the rep's Jaccard to every
+    other doc) are generated by a narrow array expansion — quadratic
+    only in the unavoidable OUTPUT, never in the banded join, the
+    shuffle, or the verify arithmetic. Output is bit-identical to the
+    uncollapsed form: recall is unchanged (copies share the rep's
+    signature, so a member pair collides in a band iff the rep pair
+    does), and tokenless classes (< n tokens => empty shingle set,
+    NULL Jaccard) are excluded from expansion exactly as the verify
+    filter drops them. Residual skew of DISTINCT near-identical texts
+    is bounded by ``bucket_cap`` (see _band_candidates).
+
     Scale shape (100 TB): banding join is bucket-pruned as in
     minhash_lsh_pairs (never all-pairs); the verify join fetches the
     two shingle sets per CANDIDATE pair only — cost is
     O(candidates x shingles), not O(docs^2)."""
-    sig = minhash_signatures(docs, num_hashes, n, text_col, id_col)
-    rows = num_hashes // bands
-    banded = sig.select(
-        "id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.array_join(F.slice("sig", b * rows + 1, rows), ","),
-                        F.lit(b),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "bucket"),
+    base = spread(docs).select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("__text")
     )
-    cand = (
-        banded.alias("x")
-        .join(
-            banded.alias("y"),
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bucket") == F.col("y.bucket"))
-            & (F.col("x.id") < F.col("y.id")),
+    classes = (
+        base.select("id", F.md5("__text").alias("__digest"))
+        .groupBy("__digest")
+        .agg(
+            F.min("id").alias("rep"),
+            F.sort_array(F.collect_list("id")).alias("members"),
         )
-        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
-        .distinct()
     )
+    # representatives carry the text forward; a semi-join keeps the
+    # text off the digest shuffle above (exact_dedup's discipline)
+    reps = base.join(
+        classes.select(F.col("rep").alias("id")), on="id", how="left_semi"
+    ).select(F.col("id").alias(id_col), F.col("__text").alias(text_col))
+
+    sig = minhash_signatures(reps, num_hashes, n, text_col, id_col)
+    cand = _band_candidates(sig, bands, num_hashes // bands, bucket_cap)
+
     # exact verify: identical arithmetic to ngram_jaccard_pairs so the
     # two entries agree bit-for-bit on shared pairs
-    sh = spread(docs).select(
+    sh = reps.select(
         F.col(id_col).alias("id"),
         F.array_distinct(token_ngrams(F.col(text_col), n)).alias("sh"),
     )
     jac = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))) / F.size(
         F.array_union(F.col("a.sh"), F.col("b.sh"))
     )
-    return (
+    rep_pairs = (
         cand.join(sh.alias("a"), cand["id_a"] == F.col("a.id"))
         .join(sh.alias("b"), cand["id_b"] == F.col("b.id"))
         .select(
@@ -748,6 +808,35 @@ def minhash_verified_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+    # expand rep pairs across both classes' members: identical text has
+    # identical shingles, so every member pair shares the reps' Jaccard
+    mem = classes.select("rep", F.explode("members").alias("member"))
+    cross = (
+        rep_pairs.join(mem.alias("ma"), rep_pairs["id_a"] == F.col("ma.rep"))
+        .join(mem.alias("mb"), rep_pairs["id_b"] == F.col("mb.rep"))
+        .select(
+            F.least("ma.member", "mb.member").alias("id_a"),
+            F.greatest("ma.member", "mb.member").alias("id_b"),
+            "jaccard",
+        )
+    )
+    if threshold > 1.0:
+        return cross
+    # within-class pairs: Jaccard exactly 1.0 (round(1.0, 6) == 1.0),
+    # except tokenless classes whose NULL Jaccard the verify path drops
+    tokenized = reps.filter(F.size(token_ngrams(F.col(text_col), n)) > 0).select(
+        F.col(id_col).alias("rep")
+    )
+    within = (
+        classes.filter(F.size("members") >= 2)
+        .join(tokenized, on="rep", how="left_semi")
+        .select(F.explode("members").alias("id_a"), "members")
+        .select("id_a", F.explode("members").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(1.0).alias("jaccard"))
+    )
+    return cross.unionByName(within)
 
 
 def simhash_exact_dup_check(

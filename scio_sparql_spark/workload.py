@@ -828,9 +828,17 @@ def q_embed_semdedup(spark, sf_dir):
     within-cluster cosine >= 0.40) — the composition
     similarity.semantic_dup_pairs approximates with sign buckets; the
     exact-integer cosine test makes the real thing hash-checkable
-    (extras/clustering.py semdedup_pairs)."""
+    (extras/clustering.py semdedup_pairs). max_cluster_size keeps the
+    r9 skew guard LIVE in the gated entry; at the contract SFs every
+    cluster is far under 65536 distinct vectors, so the split is the
+    identity and the DuckDB oracle is unchanged (the adversarial-split
+    behavior is pytest-locked in tests/test_clustering.py)."""
     return clustering.semdedup_pairs(
-        _table(spark, sf_dir, "embeddings"), k=8, iters=3, threshold_pct=40
+        _table(spark, sf_dir, "embeddings"),
+        k=8,
+        iters=3,
+        threshold_pct=40,
+        max_cluster_size=65536,
     )
 
 

@@ -149,3 +149,109 @@ def test_semdedup_pairs_share_cluster_and_pass_exact_cosine(spark, small_vecs):
         cos = dot / math.sqrt(sum(x * x for x in a) * sum(x * x for x in b))
         # micro-quantization shifts the boundary by <1e-5
         assert cos >= 0.30 - 1e-4
+
+
+def test_semdedup_degenerate_duplicate_cluster(spark):
+    # VERDICT r8 item 1b: one embedding duplicated d times used to build
+    # a d x d int64 matmul inside a single applyInPandas task. With the
+    # unique-vector collapse the matmul is 1x1 and the d(d-1)/2 true
+    # pairs (cos == 1) come from the narrow expansion. d=2000 -> ~2M
+    # output rows; pre-fix this allocated a 4e6-cell matrix per probe
+    # band and scaled quadratically in MEMORY, not just output.
+    from pyspark.sql import functions as F
+
+    from scio_sparql_spark.extras.clustering import semdedup_pairs
+
+    base = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .limit(20)
+    )
+    one = base.limit(1).collect()[0]["embedding"]
+    d = 2000
+    dup = spark.range(d).select(
+        (F.col("id") + 500_000).alias("vec_id"),
+        F.lit([float(x) for x in one]).alias("embedding"),
+    )
+    vecs = base.unionByName(dup)
+    out = semdedup_pairs(vecs, k=4, iters=1, threshold_pct=70)
+    n_dup_pairs = out.filter(
+        (F.col("id_a") >= 500_000) & (F.col("id_b") >= 500_000)
+    ).count()
+    assert n_dup_pairs >= d * (d - 1) / 2  # the original doc pairs with them too
+
+
+def test_semdedup_zero_vector_duplicates_never_pair(spark):
+    # zero vectors have dot == 0 -> the "dot > 0" leg fails; the
+    # duplicate-expansion must reproduce that exclusion
+    from pyspark.sql import functions as F
+
+    from scio_sparql_spark.extras.clustering import semdedup_pairs
+
+    vecs = spark.range(6).select(
+        F.col("id").alias("vec_id"),
+        F.when(F.col("id") < 4, F.array(*[F.lit(0.0)] * 64))
+        .otherwise(F.array(*([F.lit(1.0)] * 32 + [F.lit(0.5)] * 32)))
+        .alias("embedding"),
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in semdedup_pairs(vecs, k=2, iters=1, threshold_pct=70).collect()
+    }
+    assert got == {(4, 5)}
+
+
+def test_semdedup_max_cluster_size_identity_below_bound(spark, small_vecs):
+    # with the bound above every cluster's distinct count the split is
+    # the identity: output must be bit-equal to the unbounded call
+    from scio_sparql_spark.extras.clustering import semdedup_pairs
+
+    plain = {
+        tuple(r)
+        for r in semdedup_pairs(small_vecs, k=4, iters=2, threshold_pct=30).collect()
+    }
+    capped = {
+        tuple(r)
+        for r in semdedup_pairs(
+            small_vecs, k=4, iters=2, threshold_pct=30, max_cluster_size=10_000
+        ).collect()
+    }
+    assert plain == capped
+
+
+def test_split_oversized_clusters_bounds_and_determinism(spark):
+    # a single cluster of 60 DISTINCT vectors with bound 16 must split
+    # into clusters each <= 16 distinct vectors, cover all ids exactly
+    # once, and be bit-identical across runs
+    from pyspark.sql import functions as F
+
+    from scio_sparql_spark.extras.clustering import (
+        _split_oversized_clusters,
+        quantize_micro,
+    )
+
+    vecs = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .limit(60)
+        .select(
+            F.col("vec_id").alias("id"),
+            F.lit(0).cast("bigint").alias("cluster"),
+            quantize_micro(F.col("embedding"), 64).alias("v"),
+        )
+    )
+    runs = []
+    for _ in range(2):
+        out = _split_oversized_clusters(vecs, bound=16, max_rounds=5)
+        rows = out.collect()
+        sizes = {}
+        for r in rows:
+            sizes.setdefault(r["cluster"], set()).add(tuple(r["v"]))
+        assert all(len(s) <= 16 for s in sizes.values()), {
+            c: len(s) for c, s in sizes.items()
+        }
+        assert len(sizes) >= 4
+        assert sorted(r["id"] for r in rows) == sorted(
+            r["id"] for r in vecs.collect()
+        )
+        runs.append(sorted((r["id"], r["cluster"]) for r in rows))
+    assert runs[0] == runs[1]

@@ -1205,6 +1205,83 @@ def test_minhash_verified_equals_exact_baseline(spark):
     assert exact == ver and len(exact) > 0
 
 
+def test_minhash_verified_adversarial_duplicate_class(spark):
+    # VERDICT r8 item 1a: one viral text duplicated d times used to fill
+    # every band bucket -> O(d^2) candidate pairs x 16 bands before the
+    # verify filter. With digest-collapse the banded join sees ONE
+    # representative per exact class; quadratic work happens only in the
+    # unavoidable output expansion. Locks (1) rep-level candidate count
+    # stays O(classes), (2) output equals the exact quadratic baseline
+    # semantics: all d(d-1)/2 within-class pairs at jaccard 1.0 plus the
+    # fixture's organic near-dup pairs, at unchanged values.
+    from pyspark.sql import functions as F
+
+    base = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(40)
+    )
+    viral_text = "the same viral page scraped from ten thousand mirrors " * 8
+    d = 300
+    viral = spark.range(d).select(
+        (F.col("id") + 1_000_000).alias("doc_id"), F.lit(viral_text).alias("text")
+    )
+    docs = base.unionByName(viral)
+
+    # (1) candidate lock: the banded join's candidate pairs are computed
+    # over collapsed reps — with 40 base docs + 1 viral rep the count
+    # must be far below one band's uncollapsed d^2/2 = 44,850
+    reps = dedup.exact_dedup(docs).join(docs, on="doc_id")
+    sig = dedup.minhash_signatures(reps)
+    n_cand = dedup._band_candidates(sig, 16, 4, 512).count()
+    assert n_cand <= 41 * 40 / 2, n_cand
+
+    # (2) output lock vs the exact baseline on the mixed corpus
+    got = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.minhash_verified_pairs(docs, threshold=0.2, n=3).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.2, n=3).collect()
+    }
+    assert got == exact
+    within = {t for t in got if t[0] >= 1_000_000}
+    assert len(within) == d * (d - 1) / 2
+    assert all(j == 1.0 for _, _, j in within)
+
+
+def test_minhash_verified_tokenless_duplicates_excluded(spark):
+    # a duplicated doc with < n tokens has an empty shingle set -> NULL
+    # jaccard in the verify arithmetic -> NOT a pair; the within-class
+    # expansion must reproduce that exclusion
+    docs = spark.createDataFrame(
+        [(1, "ab"), (2, "ab"), (3, "x y z w v u t s"), (4, "x y z w v u t s")],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.minhash_verified_pairs(docs, threshold=0.2, n=3).collect()
+    }
+    assert got == {(3, 4, 1.0)}
+
+
+def test_band_candidates_bucket_cap_is_deterministic(spark):
+    # cap=2: within any over-full (band,bucket) only the 2 lowest ids
+    # survive, so candidates from a 5-member identical-signature group
+    # are exactly the (lowest, second-lowest) pair per band
+    from pyspark.sql import functions as F
+
+    sig = spark.range(5).select(
+        F.col("id"), F.array(*[F.lit(7)] * 64).alias("sig")
+    )
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in dedup._band_candidates(sig, 16, 4, bucket_cap=2).collect()
+    }
+    assert pairs == {(0, 1)}
+
+
 def test_simhash_exact_dup_check_recovers_all_mirrors(spark):
     from pyspark.sql import functions as F
 
