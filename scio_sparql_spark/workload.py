@@ -1334,6 +1334,40 @@ def q_retrieval_term_stats(spark, sf_dir):
 _TOKS = r"list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '')"
 
 
+def _jaccard_pairs_ctes(threshold: float = 0.2) -> str:
+    """Shared CTE chain ending in ``pairs(id_a, id_b, jaccard)`` — the
+    exact n-gram Jaccard pair oracle in INVERTED-INDEX form: unnest
+    shingles, join on the shared gram, count per pair, then
+    jaccard = i / (|a| + |b| - i). Bit-identical to the quadratic
+    ``len(list_intersect)/len(list_distinct(a||b))`` formulation (same
+    integer counts into the same double division; pairs sharing no
+    gram have jaccard 0 < threshold and are absent either way; empty
+    shingle sets produce no gram rows, matching the NULL-division
+    exclusion) — but O(sum over grams of df^2) instead of O(docs^2)
+    list intersections: the quadratic form took 23s of the
+    dedup_clusters check at sf0.01, this takes ~1s (VERDICT r8
+    item 4)."""
+    return f"""t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            s AS (SELECT doc_id,
+                         list_distinct(list_transform(
+                           generate_series(1, len(toks) - 2),
+                           i -> array_to_string(toks[i:i+2], ' '))) AS sh
+                  FROM t),
+            g AS (SELECT doc_id, unnest(sh) AS gram, len(sh) AS nsh FROM s),
+            ix AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                          COUNT(*) AS i,
+                          ANY_VALUE(a.nsh) AS na, ANY_VALUE(b.nsh) AS nb
+                   FROM g a JOIN g b ON a.gram = b.gram
+                                    AND a.doc_id < b.doc_id
+                   GROUP BY a.doc_id, b.doc_id),
+            pairs AS (SELECT id_a, id_b,
+                             ROUND(CAST(i AS DOUBLE) / (na + nb - i), 6)
+                               AS jaccard
+                      FROM ix
+                      WHERE CAST(i AS DOUBLE) / (na + nb - i)
+                            >= {threshold})"""
+
+
 def _cls_nib(i: int) -> str:
     """Hex nibble i (1-based) of md5(t) as an integer, via ascii()
     arithmetic — mirrors textstats.classifier_score exactly."""
@@ -1846,18 +1880,8 @@ EXTRA_QUERIES = {
     ),
     "dedup_ngram_jaccard": (
         q_dedup_ngram_jaccard,
-        f"""WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-            s AS (SELECT doc_id,
-                         list_distinct(list_transform(
-                           generate_series(1, len(toks) - 2),
-                           i -> array_to_string(toks[i:i+2], ' '))) AS sh
-                  FROM t)
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                         / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
-            FROM s a JOIN s b ON a.doc_id < b.doc_id
-            WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                  / len(list_distinct(a.sh || b.sh)) >= 0.2""",
+        f"WITH {_jaccard_pairs_ctes(0.2)}\n"
+        "SELECT id_a, id_b, jaccard FROM pairs",
     ),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, None),
     "dedup_simhash": (q_dedup_simhash, None),
@@ -1866,18 +1890,8 @@ EXTRA_QUERIES = {
     # on the verify side, so the oracle is the same exact-pairs SQL
     "dedup_minhash_verified": (
         q_dedup_minhash_verified,
-        f"""WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-            s AS (SELECT doc_id,
-                         list_distinct(list_transform(
-                           generate_series(1, len(toks) - 2),
-                           i -> array_to_string(toks[i:i+2], ' '))) AS sh
-                  FROM t)
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                         / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
-            FROM s a JOIN s b ON a.doc_id < b.doc_id
-            WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                  / len(list_distinct(a.sh || b.sh)) >= 0.2""",
+        f"WITH {_jaccard_pairs_ctes(0.2)}\n"
+        "SELECT id_a, id_b, jaccard FROM pairs",
     ),
     # deterministic integer k-means (extras/clustering.py): the full
     # 3-iteration Lloyd recurrence replicated in chained DuckDB CTEs
@@ -2225,17 +2239,7 @@ EXTRA_QUERIES = {
     "dedup_clusters": (
         q_dedup_clusters,
         f"""WITH RECURSIVE
-            t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-            s AS (SELECT doc_id,
-                         list_distinct(list_transform(
-                           generate_series(1, len(toks) - 2),
-                           i -> array_to_string(toks[i:i+2], ' '))) AS sh
-                  FROM t),
-            pairs AS (
-              SELECT a.doc_id AS id_a, b.doc_id AS id_b
-              FROM s a JOIN s b ON a.doc_id < b.doc_id
-              WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                    / len(list_distinct(a.sh || b.sh)) >= 0.2),
+            {_jaccard_pairs_ctes(0.2)},
             sym AS (SELECT id_a AS a, id_b AS b FROM pairs
                     UNION SELECT id_b, id_a FROM pairs),
             reach AS (
