@@ -298,6 +298,9 @@ def bpe_learn_merges(
     return spark.createDataFrame(
         rows, "rank bigint, left string, right string"
     )
+
+
+def _stopword_hits(toks, words):
     return F.size(F.filter(toks, lambda t: t.isin(words)))
 
 
