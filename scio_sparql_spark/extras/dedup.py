@@ -683,9 +683,12 @@ def keep_best_per_cluster(
     )
 
 
-def _band_candidates(sig: DataFrame, bands: int, rows: int, bucket_cap: int) -> DataFrame:
+def _band_candidates(
+    sig: DataFrame, bands: int, rows: int, bucket_cap: int | None
+) -> DataFrame:
     """(id, sig) -> candidate (id_a, id_b) pairs from LSH banding, with
-    a per-(band, bucket) membership cap. Within each bucket the
+    a per-(band, bucket) membership cap (``bucket_cap=None`` disables
+    the cap: full recall, full skew exposure). Within each bucket the
     ``bucket_cap`` LOWEST ids participate (deterministic: the same docs
     survive on every run and engine); the rest are dropped FROM THAT
     BUCKET only — they still pair up in every other band where their
@@ -712,12 +715,13 @@ def _band_candidates(sig: DataFrame, bands: int, rows: int, bucket_cap: int) -> 
             )
         ).alias("band", "bucket"),
     )
-    w = Window.partitionBy("band", "bucket").orderBy("id")
-    banded = (
-        banded.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= bucket_cap)
-        .drop("__rn")
-    )
+    if bucket_cap is not None:
+        w = Window.partitionBy("band", "bucket").orderBy("id")
+        banded = (
+            banded.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= bucket_cap)
+            .drop("__rn")
+        )
     return (
         banded.alias("x")
         .join(
@@ -739,7 +743,7 @@ def minhash_verified_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
-    bucket_cap: int = 512,
+    bucket_cap: int | None = 512,
 ) -> DataFrame:
     """MinHash-LSH candidate generation + EXACT Jaccard verification —
     the standard two-phase production dedup (candidates from banding,
@@ -747,7 +751,13 @@ def minhash_verified_pairs(
     id_b, jaccard) is bit-identical to ngram_jaccard_pairs whenever
     banding recall reaches every true pair, which makes the LSH path
     oracle-checkable against the quadratic exact baseline (VERDICT r5
-    item 6) instead of rows-only.
+    item 6) instead of rows-only. Note the recall caveat: when a
+    (band, bucket) holds more than ``bucket_cap`` DISTINCT texts, the
+    over-cap members lose that band's candidates (graceful LSH recall
+    degradation, see _band_candidates), so exact-baseline equality is
+    guaranteed only while every bucket stays under the cap — pass
+    ``bucket_cap=None`` to disable the cap and restore unconditional
+    recall at the cost of the O(bucket^2) skew exposure.
 
     bands=16 (4 rows/band) by default. Measured on the sf0.1 corpus:
     2-row bands produced 3,860 candidates for 256 true pairs (common
@@ -783,19 +793,29 @@ def minhash_verified_pairs(
     base = spread(docs).select(
         F.col(id_col).alias("id"), F.col(text_col).alias("__text")
     )
-    classes = (
-        base.select("id", F.md5("__text").alias("__digest"))
-        .groupBy("__digest")
-        .agg(
-            F.min("id").alias("rep"),
-            F.sort_array(F.collect_list("id")).alias("members"),
-        )
+    dg = base.select("id", F.md5("__text").alias("__digest"))
+    classes = dg.groupBy("__digest").agg(
+        F.min("id").alias("rep"), F.count(F.lit(1)).alias("csize")
     )
-    # representatives carry the text forward; a semi-join keeps the
-    # text off the digest shuffle above (exact_dedup's discipline)
-    reps = base.join(
-        classes.select(F.col("rep").alias("id")), on="id", how="left_semi"
-    ).select(F.col("id").alias(id_col), F.col("__text").alias(text_col))
+    # Fast-path probe (VERDICT r9 item 5a): ONE cheap scalar agg — a
+    # digest groupBy with map-side combine, shuffling 16-byte digests
+    # only. When every exact class is a singleton (the common case on
+    # pre-deduped corpora) the collapse is the identity, so the
+    # semi-join and both expansion joins below are pure overhead — skip
+    # them and run the r8-shaped plan directly on the input.
+    row = classes.agg(F.max("csize").alias("m")).first()
+    singleton = row is None or row["m"] is None or row["m"] <= 1
+
+    if singleton:
+        reps = base.select(
+            F.col("id").alias(id_col), F.col("__text").alias(text_col)
+        )
+    else:
+        # representatives carry the text forward; a semi-join keeps the
+        # text off the digest shuffle above (exact_dedup's discipline)
+        reps = base.join(
+            classes.select(F.col("rep").alias("id")), on="id", how="left_semi"
+        ).select(F.col("id").alias(id_col), F.col("__text").alias(text_col))
 
     sig = minhash_signatures(reps, num_hashes, n, text_col, id_col)
     cand = _band_candidates(sig, bands, num_hashes // bands, bucket_cap)
@@ -820,9 +840,20 @@ def minhash_verified_pairs(
         .filter(F.col("jaccard") >= threshold)
     )
 
+    if singleton:
+        return rep_pairs
+
     # expand rep pairs across both classes' members: identical text has
-    # identical shingles, so every member pair shares the reps' Jaccard
-    mem = classes.select("rep", F.explode("members").alias("member"))
+    # identical shingles, so every member pair shares the reps' Jaccard.
+    # Member rows, NOT a collect_list array (VERDICT r9 item 7): a
+    # 10^7-copy class must never become one ~80 MB array row pinned to
+    # one task — (rep, member) rows shuffle and stream like any other
+    # join side, so the only quadratic stage left is the unavoidable
+    # OUTPUT expansion, which streams out of the join rather than being
+    # held in memory.
+    mem = dg.join(classes.select("__digest", "rep"), on="__digest").select(
+        "rep", F.col("id").alias("member")
+    )
     cross = (
         rep_pairs.join(mem.alias("ma"), rep_pairs["id_a"] == F.col("ma.rep"))
         .join(mem.alias("mb"), rep_pairs["id_b"] == F.col("mb.rep"))
@@ -839,13 +870,24 @@ def minhash_verified_pairs(
     tokenized = reps.filter(F.size(token_ngrams(F.col(text_col), n)) > 0).select(
         F.col(id_col).alias("rep")
     )
-    within = (
-        classes.filter(F.size("members") >= 2)
+    big = (
+        classes.filter(F.col("csize") >= 2)
         .join(tokenized, on="rep", how="left_semi")
-        .select(F.explode("members").alias("id_a"), "members")
-        .select("id_a", F.explode("members").alias("id_b"))
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.lit(1.0).alias("jaccard"))
+        .select("rep")
+    )
+    m2 = mem.join(big, on="rep", how="left_semi")
+    within = (
+        m2.alias("wa")
+        .join(
+            m2.alias("wb"),
+            (F.col("wa.rep") == F.col("wb.rep"))
+            & (F.col("wa.member") < F.col("wb.member")),
+        )
+        .select(
+            F.col("wa.member").alias("id_a"),
+            F.col("wb.member").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
     )
     return cross.unionByName(within)
 

@@ -140,8 +140,9 @@ def test_streaming_nested_arith_filter(spark, tmp_path):
     # monotonically_increasing_id(), which UnsupportedOperationChecker
     # rejects in streaming plans — so any streaming SPARQL query nesting
     # arithmetic in a FILTER failed at query start. The barrier is now
-    # F.rand(0) >= -1.0, which streaming accepts and Catalyst still never
-    # substitutes. This test runs a depth-3 arithmetic FILTER + BIND on a
+    # spark_partition_id() >= 0 (terms.optimizer_barrier) — streaming
+    # accepts it and, unlike rand(0) >= -1.0, Catalyst cannot
+    # constant-fold it away. This test runs a depth-3 arithmetic FILTER + BIND on a
     # file stream end to end and checks the values.
     from scio_sparql_spark import read_triples_stream
     from scio_sparql_spark.engine import execute_sparql

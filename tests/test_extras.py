@@ -1251,6 +1251,68 @@ def test_minhash_verified_adversarial_duplicate_class(spark):
     assert all(j == 1.0 for _, _, j in within)
 
 
+def test_minhash_verified_no_fat_row_expansion(spark):
+    # VERDICT r9 item 7: the class expansion used to collect_list each
+    # digest class's ids into ONE array row (a 10^7-copy class -> one
+    # ~80 MB row on one task). Now members are (rep, member) ROWS
+    # expanded via narrow joins: (1) the executed plan of the
+    # duplicate-heavy path must contain no collect_list, and (2) a
+    # d=100,000-copy class must flow through the full pipeline without
+    # a fat-row stage (threshold>1 exercises collapse+banding+verify+
+    # cross-expansion while keeping the d^2 within-output off the
+    # assertion path).
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "x y z w v u t s"), (2, "x y z w v u t s"), (3, "a b c d e f g")],
+        ["doc_id", "text"],
+    )
+    plan = dedup.minhash_verified_pairs(
+        docs, threshold=0.2, n=3
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in plan
+
+    base = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(20)
+    )
+    viral = spark.range(100_000).select(
+        (F.col("id") + 1_000_000).alias("doc_id"),
+        F.lit("the same viral page scraped from everywhere " * 4).alias("text"),
+    )
+    assert (
+        dedup.minhash_verified_pairs(
+            base.unionByName(viral), threshold=1.1, n=3
+        ).count()
+        == 0
+    )
+
+
+def test_minhash_verified_singleton_fast_path(spark):
+    # VERDICT r9 item 5a: when every exact class is a singleton the
+    # digest collapse is the identity — the plan must skip the
+    # expansion joins (exactly the r8 join count) while duplicate-heavy
+    # input still takes the expansion path. Output on singleton data is
+    # unchanged (locked elsewhere vs ngram_jaccard_pairs).
+    singleton_docs = spark.createDataFrame(
+        [(1, "x y z w v u t s"), (2, "x y z w v u q s"), (3, "a b c d e f g")],
+        ["doc_id", "text"],
+    )
+    dup_docs = spark.createDataFrame(
+        [(1, "x y z w v u t s"), (2, "x y z w v u t s"), (3, "a b c d e f g")],
+        ["doc_id", "text"],
+    )
+    p_single = dedup.minhash_verified_pairs(
+        singleton_docs, threshold=0.2, n=3
+    )._jdf.queryExecution().executedPlan().toString()
+    p_dup = dedup.minhash_verified_pairs(
+        dup_docs, threshold=0.2, n=3
+    )._jdf.queryExecution().executedPlan().toString()
+    # the dup path carries strictly more joins (semi-join + expansions)
+    assert p_single.count("Join") < p_dup.count("Join")
+
+
 def test_minhash_verified_tokenless_duplicates_excluded(spark):
     # a duplicated doc with < n tokens has an empty shingle set -> NULL
     # jaccard in the verify arithmetic -> NOT a pair; the within-class
