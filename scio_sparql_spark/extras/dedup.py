@@ -75,24 +75,64 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """EXACT all-pairs n-gram Jaccard >= threshold (a < b). Quadratic —
-    the small-SF oracle baseline; use minhash_lsh_pairs at scale."""
+    """EXACT all-pairs n-gram Jaccard >= threshold (a < b).
+
+    For threshold > 0 this runs as an INVERTED-INDEX similarity join
+    (explode shingles, self-join postings on the shingle, count shared
+    shingles per pair, Jaccard = i / (|A| + |B| - i)): only pairs that
+    SHARE at least one shingle ever meet, which is exact for any
+    positive threshold (J > 0 requires a common shingle) and replaces
+    the O(docs^2) cartesian with a shingle-keyed shuffle — measured
+    28s -> ~2s at sf0.1 (5,000 docs, 256 true pairs). Work is
+    quadratic only in per-shingle document frequency (the classic
+    set-similarity-join profile); organic n=3 shingles are rare, and
+    the scale path for adversarial frequency skew is
+    minhash_verified_pairs, not this oracle baseline. threshold <= 0
+    falls back to the cartesian (it must emit non-overlapping pairs
+    too)."""
     sh = spread(docs).select(
         F.col(id_col).alias("id"),
         F.array_distinct(token_ngrams(F.col(text_col), n)).alias("sh"),
     )
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
-    jac = inter / union
-    return (
-        a.join(b, F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.round(jac, 6).alias("jaccard"),
+    if threshold <= 0:
+        a = sh.alias("a")
+        b = sh.alias("b")
+        inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+        union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+        jac = inter / union
+        return (
+            a.join(b, F.col("a.id") < F.col("b.id"))
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.round(jac, 6).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= threshold)
         )
+    sizes = sh.select("id", F.size("sh").alias("ns"))
+    posts = sh.select("id", F.explode("sh").alias("g"))
+    inter = (
+        posts.alias("a")
+        .join(
+            posts.alias("b"),
+            (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("__i"))
+    )
+    jac = F.col("__i") / (F.col("__na") + F.col("__nb") - F.col("__i"))
+    return (
+        inter.join(
+            sizes.select(F.col("id").alias("id_a"), F.col("ns").alias("__na")),
+            on="id_a",
+        )
+        .join(
+            sizes.select(F.col("id").alias("id_b"), F.col("ns").alias("__nb")),
+            on="id_b",
+        )
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
