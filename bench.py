@@ -121,6 +121,9 @@ BENCH_QUERIES = [
     # previously in no bench list, so its cost was invisible;
     # VERDICT r8 item 4)
     "dedup_clusters",
+    # new in r10 (appended; prior-round common comparisons unchanged):
+    # production 1k-merge BPE through the Arrow min-rank-first apply
+    "text_bpe_tokens_1k",
 ]
 
 

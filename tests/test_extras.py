@@ -1608,6 +1608,76 @@ def test_bpe_token_count_plan_is_map_only(spark):
     assert "Exchange" not in plan
 
 
+def test_bpe_arrow_equals_native_chain(spark):
+    # VERDICT r9 item 2: the Arrow min-rank-first apply must be
+    # bit-equal to the native replace chain on any
+    # _validate_merges-clean table. Locked on the real corpus plus the
+    # chain's own adversarial edge texts.
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    edge = spark.createDataFrame(
+        [
+            (10_001, "The cat sat on the mat and the dog ran to the inn"),
+            (10_002, "ingoing winter errors; 100% of the output!"),
+            (10_003, "totototo and andanand"),
+            (10_004, ""),
+            (10_005, "TH-E th|e the"),
+            (10_006, "s s s s s"),
+            (10_007, None),
+        ],
+        "doc_id bigint, text string",
+    )
+    df = docs.unionByName(edge)
+    chain = {
+        r.doc_id: r.n_bpe_tokens for r in textstats.bpe_token_count(df).collect()
+    }
+    arrow = {
+        r.doc_id: r.n_bpe_tokens
+        for r in textstats.bpe_token_count_arrow(df, textstats.BPE_MERGES).collect()
+    }
+    # the chain maps NULL text through the string expressions (NULL in,
+    # NULL-ish out is cast to NULL); the Arrow path defines None -> 0.
+    # Compare over non-null docs and pin the NULL contract separately.
+    assert arrow[10_007] == 0
+    del chain[10_007], arrow[10_007]
+    assert arrow == chain and len(arrow) >= 500
+
+
+def test_bpe_arrow_1k_equals_reference_apply(spark):
+    # the production table through the Arrow path == the independent
+    # global min-rank-first reference (no segmentation, no memo) — the
+    # equivalence proof's two sides computed by disjoint code.
+    from scio_sparql_spark.extras.bpe_vocab import BPE_MERGES_1K
+
+    textstats._validate_merges(BPE_MERGES_1K)  # table is well-formed
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(25)
+    )
+    edge = spark.createDataFrame(
+        [
+            (10_001, "joins aggregate over sorted columns and filters"),
+            (10_002, "xyzzy qqq 0123456789 __ --!"),
+            (10_003, ""),
+            (10_004, "a"),
+            (10_005, "the quick brown fox jumps over the lazy dog"),
+        ],
+        "doc_id bigint, text string",
+    )
+    df = docs.unionByName(edge)
+    got = {
+        r.doc_id: r.n_bpe_tokens
+        for r in textstats.bpe_token_count_arrow(df, BPE_MERGES_1K).collect()
+    }
+    for row in df.collect():
+        want = (
+            len(_bpe_reference(row.text, BPE_MERGES_1K)) if row.text else 0
+        )
+        assert got[row.doc_id] == want, (row.doc_id, got[row.doc_id], want)
+
+
 def test_bpe_validate_merges_rejects_bad_tables():
     with pytest.raises(ValueError, match="self-pair"):
         textstats._validate_merges([("a", "a")])
