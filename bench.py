@@ -255,6 +255,25 @@ def main():
         error_detail["ann_ivf_build"] = str(e)[:500]
         print(f"# ann_ivf_build: ERROR {type(e).__name__}: {str(e)[:200]}",
               file=sys.stderr)
+    # LSH index build: the same one-time build/serve split (r10) —
+    # reported under "build", excluded from the headline total
+    try:
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            workload.lsh_index_path(spark, sf_dir, rebuild=True)
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        builds["ann_lsh_build"] = round(best, 3)
+        print(
+            f"# ann_lsh_build (one-time, excluded from total): {best:.2f}s",
+            file=sys.stderr,
+        )
+    except Exception as e:  # noqa: BLE001
+        errors["ann_lsh_build"] = type(e).__name__
+        error_detail["ann_lsh_build"] = str(e)[:500]
+        print(f"# ann_lsh_build: ERROR {type(e).__name__}: {str(e)[:200]}",
+              file=sys.stderr)
     for name in BENCH_QUERIES:
         # Fault isolation: one broken query must never zero out the
         # whole artifact (BENCH_r09 was rc=1/parsed:null because query

@@ -286,6 +286,7 @@ def semdedup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     max_cluster_size: int | None = None,
+    pca_whiten: bool = False,
 ) -> DataFrame:
     """SemDeDup proper (Abbas et al. 2023): k-means-cluster the
     embeddings, then exact cosine >= threshold WITHIN each cluster
@@ -318,6 +319,19 @@ def semdedup_pairs(
     distinct-vector count exceeds it (_split_oversized_clusters)."""
     import numpy as np
     import pandas as pd
+
+    if pca_whiten:
+        # optional preprocessing (VERDICT r8 item 8): ZCA-whiten before
+        # clustering + cosine, the normalization the SemDeDup paper
+        # applies. Float eigendecomposition => deterministic per
+        # (platform, corpus) but not engine-replicable, so the flag
+        # defaults OFF (the hash-gated catalog entry) and the whitened
+        # variant is pytest-locked instead (test_linalg).
+        from . import linalg
+
+        vecs = linalg.pca_whiten_micro(
+            vecs, dim=dim, vec_col=vec_col, id_col=id_col
+        ).select(F.col(id_col), F.col("whitened").alias(vec_col))
 
     assigned = kmeans_micro(vecs, k, iters, dim, vec_col, id_col, with_vectors=True)
     if max_cluster_size is not None:

@@ -186,11 +186,7 @@ def lsh_cosine_topk(
     replicated by the DuckDB oracle (workload._lsh_oracle_sql)."""
     dim = len(query_vec)
     planes = _hyperplanes(emb.sparkSession, dim, bits, seed)
-    qv_micro = [quantize_micro(float(x)) for x in query_vec]
-    qsig = 0
-    for b, plane in enumerate(planes):
-        if sum(m if p >= 0 else -m for m, p in zip(qv_micro, plane)) >= 0:
-            qsig |= 1 << b
+    qsig = _query_sig(query_vec, planes)
     # multi-probe: also visit every hamming-1 neighbor signature — the
     # near-miss buckets where a vector lands when it sits close to one
     # hyperplane. (bits+1)/2^bits of the data instead of 1/2^bits, for
@@ -200,6 +196,96 @@ def lsh_cosine_topk(
     sig = _signature_udf(planes)
     bucket = spread(emb).filter(sig(F.col(vec_col)).isin(probe_sigs))
     return cosine_topk(bucket, query_vec, k, id_col, vec_col)
+
+
+def _query_sig(query_vec: list[float], planes: list[list[float]]) -> int:
+    """Driver-side signature of a query vector — the same exact
+    integer arithmetic as _signature_udf (micro-quantize, +-1 dot,
+    sign bit per plane)."""
+    qv_micro = [quantize_micro(float(x)) for x in query_vec]
+    qsig = 0
+    for b, plane in enumerate(planes):
+        if sum(m if p >= 0 else -m for m, p in zip(qv_micro, plane)) >= 0:
+            qsig |= 1 << b
+    return qsig
+
+
+def lsh_build_index(
+    emb: DataFrame,
+    path: str,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    files_per_bucket: int = 1,
+) -> str:
+    """LSH build/probe split (VERDICT r8 item 3): compute every
+    vector's hyperplane signature ONCE and persist the vectors parquet
+    PARTITIONED BY signature, with (bits, seed, dim) alongside, exactly
+    mirroring ivf_build_index. lsh_cosine_topk recomputes the full
+    table's signatures on every query (an Arrow matmul over the whole
+    corpus per probe); after this one-time batch job a probe is a
+    partition-PRUNED scan of the ~(bits+1)/2^bits multi-probe buckets —
+    at warehouse scale the difference between a 100 TB scan and reading
+    a few partitions.
+
+    Signatures are bit-identical to the per-query path (_signature_udf
+    over the same seeded planes), so probe results equal
+    lsh_cosine_topk's for any query — the catalog entry keeps the same
+    full-semantics DuckDB hash gate."""
+    spark = emb.sparkSession
+    first = emb.select(vec_col).first()
+    if first is None:
+        raise ValueError("lsh_build_index: no vectors to index")
+    dim = len(first[0])
+    planes = _hyperplanes(spark, dim, bits, seed)
+    sig = _signature_udf(planes)
+    signed = spread(emb).select(
+        F.col(id_col), F.col(vec_col), sig(F.col(vec_col)).alias("sig")
+    )
+    # repartition on the partition column before the dynamic-partition
+    # write (the ivf_build_index discipline: otherwise tasks x 2^bits
+    # tiny files); files_per_bucket salts for intra-bucket parallelism
+    parts = [F.col("sig")]
+    if files_per_bucket > 1:
+        parts.append(F.pmod(F.xxhash64(F.col(id_col)), F.lit(files_per_bucket)))
+    signed.repartition(*parts).write.mode("overwrite").partitionBy(
+        "sig"
+    ).parquet(f"{path}/vectors")
+    spark.createDataFrame(
+        [(int(bits), int(seed), int(dim))], "bits int, seed int, dim int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    return path
+
+
+def lsh_probe(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a built LSH index: derive the query's signature and its
+    hamming-1 multi-probe set driver-side (planes are session-free,
+    re-derived from the persisted (bits, seed, dim) — nothing to
+    collect), then read ONLY those signature partitions and rank by
+    exact cosine. The sig filter hits parquet PartitionFilters
+    (plan-locked in tests), so unprobed buckets are never read."""
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    bits, seed, dim = meta["bits"], meta["seed"], meta["dim"]
+    if len(query_vec) != dim:
+        raise ValueError(f"query dim {len(query_vec)} != index dim {dim}")
+    planes = _hyperplanes(spark, dim, bits, seed)
+    qsig = _query_sig(query_vec, planes)
+    probe_sigs = [qsig] + [qsig ^ (1 << b) for b in range(bits)]
+    cand = spark.read.parquet(f"{path}/vectors").filter(
+        F.col("sig").isin([int(s) for s in probe_sigs])
+    )
+    return cosine_topk(
+        cand.select(id_col, vec_col), query_vec, k, id_col, vec_col,
+        spread_input=False,
+    )
 
 
 def _lloyd_kmeans(sample, k: int, iters: int, seed: int):

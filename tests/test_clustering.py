@@ -255,3 +255,29 @@ def test_split_oversized_clusters_bounds_and_determinism(spark):
         )
         runs.append(sorted((r["id"], r["cluster"]) for r in rows))
     assert runs[0] == runs[1]
+
+
+def test_semdedup_pca_flag_off_is_identity_and_on_runs(spark):
+    # VERDICT r8 item 8: pca_whiten defaults OFF and must not change
+    # the hash-gated default path; ON routes through ZCA whitening
+    # (pytest-locked in test_linalg) and still yields a valid pair set
+    # (every pair id-ordered, ids from the corpus).
+    from scio_sparql_spark.extras.clustering import semdedup_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = {
+        (r.id_a, r.id_b)
+        for r in semdedup_pairs(emb, k=4, iters=2, threshold_pct=70).collect()
+    }
+    off = {
+        (r.id_a, r.id_b)
+        for r in semdedup_pairs(
+            emb, k=4, iters=2, threshold_pct=70, pca_whiten=False
+        ).collect()
+    }
+    assert off == base
+    ids = {r.vec_id for r in emb.select("vec_id").collect()}
+    on = semdedup_pairs(
+        emb, k=4, iters=2, threshold_pct=70, pca_whiten=True
+    ).collect()
+    assert all(r.id_a < r.id_b and r.id_a in ids and r.id_b in ids for r in on)

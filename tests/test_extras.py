@@ -292,6 +292,30 @@ def test_ivf_build_probe_split(spark, tmp_path):
     assert one[0] == 7
 
 
+def test_lsh_build_probe_split(spark, tmp_path):
+    # VERDICT r8 item 3 / r9 item 6: the persisted signature index must
+    # (1) return exactly what the per-query signature scan returns for
+    # any query (signature arithmetic is shared), and (2) prune
+    # partitions — the probe scan's PartitionFilters must carry the sig
+    # filter so unprobed buckets are never read.
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = list(
+        emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    )
+    path = str(tmp_path / "lsh")
+    similarity.lsh_build_index(emb, path, bits=4)
+    probe = similarity.lsh_probe(spark, path, qv, k=10)
+    per_query = similarity.lsh_cosine_topk(emb, qv, k=10, bits=4)
+    assert [(r["vec_id"], r["score"]) for r in probe.collect()] == [
+        (r["vec_id"], r["score"]) for r in per_query.collect()
+    ]
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "sig" in pf.group(1), plan[:2000]
+
+
 def test_connected_components(spark):
     # two components {1,2,3,9} (chain) and {5,7}; 8 is isolated (no edges)
     edges = spark.createDataFrame(

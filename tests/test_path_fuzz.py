@@ -109,3 +109,80 @@ def test_fuzz_path_alt_and_negated(spark, es):
     qe = {(_iri(a), _iri(b)) for a, b, p in es if p == Q}
     assert _run(spark, es, f"<{P}>|<{Q}>") == pe | qe
     assert _run(spark, es, f"!<{P}>") == qe  # everything not via P
+
+
+def _giri(g):
+    return f"urn:g:{g}"
+
+
+gedges = st.lists(
+    st.tuples(nodes, nodes, st.sampled_from([P, Q]), st.sampled_from([0, 1])),
+    min_size=1,
+    max_size=18,
+    unique=True,
+)
+
+
+def _gdf(spark, es):
+    return quads_df_from_list(
+        spark,
+        [
+            (Term.iri(_iri(a)), Term.iri(p), Term.iri(_iri(b)), Term.iri(_giri(g)))
+            for a, b, p, g in es
+        ],
+    )
+
+
+@given(es=gedges)
+@_settings
+def test_fuzz_path_plus_within_graph_var(spark, es):
+    # VERDICT r9 item 8: paths composed with GRAPH ?g — the fixpoint
+    # must run PER GRAPH (closures never leak across graphs).
+    df = _gdf(spark, es)
+    out = execute_sparql(
+        df, f"SELECT ?g ?s ?o WHERE {{ GRAPH ?g {{ ?s <{P}>+ ?o }} }}"
+    )
+    got = {(r["g"]["lex"], r["s"]["lex"], r["o"]["lex"]) for r in out.collect()}
+    want = set()
+    for g in (0, 1):
+        base = {(_iri(a), _iri(b)) for a, b, p, gg in es if p == P and gg == g}
+        want |= {(_giri(g), a, b) for a, b in _closure(base)}
+    assert got == want
+
+
+@given(es=gedges)
+@_settings
+def test_fuzz_path_star_within_constant_graph(spark, es):
+    # zero-length paths inside GRAPH <g0>: the zero-hop pairs come from
+    # terms OF THAT GRAPH only (any predicate), per SPARQL 1.1 §18.4.
+    df = _gdf(spark, es)
+    out = execute_sparql(
+        df, f"SELECT ?s ?o WHERE {{ GRAPH <{_giri(0)}> {{ ?s <{P}>* ?o }} }}"
+    )
+    got = {(r["s"]["lex"], r["o"]["lex"]) for r in out.collect()}
+    base = {(_iri(a), _iri(b)) for a, b, p, g in es if p == P and g == 0}
+    terms0 = {_iri(a) for a, _, _, g in es if g == 0} | {
+        _iri(b) for _, b, _, g in es if g == 0
+    }
+    want = _closure(base) | {(t, t) for t in terms0}
+    assert got == want
+
+
+@given(es=gedges)
+@_settings
+def test_fuzz_path_seq_within_graph_var(spark, es):
+    # sequence path under GRAPH ?g: both hops must come from the SAME
+    # graph binding.
+    df = _gdf(spark, es)
+    out = execute_sparql(
+        df, f"SELECT ?g ?s ?o WHERE {{ GRAPH ?g {{ ?s <{P}>/<{Q}> ?o }} }}"
+    )
+    got = {(r["g"]["lex"], r["s"]["lex"], r["o"]["lex"]) for r in out.collect()}
+    want = set()
+    for g in (0, 1):
+        pe = {(_iri(a), _iri(b)) for a, b, p, gg in es if p == P and gg == g}
+        qe = {(_iri(a), _iri(b)) for a, b, p, gg in es if p == Q and gg == g}
+        want |= {
+            (_giri(g), a, d) for a, b in pe for c, d in qe if b == c
+        }
+    assert got == want

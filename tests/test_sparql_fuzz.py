@@ -256,3 +256,104 @@ def test_fuzz_contains_strstarts_template(spark, duck, needle):
               AND NOT starts_with(p_name, '{needle}')""",
     )
     assert got == want
+
+
+@given(
+    lo=st.integers(min_value=1, max_value=15),
+    hi=st.integers(min_value=16, max_value=40),
+)
+@_settings
+def test_fuzz_optional_union_nesting_template(spark, duck, lo, hi):
+    # VERDICT r9 item 8: OPTIONAL over a UNION group — the branch
+    # filters are disjoint (lo < hi), so each part gets exactly one row:
+    # its size if a branch matched, else the OPTIONAL-miss default.
+    got = _run(
+        spark,
+        ["part"],
+        f"""SELECT ?name ?v WHERE {{
+             ?p col:p_name ?name .
+             OPTIONAL {{
+               {{ ?p col:p_size ?s . FILTER(?s > {hi}) }}
+               UNION
+               {{ ?p col:p_size ?s . FILTER(?s < {lo}) }}
+             }}
+             BIND(COALESCE(?s, 0) AS ?v) }}""",
+        [("name", "name", "s"), ("v", "v", "i")],
+    )
+    want = _sql(
+        duck,
+        f"""SELECT p_name,
+                   CASE WHEN p_size > {hi} THEN p_size
+                        WHEN p_size < {lo} THEN p_size
+                        ELSE 0 END
+            FROM part""",
+    )
+    assert got == want
+
+
+@given(
+    lo=st.integers(min_value=1, max_value=15),
+    hi=st.integers(min_value=16, max_value=40),
+)
+@_settings
+def test_fuzz_union_of_optionals_template(spark, duck, lo, hi):
+    # the mirror nesting: UNION whose branches each carry an OPTIONAL —
+    # bag semantics (every customer appears in BOTH branches).
+    got = _run(
+        spark,
+        ["customer", "orders"],
+        f"""SELECT ?c_name ?v WHERE {{
+             {{ ?c col:c_name ?c_name .
+                OPTIONAL {{ ?o ref:o_custkey ?c ; col:o_orderkey ?k .
+                            FILTER(?k <= {lo}) }}
+                BIND(COALESCE(?k, -1) AS ?v) }}
+             UNION
+             {{ ?c col:c_name ?c_name .
+                OPTIONAL {{ ?o ref:o_custkey ?c ; col:o_orderkey ?k .
+                            FILTER(?k > {hi}) }}
+                BIND(COALESCE(?k, -2) AS ?v) }} }}""",
+        [("c_name", "c_name", "s"), ("v", "v", "i")],
+    )
+    want = _sql(
+        duck,
+        f"""SELECT c_name, COALESCE(o_orderkey, -1) FROM customer
+              LEFT JOIN orders ON o_custkey = c_custkey
+                               AND o_orderkey <= {lo}
+            UNION ALL
+            SELECT c_name, COALESCE(o_orderkey, -2) FROM customer
+              LEFT JOIN orders ON o_custkey = c_custkey
+                               AND o_orderkey > {hi}""",
+    )
+    assert got == want
+
+
+@given(
+    agg=st.sampled_from(["SUM", "MIN", "MAX"]),
+    h=st.integers(min_value=0, max_value=6),
+    limit=st.integers(min_value=1, max_value=10),
+    offset=st.integers(min_value=0, max_value=5),
+)
+@_settings
+def test_fuzz_group_having_order_stack_template(spark, duck, agg, h, limit, offset):
+    # VERDICT r9 item 8: GROUP BY + HAVING + ORDER BY(+LIMIT/OFFSET)
+    # stacked in one query — HAVING on a DIFFERENT aggregate than the
+    # projected one, ORDER BY the projected aggregate with the group
+    # key as tiebreak (deterministic total order, so the OFFSET/LIMIT
+    # window is well-defined on both engines).
+    got = _run(
+        spark,
+        ["part"],
+        f"""SELECT ?brand ({agg}(?size) AS ?v) WHERE {{
+              ?p col:p_brand ?brand ; col:p_size ?size .
+            }} GROUP BY ?brand HAVING (COUNT(?p) > {h})
+            ORDER BY DESC(?v) ?brand OFFSET {offset} LIMIT {limit}""",
+        [("brand", "brand", "s"), ("v", "v", "i")],
+    )
+    fn = {"SUM": "SUM(p_size)", "MIN": "MIN(p_size)", "MAX": "MAX(p_size)"}[agg]
+    want = _sql(
+        duck,
+        f"""SELECT p_brand, CAST({fn} AS BIGINT) AS v FROM part
+            GROUP BY p_brand HAVING COUNT(*) > {h}
+            ORDER BY v DESC, p_brand LIMIT {limit} OFFSET {offset}""",
+    )
+    assert got == want
