@@ -27,7 +27,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from .util import spread
+from .util import spread, spread_pinned
 
 TOKEN_RE = r"\s+"
 
@@ -89,8 +89,15 @@ def ngram_jaccard_pairs(
     the scale path for adversarial frequency skew is
     minhash_verified_pairs, not this oracle baseline. threshold <= 0
     falls back to the cartesian (it must emit non-overlapping pairs
-    too)."""
-    sh = spread(docs).select(
+    too).
+
+    spread_pinned (not plain spread): joining on the exploded shingle
+    makes Catalyst infer isnotnull/size filters containing the whole
+    shingle derivation and push them below the repartition — the
+    shingle HOF then evaluates twice on the input's original (single)
+    partition, measured 6.2s of the sf0.1 join; the nondeterministic
+    fence keeps the derivation above the Exchange."""
+    sh = spread_pinned(docs).select(
         F.col(id_col).alias("id"),
         F.array_distinct(token_ngrams(F.col(text_col), n)).alias("sh"),
     )

@@ -19,3 +19,25 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def spread_pinned(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """spread() plus a pushdown fence: an always-true NONDETERMINISTIC
+    filter directly above the repartition, so Catalyst cannot push
+    join-inferred predicates below the Exchange.
+
+    Why this exists: a join on a DERIVED expensive column (e.g. an
+    exploded shingle) makes Catalyst infer isnotnull/size>0 filters
+    containing the FULL derivation and push them through the
+    repartition down to the scan — the expensive expression then runs
+    on the input's ORIGINAL partitioning (one parquet row group = one
+    core) and runs TWICE (once in the pushed filter, again in the
+    projection). Measured on ngram_jaccard_pairs at sf0.1: the
+    postings self-join spent 6.2s in single-partition shingle
+    evaluation below the Exchange; with the fence the same join is
+    ~1s. The fence predicate (spark_partition_id() >= 0) is the
+    established barrier (terms.optimizer_barrier): survives
+    optimization, streaming-legal, one int comparison per row."""
+    from pyspark.sql import functions as F
+
+    return spread(df, min_partitions).where(F.spark_partition_id() >= 0)
