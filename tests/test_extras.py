@@ -1313,28 +1313,54 @@ def test_minhash_verified_no_fat_row_expansion(spark):
     )
 
 
-def test_minhash_verified_singleton_fast_path(spark):
-    # VERDICT r9 item 5a: when every exact class is a singleton the
-    # digest collapse is the identity — the plan must skip the
-    # expansion joins (exactly the r8 join count) while duplicate-heavy
-    # input still takes the expansion path. Output on singleton data is
-    # unchanged (locked elsewhere vs ngram_jaccard_pairs).
-    singleton_docs = spark.createDataFrame(
-        [(1, "x y z w v u t s"), (2, "x y z w v u q s"), (3, "a b c d e f g")],
-        ["doc_id", "text"],
-    )
-    dup_docs = spark.createDataFrame(
+def test_minhash_verified_small_class_fast_path(spark):
+    # VERDICT r9 item 5a: the collapse machinery engages only when a
+    # class exceeds collapse_threshold — small-class input (the common
+    # case, incl. the fixtures' handful of organic dups) must take the
+    # lean r8-shaped plan, a big class the expansion plan, and both
+    # must produce the exact baseline's output.
+    from pyspark.sql import functions as F
+
+    small_docs = spark.createDataFrame(
         [(1, "x y z w v u t s"), (2, "x y z w v u t s"), (3, "a b c d e f g")],
         ["doc_id", "text"],
     )
-    p_single = dedup.minhash_verified_pairs(
-        singleton_docs, threshold=0.2, n=3
+    big = spark.range(100).select(
+        (F.col("id") + 10).alias("doc_id"),
+        F.lit("x y z w v u t s").alias("text"),
+    )
+    big_docs = small_docs.unionByName(big)
+    p_small = dedup.minhash_verified_pairs(
+        small_docs, threshold=0.2, n=3
     )._jdf.queryExecution().executedPlan().toString()
-    p_dup = dedup.minhash_verified_pairs(
-        dup_docs, threshold=0.2, n=3
+    p_big = dedup.minhash_verified_pairs(
+        big_docs, threshold=0.2, n=3
     )._jdf.queryExecution().executedPlan().toString()
-    # the dup path carries strictly more joins (semi-join + expansions)
-    assert p_single.count("Join") < p_dup.count("Join")
+    # the big-class path carries strictly more joins (semi + expansions)
+    assert p_small.count("Join") < p_big.count("Join")
+    # and the small path still emits the duplicate pair at jaccard 1.0
+    got = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.minhash_verified_pairs(
+            small_docs, threshold=0.2, n=3
+        ).collect()
+    }
+    assert (1, 2, 1.0) in got
+    # output parity across the threshold boundary on the SAME input:
+    # force-collapse (threshold 1) == fast path (default threshold)
+    fast = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.minhash_verified_pairs(
+            small_docs, threshold=0.2, n=3
+        ).collect()
+    }
+    collapsed = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.minhash_verified_pairs(
+            small_docs, threshold=0.2, n=3, collapse_threshold=1
+        ).collect()
+    }
+    assert fast == collapsed
 
 
 def test_minhash_verified_tokenless_duplicates_excluded(spark):
