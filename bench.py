@@ -122,8 +122,11 @@ BENCH_QUERIES = [
     # VERDICT r8 item 4)
     "dedup_clusters",
     # new in r10 (appended; prior-round common comparisons unchanged):
-    # production 1k-merge BPE through the Arrow min-rank-first apply
+    # production 1k-merge BPE through the Arrow min-rank-first apply,
+    # cross-corpus near-dup decontamination, int8-quantized retrieval
     "text_bpe_tokens_1k",
+    "dedup_cross_corpus",
+    "ann_int8_topk",
 ]
 
 

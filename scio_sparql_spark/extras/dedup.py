@@ -730,6 +730,26 @@ def keep_best_per_cluster(
     )
 
 
+def _banded(sig: DataFrame, bands: int, rows: int) -> DataFrame:
+    """(id, sig) -> (id, band, bucket): one row per band, bucket = the
+    xxhash64 of that band's signature slice (band index salted in so
+    identical slices in different bands land in distinct buckets)."""
+    return sig.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.array_join(F.slice("sig", b * rows + 1, rows), ","),
+                        F.lit(b),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+
+
 def _band_candidates(
     sig: DataFrame, bands: int, rows: int, bucket_cap: int | None
 ) -> DataFrame:
@@ -748,20 +768,7 @@ def _band_candidates(
     rather than one task OOMing."""
     from pyspark.sql import Window
 
-    banded = sig.select(
-        "id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.array_join(F.slice("sig", b * rows + 1, rows), ","),
-                        F.lit(b),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "bucket"),
-    )
+    banded = _banded(sig, bands, rows)
     if bucket_cap is not None:
         w = Window.partitionBy("band", "bucket").orderBy("id")
         banded = (
@@ -949,6 +956,91 @@ def minhash_verified_pairs(
         )
     )
     return cross.unionByName(within)
+
+
+def cross_corpus_minhash_pairs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.6,
+    num_hashes: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_cap: int | None = 512,
+) -> DataFrame:
+    """NEAR-duplicate cross-corpus decontamination: MinHash-LSH
+    candidates BETWEEN a training corpus and a benchmark set, then
+    exact n-gram Jaccard verification on the candidates — the
+    production complement to contamination_hits (which catches exact
+    n-gram overlap but misses paraphrased/partially-rewritten eval
+    leakage that still shares most shingles).
+
+    Beyond-reference surface. Output (id_a = corpus doc, id_b =
+    benchmark doc, jaccard); drop every corpus doc that appears.
+
+    Scale shape (100 TB corpus, eval-suite benchmark): both sides are
+    banded (one narrow signature pass each); the benchmark's banded
+    rows — |bench| x bands tiny (band, bucket) rows — are explicitly
+    BROADCAST, so the corpus is never shuffled by bucket and candidate
+    generation is map-side. The exact verify fetches the two shingle
+    sets per candidate pair only. Corpus-side bucket skew (a viral
+    page sharing a band signature millions of times) is capped by
+    ``bucket_cap`` exactly as in _band_candidates — the same graceful
+    recall degradation, None to disable. Banding recall follows the
+    usual (1-J^r)^b curve, so exact-baseline equality (the catalog
+    hash gate vs an inverted-index cross Jaccard oracle) holds while
+    every true pair clears the banding — same contract as
+    minhash_verified_pairs."""
+    from pyspark.sql import Window
+
+    rows = num_hashes // bands
+    sc = spread_pinned(corpus).select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("__text")
+    )
+    sb = benchmark.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("__text")
+    )
+    sig_c = minhash_signatures(
+        sc, num_hashes, n, text_col="__text", id_col="id"
+    )
+    sig_b = minhash_signatures(
+        sb, num_hashes, n, text_col="__text", id_col="id"
+    )
+    banded_c = _banded(sig_c, bands, rows)
+    if bucket_cap is not None:
+        w = Window.partitionBy("band", "bucket").orderBy("id")
+        banded_c = (
+            banded_c.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= bucket_cap)
+            .drop("__rn")
+        )
+    banded_b = _banded(sig_b, bands, rows)
+    cand = (
+        banded_c.alias("c")
+        .join(
+            F.broadcast(banded_b.alias("b")),
+            (F.col("c.band") == F.col("b.band"))
+            & (F.col("c.bucket") == F.col("b.bucket")),
+        )
+        .select(F.col("c.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sh_c = sc.select(
+        "id", F.array_distinct(token_ngrams(F.col("__text"), n)).alias("sh")
+    )
+    sh_b = sb.select(
+        "id", F.array_distinct(token_ngrams(F.col("__text"), n)).alias("sh")
+    )
+    jac = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))) / F.size(
+        F.array_union(F.col("a.sh"), F.col("b.sh"))
+    )
+    return (
+        cand.join(sh_c.alias("a"), cand["id_a"] == F.col("a.id"))
+        .join(sh_b.alias("b"), cand["id_b"] == F.col("b.id"))
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 def simhash_exact_dup_check(

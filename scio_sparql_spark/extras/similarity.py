@@ -288,6 +288,70 @@ def lsh_probe(
     )
 
 
+def quantize_int8(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: q_i = trunc(x_i * 127 /
+    max|x|) in [-127, 127] (zero vectors quantize to zeros) — the
+    standard 4x memory shrink before ANN at corpus scale (a 100 TB
+    float32 embedding store becomes 25 TB, and int8 dot products are
+    exact int64 arithmetic with no float-comparison hazard).
+
+    Engine-replicable by construction: every step (double cast, the
+    single multiply/divide, trunc toward zero, integer compare) is
+    IEEE-exact and bit-identical across Spark and DuckDB, so the
+    catalog entry is hash-gated rather than rows-only. Output:
+    (id, q array<int> in [-127,127], scale_micro bigint) where
+    scale_micro = trunc(max|x| * 10^6) records the dequantization
+    scale in micro-units (int64, no float in the output schema)."""
+    x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    mx = F.array_max(F.transform(x, lambda v: F.abs(v)))
+    q = F.when(mx > 0, F.transform(x, lambda v: (v * 127.0 / mx).cast("bigint"))).otherwise(
+        F.transform(x, lambda v: F.lit(0).cast("bigint"))
+    )
+    return emb.select(
+        F.col(id_col),
+        q.alias("q"),
+        (mx * 1e6).cast("bigint").alias("scale_micro"),
+    )
+
+
+def int8_dot_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k retrieval over int8-quantized vectors by EXACT integer
+    dot product of the quantized representations (query quantized with
+    the same symmetric rule, driver-side). The ranking proxy a
+    quantized ANN serving tier actually computes — int64-exact, so
+    ties break deterministically on id and the result is
+    engine-replicable (hash-gated, unlike float-score rankings which
+    need ROUND discipline).
+
+    Scale: one narrow map pass (quantize + dim multiply-adds in
+    codegen) + TakeOrderedAndProject — no shuffle, no sort of the full
+    table; composes with the IVF/LSH partition pruning for the
+    scan-avoidance half of the problem."""
+    qx = [float(v) for v in query_vec]
+    mq = max(abs(v) for v in qx)
+    qq = [int(v * 127.0 / mq) if mq > 0 else 0 for v in qx]
+    quant = quantize_int8(emb, id_col, vec_col)
+    dot_sql = " + ".join(
+        f"element_at(`q`, {i + 1}) * CAST({c} AS BIGINT)"
+        for i, c in enumerate(qq)
+    )
+    return (
+        quant.select(F.col(id_col), F.expr(dot_sql).alias("qdot"))
+        .orderBy(F.desc("qdot"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def _lloyd_kmeans(sample, k: int, iters: int, seed: int):
     """Driver-side Lloyd's iterations on a bounded training sample
     (numpy, (n, dim) float64). Empty clusters keep their previous

@@ -1352,6 +1352,64 @@ def q_text_contamination(spark, sf_dir):
     return dedup.contamination_hits(corpus, benchmark, n=4)
 
 
+def q_dedup_cross_corpus(spark, sf_dir):
+    """NEAR-dup cross-corpus decontamination (r10): MinHash banding
+    between the corpus (doc_id % 20 != 0) and the benchmark split
+    (% 20 == 0) with broadcast benchmark bands, exact Jaccard verify
+    on candidates — catches paraphrased eval leakage that exact n-gram
+    contamination misses. Hash-gated against the inverted-index exact
+    cross-Jaccard oracle (recall argument as dedup_minhash_verified)."""
+    docs = _table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    benchmark = docs.filter(F.col("doc_id") % 20 == 0)
+    return dedup.cross_corpus_minhash_pairs(
+        corpus, benchmark, threshold=0.2, n=3
+    )
+
+
+def _cross_corpus_oracle_sql() -> str:
+    return f"""WITH {_jaccard_pairs_ctes(0.2)}
+        SELECT CASE WHEN xa % 20 = 0 THEN xb ELSE xa END AS id_a,
+               CASE WHEN xa % 20 = 0 THEN xa ELSE xb END AS id_b,
+               jaccard
+        FROM (SELECT id_a AS xa, id_b AS xb, jaccard FROM pairs
+              WHERE (id_a % 20 = 0) <> (id_b % 20 = 0))"""
+
+
+def q_ann_int8_topk(spark, sf_dir):
+    """Top-k by exact int64 dot product of symmetric-int8-quantized
+    vectors (r10): the 4x-shrunk serving representation a quantized
+    ANN tier ranks with. All-integer scoring => deterministic ties =>
+    hash gate (the float-cosine entries need ROUND discipline)."""
+    emb = _table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return similarity.int8_dot_topk(emb, list(qv), k=10)
+
+
+def _ann_int8_oracle_sql(dim: int = 64, k: int = 10) -> str:
+    """DuckDB replica of int8_dot_topk for the vec_id=0 query: same
+    double-exact quantization (x * 127 / max|x|, trunc toward zero —
+    DuckDB's bare CAST rounds, hence the explicit trunc), same integer
+    dot, same (qdot DESC, vec_id) order."""
+    return f"""WITH x AS (
+          SELECT vec_id,
+                 list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xv,
+                 list_max(list_transform(embedding,
+                     v -> abs(CAST(v AS DOUBLE)))) AS mx
+          FROM embeddings),
+        q AS (
+          SELECT vec_id, generate_subscripts(xv, 1) AS i,
+                 CASE WHEN mx > 0
+                      THEN CAST(trunc(unnest(xv) * 127 / mx) AS BIGINT)
+                      ELSE 0 END AS qi
+          FROM x),
+        qv AS (SELECT i, qi AS qc FROM q WHERE vec_id = 0),
+        d AS (SELECT q.vec_id, SUM(q.qi * qv.qc) AS qdot
+              FROM q JOIN qv USING (i) GROUP BY q.vec_id)
+        SELECT vec_id, CAST(qdot AS BIGINT) AS qdot FROM d
+        ORDER BY qdot DESC, vec_id LIMIT {k}"""
+
+
 def q_dedup_bloom_contamination(spark, sf_dir):
     """Bloom-prefiltered contamination (the 100-TB scale path: 128KB
     constant-size broadcast + k integer probes per shingle, exact
@@ -2211,6 +2269,11 @@ EXTRA_QUERIES = {
            WHERE trim(regexp_replace(lower(p_brand), '[^a-z0-9]+', ' ', 'g'))
                  LIKE '%3'""",
     ),
+    # r10: near-dup cross-corpus decontamination (broadcast-banded
+    # MinHash + exact verify) vs the inverted-index cross-Jaccard oracle
+    "dedup_cross_corpus": (q_dedup_cross_corpus, _cross_corpus_oracle_sql()),
+    # r10: int8-quantized retrieval — all-integer scoring, hash-gated
+    "ann_int8_topk": (q_ann_int8_topk, _ann_int8_oracle_sql()),
     # both ANN variants hash-gated since r8 (VERDICT r7 item 3): LSH
     # against a full in-SQL replica of the approximate semantics; IVF
     # under full-coverage probing == brute force (see the q_ functions)
@@ -2932,6 +2995,15 @@ CATALOG_RETIRED = {
     # native chain stays pytest-locked bit-equal to the Arrow apply on
     # BPE_MERGES (test_textstats), so chain coverage is transitive.
     "text_bpe_tokens": "text_bpe_tokens_1k (Arrow apply, pytest bit-equality)",
+    # r10: freshness slots for the two new entries. dedup_semantic is
+    # the sign-bucket APPROXIMATION of semantic near-dup; embed_semdedup
+    # is the strictly-stronger real composition (deterministic k-means
+    # blocking + the same exact integer cosine test), hash-gated and
+    # in-window. sample_hash's md5-keep core is the same expression
+    # sample_stratified drives (and the retired sample_quality_weighted/
+    # sample_mixture chains continue through those active siblings).
+    "dedup_semantic": "embed_semdedup (same exact cosine, stronger blocking)",
+    "sample_hash": "sample_stratified (same md5-keep sampling core)",
 }
 
 CATALOG_FRONT = [
@@ -2955,9 +3027,17 @@ CATALOG_FRONT = [
     #   lowering), ann_cosine_topk (ann_ivf_topk r9, full-coverage
     #   probing == the same brute-force cosine), dedup_exact
     #   (dedup_normalized in-window: same digest groupBy; plus
-    #   dedup_incremental in-window on the same digest path).
+    #   dedup_incremental in-window on the same digest path),
+    #   rdf_egress_jsonld (rdf_egress_turtle r9: same rio egress
+    #   machinery, the JSON-LD serializer itself is round-trip
+    #   pytest-locked), dedup_embedding_cosine (embed_semdedup
+    #   in-window: the same exact integer cosine arithmetic, hash-gated
+    #   within clusters; the quadratic baseline form is pytest-locked
+    #   against it).
     "text_bpe_tokens_1k",
     "docs_pack_bpe",
+    "dedup_cross_corpus",
+    "ann_int8_topk",
     "dedup_minhash_verified",
     "embed_semdedup",
     "dedup_clusters",
@@ -2979,10 +3059,8 @@ CATALOG_FRONT = [
     "sparql_update_roundtrip",
     "events_rollup",
     "docs_bucketed_join",
-    "rdf_egress_jsonld",
     "text_quality",
     "text_langid",
-    "dedup_embedding_cosine",
     "embed_gram",
     "docs_clean_pipeline",
     "multimodal_features",

@@ -1787,3 +1787,102 @@ def test_ivf_full_coverage_probe_equals_brute_force(spark, tmp_path):
         for r in similarity.ivf_probe(spark, path, qv, k=10, nprobe=None).collect()
     ]
     assert probed == exact
+
+
+def test_cross_corpus_minhash_equals_exact_cross_jaccard(spark):
+    # the cross-corpus near-dup pairs must equal the exact quadratic
+    # baseline restricted to (corpus, benchmark) pairs — same recall
+    # contract as dedup_minhash_verified.
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    benchmark = docs.filter(F.col("doc_id") % 20 == 0)
+    got = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.cross_corpus_minhash_pairs(
+            corpus, benchmark, threshold=0.2, n=3
+        ).collect()
+    }
+    exact = set()
+    for r in dedup.ngram_jaccard_pairs(docs, threshold=0.2, n=3).collect():
+        a_bench, b_bench = r.id_a % 20 == 0, r.id_b % 20 == 0
+        if a_bench != b_bench:
+            c, b = (r.id_b, r.id_a) if a_bench else (r.id_a, r.id_b)
+            exact.add((c, b, r.jaccard))
+    assert got == exact and len(exact) > 0
+
+
+def test_cross_corpus_benchmark_side_broadcast(spark):
+    # the benchmark bands must broadcast (the corpus is never shuffled
+    # by bucket) and a viral corpus-side duplicate class is capped per
+    # bucket rather than exploding the candidate join.
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    benchmark = docs.filter(F.col("doc_id") % 20 == 0)
+    plan = (
+        dedup.cross_corpus_minhash_pairs(corpus, benchmark, threshold=0.2, n=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    viral = spark.range(3000).select(
+        (F.col("id") + 1_000_000).alias("doc_id"),
+        F.lit("the same viral page on every mirror " * 4).alias("text"),
+    )
+    out = dedup.cross_corpus_minhash_pairs(
+        corpus.select("doc_id", "text").unionByName(viral),
+        benchmark,
+        threshold=0.2,
+        n=3,
+        bucket_cap=64,
+    )
+    out.count()  # must complete without a d x |bench| x bands blowup
+
+
+def test_quantize_int8_range_and_reference(spark):
+    rows = [
+        (0, [1.0, -2.0, 0.5, 4.0]),
+        (1, [0.0, 0.0, 0.0, 0.0]),
+        (2, [-0.1, 0.1, -0.1, 0.1]),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {
+        r.vec_id: (list(r.q), r.scale_micro)
+        for r in similarity.quantize_int8(emb).collect()
+    }
+
+    def ref(v):
+        mx = max(abs(x) for x in v)
+        if mx == 0:
+            return [0] * len(v), 0
+        return [int(x * 127.0 / mx) for x in v], int(mx * 1e6)
+
+    for vid, v in rows:
+        q, s = ref(v)
+        assert got[vid] == (q, s), (vid, got[vid], (q, s))
+        assert all(-127 <= x <= 127 for x in got[vid][0])
+
+
+def test_int8_dot_topk_matches_python_reference(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = {r.vec_id: list(r.embedding) for r in emb.collect()}
+    qv = rows[0]
+    mq = max(abs(x) for x in qv)
+    qq = [int(x * 127.0 / mq) for x in qv]
+
+    def quant(v):
+        mx = max(abs(x) for x in v)
+        return [int(x * 127.0 / mx) for x in v] if mx > 0 else [0] * len(v)
+
+    scores = sorted(
+        (
+            (-sum(a * b for a, b in zip(quant(v), qq)), vid)
+            for vid, v in rows.items()
+        )
+    )[:10]
+    want = [(vid, -neg) for neg, vid in scores]
+    got = [
+        (r.vec_id, r.qdot)
+        for r in similarity.int8_dot_topk(emb, qv, k=10).collect()
+    ]
+    assert got == want
