@@ -127,6 +127,8 @@ BENCH_QUERIES = [
     "text_bpe_tokens_1k",
     "dedup_cross_corpus",
     "ann_int8_topk",
+    # mergeable KMV distinct-cardinality sketch (hash-only shuffle)
+    "corpus_cardinality_kmv",
 ]
 
 

@@ -1,0 +1,121 @@
+"""Mergeable distinct-count sketches (K-Minimum-Values) as pure
+DataFrame plans — the "novel sketch" family of the training-data
+pipeline surface (beyond-reference; the reference engine has no
+approximate-cardinality operator at all).
+
+Why KMV and not HyperLogLog: Spark's built-in
+``approx_count_distinct`` (HLL++) is engine-private state — its
+estimate cannot be replicated by an external oracle, so it can never
+be hash-gated. KMV (Bar-Yossef et al. 2002, "Counting distinct
+elements in a data stream") is the *deterministic* alternative: the
+sketch for a key is simply the k numerically-smallest distinct hash
+values of the key's elements, and the estimator
+
+    est = (k - 1) * 2^60 / h_(k)        (h_(k) = k-th smallest hash)
+
+is a closed-form expression over that set. Both the sketch and the
+estimate are exactly reproducible by any engine that can compute the
+same hash — here ``md5`` (shared bit-for-bit by Spark, DuckDB and
+Python), with the first 15 hex chars read as a 60-bit non-negative
+integer. Standard error ~ 1/sqrt(k-2).
+
+Scale shape (the reason a sketch exists at all): counting distinct
+shingles per source over 100 TB exactly needs a full (source, shingle)
+distinct — a shuffle of every unique shingle string. The KMV plan
+shuffles the same keys but only 8-byte hashes, the per-key state is
+bounded at k rows, and two sketches built over disjoint splits of the
+data MERGE losslessly (k smallest of the union of two k-smallest sets
+== k smallest of the union) — so per-partition / per-day sketches can
+be stored and combined without re-reading the corpus. ``kmv_merge``
+implements that property and tests lock merge(a half, b half) ==
+sketch(whole) exactly.
+
+All arithmetic in the estimator is one double multiply (exact:
+(k-1) * 2^60 has < 53 significant bits), one double divide (single
+IEEE op, identically rounded everywhere) and a floor — the same
+cross-engine-exactness discipline as the rest of the extras.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+# 2^60: hashes are the first 15 hex chars of md5 -> uniform on [0, 2^60).
+_HASH_SPACE = float(1 << 60)
+
+
+def kmv_hash(col) -> F.Column:
+    """60-bit uniform hash of a string column: first 15 hex chars of
+    md5, read base-16. Identical in Spark (`conv`), DuckDB
+    (`('0x' || substr(md5(x),1,15))::BIGINT`) and Python
+    (`int(hashlib.md5(b).hexdigest()[:15], 16)`)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def kmv_sketch(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Per-`key_col` KMV sketch of the distinct `value_col` population:
+    (key, h) rows — at most k per key, the k smallest distinct 60-bit
+    hashes. NULL values are excluded (they are not elements).
+
+    Plan: project (key, hash) — 8-byte values, the strings never
+    shuffle — then one distinct (map-side partial) and one per-key
+    rank filter. The rank uses a window sort within the key's
+    partition: an external (spillable) sort of the key's *distinct
+    hashes*, never a driver collect and never an unbounded
+    collect_list. A group whose distinct count is below k keeps all
+    its hashes (the sketch is then exact)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2 for the KMV estimator, got {k}")
+    hashed = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.col(key_col).alias("key"), kmv_hash(F.col(value_col)).alias("h"))
+        .distinct()
+    )
+    rn = F.row_number().over(Window.partitionBy("key").orderBy("h"))
+    return hashed.withColumn("__rn", rn).filter(F.col("__rn") <= k).drop("__rn")
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, k: int = 64) -> DataFrame:
+    """Merge two sketches built with the same k: union, re-distinct
+    (the same element hashed on both sides collapses), keep the k
+    smallest per key. Lossless: identical to sketching the
+    concatenated inputs directly."""
+    u = a.unionByName(b).distinct()
+    rn = F.row_number().over(Window.partitionBy("key").orderBy("h"))
+    return u.withColumn("__rn", rn).filter(F.col("__rn") <= k).drop("__rn")
+
+
+def kmv_estimate(sketch: DataFrame, k: int = 64) -> DataFrame:
+    """(key, est_distinct, n_kept) from a sketch. n_kept < k means the
+    key's full distinct population fit in the sketch — the estimate is
+    then that exact count; otherwise (k-1) * 2^60 / h_(k), floored to
+    a BIGINT so both engines agree bit-for-bit."""
+    agg = sketch.groupBy("key").agg(
+        F.count("*").alias("n_kept"), F.max("h").alias("__hk")
+    )
+    est = F.when(F.col("n_kept") < k, F.col("n_kept").cast("long")).otherwise(
+        F.floor(
+            F.lit(float(k - 1)) * F.lit(_HASH_SPACE) / F.col("__hk").cast("double")
+        )
+    )
+    return agg.select(
+        "key",
+        est.alias("est_distinct"),
+        F.col("n_kept").cast("int").alias("n_kept"),
+    )
+
+
+def kmv_distinct(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """End-to-end per-key approximate distinct count:
+    sketch -> estimate. See module docstring for the 100-TB shape."""
+    return kmv_estimate(kmv_sketch(df, key_col, value_col, k), k)

@@ -25,6 +25,7 @@ from .extras import (
     pipeline,
     retrieval,
     similarity,
+    sketches,
     textstats,
 )
 from .sources.bridge import (
@@ -698,6 +699,23 @@ def q_corpus_top_ngrams(spark, sf_dir):
     """Corpus-wide top-20 bigrams (explode -> one partial-agg shuffle ->
     TakeOrderedAndProject)."""
     return textstats.top_ngrams(_table(spark, sf_dir, "documents"), n=2, k=20)
+
+
+def q_corpus_cardinality_kmv(spark, sf_dir):
+    """Per-source approximate distinct-shingle cardinality via the
+    K-Minimum-Values sketch (r10): 60-bit md5-prefix hashes, k=32
+    smallest distinct per source, closed-form estimator — fully
+    engine-replicable (unlike HLL), so hash-gated. The 100-TB point:
+    only 8-byte hashes shuffle (never shingle strings), per-key state
+    is bounded at k, and sketches over data splits merge losslessly
+    (pytest-locked in test_sketches.py)."""
+    docs = _table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "source", F.explode(dedup.token_ngrams(F.col("text"), 3)).alias("g")
+    )
+    return sketches.kmv_distinct(grams, "source", "g", k=32).withColumnRenamed(
+        "key", "source"
+    )
 
 
 def q_docs_bucketed_join(spark, sf_dir):
@@ -2274,6 +2292,35 @@ EXTRA_QUERIES = {
     "dedup_cross_corpus": (q_dedup_cross_corpus, _cross_corpus_oracle_sql()),
     # r10: int8-quantized retrieval — all-integer scoring, hash-gated
     "ann_int8_topk": (q_ann_int8_topk, _ann_int8_oracle_sql()),
+    # r10: KMV distinct-cardinality sketch — deterministic (md5-prefix
+    # hashes + closed-form estimator), so hash-gated where HLL can't be
+    "corpus_cardinality_kmv": (
+        q_corpus_cardinality_kmv,
+        f"""WITH t AS (SELECT source, {_TOKS} AS toks FROM documents),
+            g AS (SELECT source,
+                         unnest(CASE WHEN len(toks) >= 3
+                                THEN list_transform(
+                                     generate_series(1, len(toks) - 2),
+                                     i -> array_to_string(toks[i:i+2], ' '))
+                                ELSE [] END) AS g
+                  FROM t),
+            h AS (SELECT DISTINCT source,
+                         ('0x' || substr(md5(g), 1, 15))::BIGINT AS h
+                  FROM g),
+            r AS (SELECT source, h,
+                         row_number() OVER (PARTITION BY source
+                                            ORDER BY h) AS rn
+                  FROM h),
+            s AS (SELECT source, COUNT(*) AS n_kept, MAX(h) AS hk
+                  FROM r WHERE rn <= 32 GROUP BY source)
+            SELECT source,
+                   CAST(CASE WHEN n_kept < 32 THEN n_kept
+                        ELSE FLOOR(31.0 * 1152921504606846976.0
+                                   / CAST(hk AS DOUBLE)) END
+                        AS BIGINT) AS est_distinct,
+                   CAST(n_kept AS INT) AS n_kept
+            FROM s""",
+    ),
     # both ANN variants hash-gated since r8 (VERDICT r7 item 3): LSH
     # against a full in-SQL replica of the approximate semantics; IVF
     # under full-coverage probing == brute force (see the q_ functions)
@@ -3004,6 +3051,11 @@ CATALOG_RETIRED = {
     # sample_mixture chains continue through those active siblings).
     "dedup_semantic": "embed_semdedup (same exact cosine, stronger blocking)",
     "sample_hash": "sample_stratified (same md5-keep sampling core)",
+    # r10 (freshness slot for corpus_cardinality_kmv): VALUES without
+    # UNDEF is a strict subset of the UNDEF entry's code path — same
+    # BindingSetAssignment Arrow LocalRelation + broadcast join, and
+    # sparql_values_undef additionally drives the NULL-tolerant ON.
+    "sparql_values": "sparql_values_undef (same BindingSetAssignment + UNDEF)",
 }
 
 CATALOG_FRONT = [
@@ -3038,6 +3090,7 @@ CATALOG_FRONT = [
     "docs_pack_bpe",
     "dedup_cross_corpus",
     "ann_int8_topk",
+    "corpus_cardinality_kmv",
     "dedup_minhash_verified",
     "embed_semdedup",
     "dedup_clusters",
@@ -3045,7 +3098,6 @@ CATALOG_FRONT = [
     "sparql_q3_shaped",
     "sparql_agg_expr",
     "sparql_distinct",
-    "sparql_values",
     "sparql_exists",
     "sparql_topk",
     "sparql_offset_limit",

@@ -1,0 +1,96 @@
+"""KMV distinct-count sketch (extras/sketches.py): exactness against a
+pure-Python reference (hashlib md5 — independent of Spark), the
+lossless-merge property that makes the sketch a sketch, and the
+estimator's accuracy envelope."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from scio_sparql_spark.extras import sketches
+
+
+def _pyhash(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _pykmv(values, k):
+    """(est, n_kept) of the KMV estimator over an iterable of strings —
+    the trivially-written model the operator is compared against."""
+    hs = sorted({_pyhash(v) for v in values})
+    kept = hs[:k]
+    if len(kept) < k:
+        return len(kept), len(kept)
+    import math
+
+    return math.floor((k - 1) * float(1 << 60) / float(kept[-1])), len(kept)
+
+
+def test_kmv_matches_python_reference(spark):
+    # two keys, duplicates included, one key far above k, one below
+    rows = [("a", f"val{i % 97}") for i in range(400)] + [
+        ("b", f"w{i}") for i in range(7)
+    ]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    got = {
+        r["key"]: (r["est_distinct"], r["n_kept"])
+        for r in sketches.kmv_distinct(df, "k", "v", k=32).collect()
+    }
+    exp_a = _pykmv([f"val{i % 97}" for i in range(400)], 32)
+    exp_b = _pykmv([f"w{i}" for i in range(7)], 32)
+    assert got == {"a": exp_a, "b": exp_b}
+
+
+def test_kmv_exact_below_k(spark):
+    df = spark.createDataFrame([("k", f"x{i}") for i in range(10)], ["k", "v"])
+    [row] = sketches.kmv_distinct(df, "k", "v", k=64).collect()
+    assert (row["est_distinct"], row["n_kept"]) == (10, 10)
+
+
+def test_kmv_nulls_are_not_elements(spark):
+    df = spark.createDataFrame(
+        [("k", "a"), ("k", None), ("k", "b"), ("k", None)], ["k", "v"]
+    )
+    [row] = sketches.kmv_distinct(df, "k", "v", k=8).collect()
+    assert (row["est_distinct"], row["n_kept"]) == (2, 2)
+
+
+def test_kmv_merge_is_lossless(spark):
+    """merge(sketch(split1), sketch(split2)) must equal sketch(whole)
+    EXACTLY — the property that lets per-day / per-partition sketches
+    be stored and combined without re-reading the corpus."""
+    rows = [("g", f"item{i}") for i in range(300)] + [
+        ("h", f"it{i}") for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    k = 16
+    whole = sketches.kmv_sketch(df, "k", "v", k)
+    half1 = sketches.kmv_sketch(df.filter(F.length("v") % 2 == 0), "k", "v", k)
+    half2 = sketches.kmv_sketch(df.filter(F.length("v") % 2 == 1), "k", "v", k)
+    merged = sketches.kmv_merge(half1, half2, k)
+    assert sorted(map(tuple, whole.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
+    # and the estimates agree too, transitively
+    est_w = sorted(map(tuple, sketches.kmv_estimate(whole, k).collect()))
+    est_m = sorted(map(tuple, sketches.kmv_estimate(merged, k).collect()))
+    assert est_w == est_m
+
+
+def test_kmv_accuracy_envelope(spark):
+    """k=64 => stderr ~ 1/sqrt(62) ~ 12.7%; assert within 4 sigma of
+    the true 5000 (a deterministic check — the hash is fixed, this is
+    documentation of the achieved error, not a flaky bound)."""
+    df = spark.createDataFrame(
+        [("k", f"element-{i}") for i in range(5000)], ["k", "v"]
+    )
+    [row] = sketches.kmv_distinct(df, "k", "v", k=64).collect()
+    assert row["n_kept"] == 64
+    assert abs(row["est_distinct"] - 5000) / 5000 < 0.5
+
+
+def test_kmv_k_below_two_rejected(spark):
+    df = spark.createDataFrame([("k", "v")], ["k", "v"])
+    with pytest.raises(ValueError):
+        sketches.kmv_sketch(df, "k", "v", k=1)
