@@ -129,6 +129,8 @@ BENCH_QUERIES = [
     "ann_int8_topk",
     # mergeable KMV distinct-cardinality sketch (hash-only shuffle)
     "corpus_cardinality_kmv",
+    # JL +-1 integer random projection (map-only, zero shuffle)
+    "embed_random_projection",
 ]
 
 

@@ -125,3 +125,68 @@ def pca_whiten_micro(
         return pd.Series(list(Y))
 
     return emb.select(F.col(id_col), _project(F.col(vec_col)).alias("whitened"))
+
+
+def projection_planes(out_dim: int, dim: int, seed: int = 7) -> list[list[int]]:
+    """Deterministic +-1 Johnson-Lindenstrauss projection matrix
+    (out_dim x dim), derived session-free from the Spark-exact
+    xxhash64 replica — the same discipline as similarity._hyperplanes,
+    with a distinct salt prefix ("rp:") so projection planes never
+    collide with LSH planes at equal (seed, j, i).
+
+    +-1 entries (Achlioptas 2003, "Database-friendly random
+    projections") keep the projected coordinates EXACT INTEGERS when
+    applied to micro-quantized inputs: y_j = sum_i q_i * s_ji with
+    |q| < 2^27 and dim <= 2^10 stays far inside int64 — no float
+    accumulation order to diverge between engines, so the operator is
+    hash-gateable (the Gaussian-matrix variant is not)."""
+    from .xxh import xxhash64
+
+    return [
+        [1 if xxhash64(f"rp:{seed}:{j}:{i}") % 2 == 0 else -1 for i in range(dim)]
+        for j in range(out_dim)
+    ]
+
+
+def random_projection_micro(
+    emb: DataFrame,
+    out_dim: int = 8,
+    dim: int = 64,
+    seed: int = 7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction to exact integer
+    coordinates: q = round(x * 1e6) micro-units, y_j = sum_i q_i * s_ji
+    over the +-1 planes of projection_planes(). Output is LONG format —
+    (id, j, y) rows, 0-based j — so any engine can diff it row-by-row.
+
+    Scale shape: map-only (zero shuffles, zero Python) — each output
+    coordinate is one zip_with + aggregate over the vector column, all
+    whole-stage-codegen'd; a 100 TB embedding table projects in a
+    single narrow pass and the 8x-smaller sketch feeds k-means / ANN /
+    SemDeDup tiers at an 8x lower shuffle cost. The plane matrix is a
+    literal in the plan (a few hundred ints), never a join side.
+
+    Expression hygiene: the quantized vector is computed ONCE and each
+    y_j references it; CollapseProject inlines a 1-node transform per
+    reference (bounded), unlike the per-element unrolled form whose
+    dim x out_dim copies hit janino/optimizer cliffs (see xxh memory
+    note in similarity._signature_udf's history)."""
+    planes = projection_planes(out_dim, dim, seed)
+    qvec = F.transform(
+        F.slice(F.col(vec_col), 1, dim),
+        lambda v: F.round(v.cast("double") * 1000000.0, 0).cast("long"),
+    )
+    zero = F.lit(0).cast("long")
+    outs = []
+    for j, plane in enumerate(planes):
+        s = F.array(*[F.lit(v).cast("long") for v in plane])
+        outs.append(
+            F.aggregate(
+                F.zip_with(qvec, s, lambda q, w: q * w), zero, lambda acc, x: acc + x
+            )
+        )
+    return emb.select(
+        F.col(id_col), F.posexplode(F.array(*outs)).alias("j", "y")
+    )

@@ -869,6 +869,44 @@ def q_embed_gram(spark, sf_dir):
     return gram_matrix_micro(_table(spark, sf_dir, "embeddings"), dim=64)
 
 
+def q_embed_random_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss +-1 random projection to 8 exact-integer
+    coordinates (r10): micro-quantize, then y_j = sum_i q_i * s_ji
+    over xxh-replica-seeded planes — map-only, zero shuffle, all
+    whole-stage-codegen. The 8x-smaller integer sketch is the cheap
+    front tier for k-means/ANN; integer arithmetic (Achlioptas
+    planes) makes it hash-gateable where a Gaussian matrix is not."""
+    from .extras.linalg import random_projection_micro
+
+    return random_projection_micro(
+        _table(spark, sf_dir, "embeddings"), out_dim=8, dim=64, seed=7
+    )
+
+
+def _random_projection_oracle_sql(out_dim: int = 8, dim: int = 64, seed: int = 7) -> str:
+    """DuckDB replica: the same planes embedded as a VALUES literal
+    (session-free via the xxhash64 replica), the same micro-unit
+    ROUND (half-away-from-zero in both engines), exact int64 dot."""
+    from .extras.linalg import projection_planes
+
+    planes = projection_planes(out_dim, dim, seed)
+    rows = ",".join(
+        f"({j},{i + 1},{s})"
+        for j, plane in enumerate(planes)
+        for i, s in enumerate(plane)
+    )
+    return f"""WITH pl(j, i, s) AS (VALUES {rows}),
+        e AS (SELECT vec_id,
+                     generate_subscripts(embedding, 1) AS i,
+                     CAST(ROUND(CAST(unnest(embedding) AS DOUBLE)
+                                * 1000000.0, 0) AS BIGINT) AS q
+              FROM embeddings)
+        SELECT e.vec_id, CAST(pl.j AS INT) AS j,
+               CAST(SUM(e.q * pl.s) AS BIGINT) AS y
+        FROM e JOIN pl ON pl.i = e.i
+        GROUP BY e.vec_id, pl.j"""
+
+
 def q_text_bpe_tokens(spark, sf_dir):
     """Token-accurate greedy-merge BPE counts over documents (native
     replace chain, zero shuffle — see textstats.bpe_token_count)."""
@@ -2294,6 +2332,12 @@ EXTRA_QUERIES = {
     "ann_int8_topk": (q_ann_int8_topk, _ann_int8_oracle_sql()),
     # r10: KMV distinct-cardinality sketch — deterministic (md5-prefix
     # hashes + closed-form estimator), so hash-gated where HLL can't be
+    # r10: JL +-1 random projection — exact integer coordinates, planes
+    # session-free from the xxh replica, map-only plan; hash-gated
+    "embed_random_projection": (
+        q_embed_random_projection,
+        _random_projection_oracle_sql(),
+    ),
     "corpus_cardinality_kmv": (
         q_corpus_cardinality_kmv,
         f"""WITH t AS (SELECT source, {_TOKS} AS toks FROM documents),
@@ -3056,6 +3100,13 @@ CATALOG_RETIRED = {
     # BindingSetAssignment Arrow LocalRelation + broadcast join, and
     # sparql_values_undef additionally drives the NULL-tolerant ON.
     "sparql_values": "sparql_values_undef (same BindingSetAssignment + UNDEF)",
+    # r10 (freshness slot for embed_random_projection): the batch
+    # windowed aggregation is executed by its streaming sibling as the
+    # IDENTICAL plan through availableNow micro-batching — the hash
+    # gate on stream_windowed_counts subsumes the batch entry, and the
+    # batch tumbling-window lowering stays pytest-locked in
+    # tests/test_events.py.
+    "events_window": "stream_windowed_counts (same plan via availableNow)",
 }
 
 CATALOG_FRONT = [
@@ -3091,6 +3142,7 @@ CATALOG_FRONT = [
     "dedup_cross_corpus",
     "ann_int8_topk",
     "corpus_cardinality_kmv",
+    "embed_random_projection",
     "dedup_minhash_verified",
     "embed_semdedup",
     "dedup_clusters",
