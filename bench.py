@@ -131,6 +131,8 @@ BENCH_QUERIES = [
     "corpus_cardinality_kmv",
     # JL +-1 integer random projection (map-only, zero shuffle)
     "embed_random_projection",
+    # integer batch-perceptron training (one agg pass per epoch)
+    "embed_perceptron",
 ]
 
 

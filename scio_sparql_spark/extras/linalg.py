@@ -190,3 +190,73 @@ def random_projection_micro(
     return emb.select(
         F.col(id_col), F.posexplode(F.array(*outs)).alias("j", "y")
     )
+
+
+def perceptron_train(
+    emb: DataFrame,
+    dim: int = 64,
+    epochs: int = 3,
+    scale: int = 1000,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Distributed batch-perceptron training over an embedding column —
+    the "train a quality classifier on the corpus itself" primitive of
+    a large-scale data pipeline, expressed so every epoch is ONE
+    narrow aggregation pass.
+
+    Semantics (all exact int64, hence engine-replicable and
+    hash-gateable — no sigmoid, no float accumulation order):
+      q_v = round(x_v * scale)            per-coordinate quantization
+      y_v = +1 if label even else -1      binary target
+      epoch: pred_v = <w, q_v>;  misclassified iff y_v * pred_v <= 0
+             w += sum over misclassified of y_v * q_v
+    starting from w = 0 (so epoch 1's update is sum(y*q) over ALL
+    rows — the class-mean direction). Returns (i, w): the final
+    weight vector as 0-based coordinate rows.
+
+    Scale shape: the weight vector is a plan literal (broadcast by
+    construction, dim ints); each epoch computes the margin filter and
+    the dim per-coordinate update sums in a single .agg() over one
+    scan — map-side partial combine, a dim-value shuffle, no joins.
+    The driver holds only dim integers between epochs (same pattern
+    as the k-means Lloyd loop in clustering.py). Overflow headroom:
+    |q| <= scale * max|x|, so |pred| <= n_rows * dim * (scale *
+    max|x|)^2 — at scale=1000 and unit-normal embeddings that is
+    ~2^44 per 10^5 rows; for a 100 TB corpus raise to DECIMAL(38,0)
+    partials exactly as gram_matrix_micro documents."""
+    q = F.transform(
+        F.slice(F.col(vec_col), 1, dim),
+        lambda v: F.round(v.cast("double") * float(scale), 0).cast("long"),
+    )
+    y = F.when(F.col(label_col) % 2 == 0, F.lit(1)).otherwise(F.lit(-1)).cast(
+        "long"
+    )
+    base = emb.select(q.alias("q"), y.alias("y"))
+    w = [0] * dim
+    zero = F.lit(0).cast("long")
+    for _ in range(epochs):
+        warr = F.array(*[F.lit(int(wi)).cast("long") for wi in w])
+        pred = F.aggregate(
+            F.zip_with(F.col("q"), warr, lambda a, b: a * b),
+            zero,
+            lambda acc, x: acc + x,
+        )
+        upd = (
+            base.filter(F.col("y") * pred <= 0)
+            .agg(
+                *[
+                    F.sum(F.col("y") * F.element_at(F.col("q"), i + 1)).alias(
+                        f"u{i}"
+                    )
+                    for i in range(dim)
+                ]
+            )
+            .collect()[0]
+        )
+        w = [wi + (upd[f"u{i}"] or 0) for i, wi in enumerate(w)]
+    spark = emb.sparkSession
+    return spark.createDataFrame(
+        [(i, int(wi)) for i, wi in enumerate(w)], "i int, w long"
+    )

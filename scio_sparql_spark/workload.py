@@ -907,6 +907,54 @@ def _random_projection_oracle_sql(out_dim: int = 8, dim: int = 64, seed: int = 7
         GROUP BY e.vec_id, pl.j"""
 
 
+def q_embed_perceptron(spark, sf_dir):
+    """Distributed integer batch-perceptron training (r10): broadcast
+    weight literal, one margin-filtered .agg() pass per epoch, exact
+    int64 arithmetic end-to-end — the 'train a quality classifier on
+    the corpus' primitive, hash-gated because nothing transcendental
+    or order-dependent ever enters the update."""
+    from .extras.linalg import perceptron_train
+
+    return perceptron_train(
+        _table(spark, sf_dir, "embeddings"), dim=64, epochs=3, scale=1000
+    )
+
+
+def _perceptron_oracle_sql(dim: int = 64, epochs: int = 3, scale: int = 1000) -> str:
+    """DuckDB replica: per-epoch CTE unrolling of the identical integer
+    recurrence (w0 = 0; w_{t+1} = w_t + sum over y*pred<=0 of y*q)."""
+    ctes = [
+        f"""e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+                      CAST(ROUND(CAST(unnest(embedding) AS DOUBLE)
+                                 * {scale}.0, 0) AS BIGINT) AS q
+               FROM embeddings)""",
+        """lab AS (SELECT vec_id,
+                      CASE WHEN label % 2 = 0 THEN 1 ELSE -1 END AS y
+               FROM embeddings)""",
+        f"w0 AS (SELECT i, CAST(0 AS BIGINT) AS w FROM range({dim}) t(i))",
+    ]
+    for t in range(1, epochs + 1):
+        ctes.append(
+            f"""p{t} AS (SELECT e.vec_id, SUM(e.q * w{t - 1}.w) AS pred
+                 FROM e JOIN w{t - 1} USING (i) GROUP BY e.vec_id)"""
+        )
+        ctes.append(
+            f"""u{t} AS (SELECT e.i, SUM(lab.y * e.q) AS u
+                 FROM e JOIN lab USING (vec_id) JOIN p{t} USING (vec_id)
+                 WHERE lab.y * p{t}.pred <= 0 GROUP BY e.i)"""
+        )
+        ctes.append(
+            f"""w{t} AS (SELECT w{t - 1}.i,
+                        w{t - 1}.w + COALESCE(u{t}.u, 0) AS w
+                 FROM w{t - 1} LEFT JOIN u{t} USING (i))"""
+        )
+    return (
+        "WITH "
+        + ",\n ".join(ctes)
+        + f"\nSELECT CAST(i AS INT) AS i, CAST(w AS BIGINT) AS w FROM w{epochs}"
+    )
+
+
 def q_text_bpe_tokens(spark, sf_dir):
     """Token-accurate greedy-merge BPE counts over documents (native
     replace chain, zero shuffle — see textstats.bpe_token_count)."""
@@ -2332,6 +2380,9 @@ EXTRA_QUERIES = {
     "ann_int8_topk": (q_ann_int8_topk, _ann_int8_oracle_sql()),
     # r10: KMV distinct-cardinality sketch — deterministic (md5-prefix
     # hashes + closed-form estimator), so hash-gated where HLL can't be
+    # r10: integer batch-perceptron training — broadcast weight literal,
+    # one agg pass per epoch, exact int64 recurrence; hash-gated
+    "embed_perceptron": (q_embed_perceptron, _perceptron_oracle_sql()),
     # r10: JL +-1 random projection — exact integer coordinates, planes
     # session-free from the xxh replica, map-only plan; hash-gated
     "embed_random_projection": (
@@ -3107,6 +3158,12 @@ CATALOG_RETIRED = {
     # batch tumbling-window lowering stays pytest-locked in
     # tests/test_events.py.
     "events_window": "stream_windowed_counts (same plan via availableNow)",
+    # r10 (freshness slot for embed_perceptron): span REMOVAL's entry
+    # drives the identical window-hash span computation and then the
+    # removal rewrite on top — coverage is a strict superset; the
+    # coverage-metrics projection stays hash-gated via that entry's
+    # oracle and pytest-locked in test_dedup_spans.
+    "dedup_spans": "dedup_span_removal (same window-hash spans + removal)",
 }
 
 CATALOG_FRONT = [
@@ -3143,6 +3200,7 @@ CATALOG_FRONT = [
     "ann_int8_topk",
     "corpus_cardinality_kmv",
     "embed_random_projection",
+    "embed_perceptron",
     "dedup_minhash_verified",
     "embed_semdedup",
     "dedup_clusters",
