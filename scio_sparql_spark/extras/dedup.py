@@ -194,33 +194,26 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """MinHash + LSH banding near-dup candidates, verified by estimated
     Jaccard (signature agreement). shingle -> minhash -> band -> bucket
-    join: only same-bucket docs ever meet (no quadratic blowup)."""
+    join: only same-bucket docs ever meet (no quadratic blowup).
+
+    r11 claw-back (VERDICT r10 #4): the bucket self-join previously
+    carried the full 64-long signature array through the band explode
+    (16 array copies per doc through the shuffle; 2.18s (r8) -> 3.91s
+    at sf0.1). Now the self-join runs on narrow (id, band, bucket)
+    rows via _band_candidates, and the estimate fetches each side's
+    signature by ONE id-equi-join against the signature table — whose
+    groupBy(id) output partitioning the joins reuse (ReuseExchange
+    dedups the identical sig subtrees, so signatures compute once).
+    Output rows are unchanged: same candidates, same estimates."""
     rows = num_hashes // bands
     sig = minhash_signatures(docs, num_hashes, n, text_col, id_col)
-    # signatures ride along the band explode: the bucket self-join then
-    # has both sides' signatures in hand, so estimated Jaccard is a pure
-    # projection — no cached signature table, no verify re-joins.
-    banded = sig.select(
-        "id",
-        "sig",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.array_join(F.slice("sig", b * rows + 1, rows), ","),
-                        F.lit(b),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "bucket"),
-    )
+    cand = _band_candidates(sig, bands, rows, bucket_cap=None)
     est = (
         F.aggregate(
             F.zip_with(
-                F.col("x.sig"),
-                F.col("y.sig"),
-                lambda a, b: F.when(a == b, 1).otherwise(0),
+                F.col("a.sig"),
+                F.col("b.sig"),
+                lambda x, y: F.when(x == y, 1).otherwise(0),
             ),
             F.lit(0),
             lambda acc, v: acc + v,
@@ -228,20 +221,10 @@ def minhash_lsh_pairs(
         / num_hashes
     )
     return (
-        banded.alias("x")
-        .join(
-            banded.alias("y"),
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bucket") == F.col("y.bucket"))
-            & (F.col("x.id") < F.col("y.id")),
-        )
-        .select(
-            F.col("x.id").alias("id_a"),
-            F.col("y.id").alias("id_b"),
-            est.alias("est_jaccard"),
-        )
+        cand.join(sig.alias("a"), cand["id_a"] == F.col("a.id"))
+        .join(sig.alias("b"), cand["id_b"] == F.col("b.id"))
+        .select("id_a", "id_b", est.alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= threshold)
-        .distinct()
     )
 
 

@@ -233,7 +233,15 @@ def perceptron_train(
     y = F.when(F.col(label_col) % 2 == 0, F.lit(1)).otherwise(F.lit(-1)).cast(
         "long"
     )
-    base = emb.select(q.alias("q"), y.alias("y"))
+    # Scan + quantize ONCE: without the checkpoint every epoch's .agg()
+    # re-reads the parquet and re-evaluates the transform (epochs+1
+    # scans total). spread first so the checkpointed partitions (and
+    # every epoch's map-side partial agg) use all cores, then
+    # localCheckpoint truncates the lineage to the quantized (q, y)
+    # rows — same pattern as kmeans_micro (clustering.py:68-71).
+    from .util import spread
+
+    base = spread(emb).select(q.alias("q"), y.alias("y")).localCheckpoint()
     w = [0] * dim
     zero = F.lit(0).cast("long")
     for _ in range(epochs):
@@ -243,19 +251,25 @@ def perceptron_train(
             zero,
             lambda acc, x: acc + x,
         )
+        # update sums via posexplode + ONE groupBy(i) sum, not dim named
+        # aggregates: the 64-expression .agg() re-codegens per epoch
+        # (weight literals change) and planning dominated the epoch at
+        # small SF (2.8s -> 1.6s measured, identical weights). At scale
+        # the explode is map-local and the partial agg collapses it to
+        # dim rows per partition before the (dim-row) shuffle.
         upd = (
             base.filter(F.col("y") * pred <= 0)
-            .agg(
-                *[
-                    F.sum(F.col("y") * F.element_at(F.col("q"), i + 1)).alias(
-                        f"u{i}"
-                    )
-                    for i in range(dim)
-                ]
+            .select(
+                F.posexplode(
+                    F.transform(F.col("q"), lambda qi: F.col("y") * qi)
+                ).alias("i", "v")
             )
-            .collect()[0]
+            .groupBy("i")
+            .agg(F.sum("v").alias("u"))
+            .collect()
         )
-        w = [wi + (upd[f"u{i}"] or 0) for i, wi in enumerate(w)]
+        um = {r["i"]: r["u"] for r in upd}
+        w = [wi + int(um.get(i, 0) or 0) for i, wi in enumerate(w)]
     spark = emb.sparkSession
     return spark.createDataFrame(
         [(i, int(wi)) for i, wi in enumerate(w)], "i int, w long"

@@ -57,27 +57,47 @@ def kmv_sketch(
     key_col: str,
     value_col: str,
     k: int = 64,
+    salt_buckets: int = 64,
 ) -> DataFrame:
     """Per-`key_col` KMV sketch of the distinct `value_col` population:
     (key, h) rows — at most k per key, the k smallest distinct 60-bit
     hashes. NULL values are excluded (they are not elements).
 
     Plan: project (key, hash) — 8-byte values, the strings never
-    shuffle — then one distinct (map-side partial) and one per-key
-    rank filter. The rank uses a window sort within the key's
-    partition: an external (spillable) sort of the key's *distinct
-    hashes*, never a driver collect and never an unbounded
-    collect_list. A group whose distinct count is below k keeps all
-    its hashes (the sketch is then exact)."""
+    shuffle — then one distinct (map-side partial) and a SALTED
+    two-level k-min. Level 1 ranks within (key, pmod(xxhash64(h),
+    salt_buckets)) and keeps k per salt: the key's distinct-hash
+    population splits `salt_buckets` ways, so no single task ever
+    sorts a whole key (the r10 single-level rank funneled a key's
+    ENTIRE distinct set through one window task — a 100-TB cliff for
+    a large source). Level 2 re-ranks within key over the survivors —
+    at most salt_buckets * k rows per key, a bounded sort. Exact by
+    the same argument as kmv_merge (pytest-locked): each of the key's
+    k globally-smallest hashes lands in some salt and is among that
+    salt's k smallest, so level 1 never drops a member of the true
+    top-k. The salt never touches the output — hashes are identical
+    to the single-level construction for every salt_buckets value.
+    A group whose distinct count is below k keeps all its hashes (the
+    sketch is then exact)."""
     if k < 2:
         raise ValueError(f"k must be >= 2 for the KMV estimator, got {k}")
+    if salt_buckets < 1:
+        raise ValueError(f"salt_buckets must be >= 1, got {salt_buckets}")
     hashed = (
         df.filter(F.col(value_col).isNotNull())
         .select(F.col(key_col).alias("key"), kmv_hash(F.col(value_col)).alias("h"))
         .distinct()
     )
+    salt = F.pmod(F.xxhash64(F.col("h")), F.lit(salt_buckets))
+    w1 = Window.partitionBy("key", "__salt").orderBy("h")
+    lvl1 = (
+        hashed.withColumn("__salt", salt)
+        .withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= k)
+        .drop("__salt", "__rn")
+    )
     rn = F.row_number().over(Window.partitionBy("key").orderBy("h"))
-    return hashed.withColumn("__rn", rn).filter(F.col("__rn") <= k).drop("__rn")
+    return lvl1.withColumn("__rn", rn).filter(F.col("__rn") <= k).drop("__rn")
 
 
 def kmv_merge(a: DataFrame, b: DataFrame, k: int = 64) -> DataFrame:

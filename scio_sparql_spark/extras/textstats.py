@@ -571,7 +571,19 @@ def quality_weighted_sample(
     def thr(f: float) -> str:
         return format(int(f * 0xFFFFFFFF), "08x")
 
-    scored = classifier_score(docs, text_col, id_col)
+    # Pin the expensive classifier aggregate behind the repo's optimizer
+    # barrier: tier + tier_thr + the projected column reference
+    # score_micro three times, and CollapseProject would otherwise
+    # inline the full md5-weight aggregate into each reference (3x the
+    # work per row — measured 1.2s -> 2.2s at sf0.1). The barrier keeps
+    # it one Project node, evaluated once (plan-locked in
+    # test_plan_shapes.test_quality_weighted_sample_single_aggregate).
+    from ..terms import optimizer_barrier
+
+    scored = classifier_score(docs, text_col, id_col).select(
+        F.col(id_col),
+        optimizer_barrier(F.col("score_micro")).alias("score_micro"),
+    )
     tier = (
         F.when(F.col("score_micro") >= high_micro, F.lit("high"))
         .when(F.col("score_micro") >= 0, F.lit("mid"))

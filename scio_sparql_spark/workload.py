@@ -708,8 +708,13 @@ def q_corpus_cardinality_kmv(spark, sf_dir):
     engine-replicable (unlike HLL), so hash-gated. The 100-TB point:
     only 8-byte hashes shuffle (never shingle strings), per-key state
     is bounded at k, and sketches over data splits merge losslessly
-    (pytest-locked in test_sketches.py)."""
-    docs = _table(spark, sf_dir, "documents")
+    (pytest-locked in test_sketches.py). r11: spread() parallelizes the
+    shingle explode + md5 (the sf input is one parquet row group -> one
+    core without it), and kmv_sketch itself now ranks salted two-level
+    so no task ever sorts a whole key's distinct-hash set."""
+    from .extras.util import spread
+
+    docs = spread(_table(spark, sf_dir, "documents"))
     grams = docs.select(
         "source", F.explode(dedup.token_ngrams(F.col("text"), 3)).alias("g")
     )
@@ -1668,7 +1673,13 @@ _CLS_WEIGHT = (
 
 
 def q_sample_quality_weighted(spark, sf_dir):
-    return textstats.quality_weighted_sample(_table(spark, sf_dir, "documents"))
+    # spread: the md5-per-token classifier aggregate is the cost; one
+    # parquet row group would otherwise run it on a single core
+    from .extras.util import spread
+
+    return textstats.quality_weighted_sample(
+        spread(_table(spark, sf_dir, "documents"))
+    )
 
 
 def q_corpus_stats(spark, sf_dir):

@@ -426,3 +426,78 @@ def test_bucketed_join_has_no_shuffle_exchange(spark, tmp_path):
     row = joined.filter(F.col("doc_id") == 0).collect()[0]
     src = docs.filter(F.col("doc_id") == 0).collect()[0]
     assert row.n_chars == src.n_chars
+
+
+def test_quality_weighted_sample_single_aggregate(spark):
+    """VERDICT r10 #1: tier, tier_thr and the projected score each
+    reference the expensive classifier-score F.aggregate — without the
+    optimizer barrier CollapseProject inlines the full md5-weight
+    aggregate into every reference (3 copies in the optimized plan,
+    1.2s -> 2.2s at sf0.1). Lock: exactly ONE aggregate( in the
+    optimized plan."""
+    from scio_sparql_spark.extras import textstats
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} tok{i+1} quality words here") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    df = textstats.quality_weighted_sample(docs)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("aggregate(") == 1, opt
+
+
+def test_kmv_sketch_two_level_no_whole_key_sort(spark):
+    """VERDICT r10 #2b: the per-key rank must never sort a key's ENTIRE
+    distinct-hash population in one window task. The salted two-level
+    construction shows as TWO Window nodes, the first partitioned by
+    (key, pmod(xxhash64(h))) — bounded per-salt sort, then a bounded
+    (<= salt_buckets * k rows/key) re-rank."""
+    from scio_sparql_spark.extras import sketches
+
+    df = spark.createDataFrame(
+        [("a", f"v{i}") for i in range(200)], ["k", "v"]
+    )
+    sk = sketches.kmv_sketch(df, "k", "v", k=8)
+    plan = _plan(sk)
+    # two real Window nodes ("Window [row_number..."), NOT counting the
+    # WindowGroupLimit rank-pushdown nodes Spark inserts around each
+    assert plan.count("Window [") == 2, plan
+    assert "__salt" in plan, plan
+    # and the rank-limit pushdown must survive at both levels: the
+    # Partial WindowGroupLimit bounds every pre-shuffle sort at k rows
+    # per (key[, salt]) group per input partition
+    assert plan.count("WindowGroupLimit") == 4, plan
+
+
+def test_kmv_workload_entry_spreads_the_map_stage(spark):
+    """VERDICT r10 #2a: the catalog entry must not run the shingle
+    explode+md5 on the input's single parquet row group — spread()
+    repartitions to defaultParallelism before the map stage."""
+    from scio_sparql_spark import workload
+
+    df = workload.q_corpus_cardinality_kmv(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange RoundRobinPartitioning" in plan, plan[:3000]
+
+
+def test_minhash_lsh_pairs_narrow_band_join(spark):
+    """VERDICT r10 #4 claw-back: the bucket self-join must run on
+    narrow (id, band, bucket) rows — the 64-long signature array may
+    not ride the band explode through the shuffle. The sig arrays
+    enter only via the two post-candidate id-equi-joins."""
+    docs = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2} w{i+3} common words") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    df = dedup.minhash_lsh_pairs(docs, threshold=0.1)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    # the band-bucket self-join keys on (band, bucket, id) only; a sig
+    # reference inside that join's condition/projection means the array
+    # is riding the explode again
+    import re as _re
+
+    joins = _re.findall(r"Join.*", opt)
+    band_joins = [j for j in joins if "band" in j and "bucket" in j]
+    assert band_joins, opt
+    for j in band_joins:
+        assert "sig" not in j, j
