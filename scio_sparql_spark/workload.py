@@ -3178,86 +3178,91 @@ CATALOG_RETIRED = {
 }
 
 CATALOG_FRONT = [
-    # --- r10 window ----------------------------------------------------
-    # The driver checks the FIRST 50 entries. Rotation ledger:
-    #   r8/r9 windows were identical (the r9 rotation was skipped —
-    #   VERDICT r9 missing #4), so every entry of the r8 list now has
-    #   r8 AND r9 driver rows, and the other 50 actives' latest driver
-    #   evidence is r7 (judge re-run green 2026-08-14, 68/71 + the 3
-    #   textstats NameError reds fixed this round).
-    #   r10 window (this list): the 5 new-or-changed-this-round entries
-    #   first — text_bpe_tokens_1k (new), docs_pack_bpe (now 1k-vocab
-    #   Arrow counts, new oracle), dedup_minhash_verified (singleton
-    #   fast path + row-based expansion), embed_semdedup (guard
-    #   restructure), dedup_clusters (inverted-index pair-gen) — then
-    #   the 45 stale actives.
-    #   Displaced to r11 (each covered by an r9-driver-green or
-    #   in-this-window same-code-path sibling): sparql_ask
-    #   (sparql_construct r9, same engine form machinery),
-    #   sparql_agg_avg (sparql_agg_sum/minmax r9, same aggregate
-    #   lowering), ann_cosine_topk (ann_ivf_topk r9, full-coverage
-    #   probing == the same brute-force cosine), dedup_exact
-    #   (dedup_normalized in-window: same digest groupBy; plus
-    #   dedup_incremental in-window on the same digest path),
-    #   rdf_egress_jsonld (rdf_egress_turtle r9: same rio egress
-    #   machinery, the JSON-LD serializer itself is round-trip
-    #   pytest-locked), dedup_embedding_cosine (embed_semdedup
-    #   in-window: the same exact integer cosine arithmetic, hash-gated
-    #   within clusters; the quadratic baseline form is pytest-locked
-    #   against it).
-    "text_bpe_tokens_1k",
-    "docs_pack_bpe",
-    "dedup_cross_corpus",
-    "ann_int8_topk",
+    # --- r11 window (exactly 50 — the driver checks the FIRST 50) ------
+    # Rotation ledger (evidence age at the END of r10, from the
+    # CORRECTNESS_r{07,08,09,10}.json keys themselves — the r10 comment
+    # miscounted "45 stale actives" for the 42 it listed, and carried
+    # 52 entries so positions 51-52 (dedup_span_removal, events_funnel)
+    # silently got no driver row; both fixed here — ADVICE r10 #1):
+    #   last=r10: the 50 entries of the r10 window.
+    #   last=r9:  42 actives (the r8==r9 window minus the 8 re-windowed
+    #             in r10).
+    #   last=r7:  the 8 stale — the 6 the r10 ledger displaced plus the
+    #             2 that fell off the end of the 52-long list.
+    # This list: the 3 changed-or-unwitnessed-code entries first —
+    #   corpus_cardinality_kmv (r11: spread + salted two-level k-min,
+    #   hash unchanged by construction but re-proven), embed_perceptron
+    #   (r11: checkpointed base + posexplode update path), ann_lsh_topk
+    #   (its gated path switched to lsh_build_index/lsh_probe in r10
+    #   but was not windowed — ADVICE r10 #2) —
+    # then the 8 last=r7 stale entries, then the 42 last=r9 actives
+    # minus 2 displaced to r12 (each covered by an in-this-window
+    # strict-superset sibling):
+    #   sparql_agg_count (sparql_having in-window: same COUNT(?o)
+    #   GROUP BY lowering plus the HAVING filter on top; COUNT-path
+    #   also driven by sparql_q3_shaped's r10-green COUNT),
+    #   sparql_bind (sparql_bind_exists in-window: same Extension/BIND
+    #   lowering plus the EXISTS value case; BIND arithmetic further
+    #   covered by the arith/string differential-fuzz families).
+    # Retired entries whose code changed in r11 (no driver slot by
+    # policy): sample_quality_weighted (optimizer-barrier fix — local
+    # sf0.01 oracle green, plan-locked, sibling text_classifier_score
+    # in-window) and dedup_minhash_lsh (narrow band join — rows-only
+    # oracle green locally, plan-locked, sibling dedup_minhash_verified
+    # in-window).
     "corpus_cardinality_kmv",
-    "embed_random_projection",
     "embed_perceptron",
-    "dedup_minhash_verified",
-    "embed_semdedup",
-    "dedup_clusters",
-    # --- the 45 stale actives (last driver row r7) ---------------------
-    "sparql_q3_shaped",
-    "sparql_agg_expr",
-    "sparql_distinct",
-    "sparql_exists",
-    "sparql_topk",
-    "sparql_offset_limit",
-    "sparql_path_alt",
-    "sparql_path_star",
-    "sparql_values_undef",
-    "docs_filter_funnel",
-    "stream_stateful_sessions",
-    "graph_pagerank",
-    "stream_sparql_select",
-    "sparql_update_roundtrip",
-    "events_rollup",
-    "docs_bucketed_join",
-    "text_quality",
-    "text_langid",
-    "embed_gram",
-    "docs_clean_pipeline",
-    "multimodal_features",
-    "stream_dedup_exact",
-    "events_asof",
-    "dedup_bloom_contamination",
-    "text_lm_score",
-    "dedup_incremental",
-    "docs_jsonl_roundtrip",
-    "retrieval_bm25",
-    "retrieval_term_stats",
-    "events_sessions",
-    "events_session_windows",
-    "stream_session_windows",
-    "events_pivot",
-    "events_running_total",
-    "dedup_normalized",
-    "corpus_top_ngrams",
-    "text_repetition",
-    "docs_pack_sequences",
-    "docs_gopher_filter",
-    "text_classifier_score",
+    "ann_lsh_topk",
+    # --- the 8 last=r7 stale actives ------------------------------------
+    "sparql_ask",
+    "sparql_agg_avg",
+    "ann_cosine_topk",
+    "dedup_exact",
+    "rdf_egress_jsonld",
+    "dedup_embedding_cosine",
     "dedup_span_removal",
     "events_funnel",
+    # --- the last=r9 actives (42 minus ann_lsh_topk above minus the 2
+    # displaced to r12) --------------------------------------------------
+    "ann_ivf_topk",
+    "dedup_simhash_check",
+    "doc_chunks",
+    "docs_topk_per_source",
+    "embed_kmeans",
+    "events_props",
+    "events_quantiles",
+    "rdf_egress_turtle",
+    "sample_stratified",
+    "sparql_agg_minmax",
+    "sparql_agg_sum",
+    "sparql_bgp_join",
+    "sparql_bind_exists",
+    "sparql_bindings",
+    "sparql_construct",
+    "sparql_custom_function",
+    "sparql_filter",
+    "sparql_from_graph",
+    "sparql_graph",
+    "sparql_group_by_expr",
+    "sparql_group_concat",
+    "sparql_having",
+    "sparql_minus",
+    "sparql_not_exists",
+    "sparql_optional",
+    "sparql_path_inv",
+    "sparql_path_negated",
+    "sparql_path_seq",
+    "sparql_path_zero_or_one",
+    "sparql_property_table",
+    "sparql_quads_roundtrip",
+    "sparql_sample",
+    "sparql_subselect",
+    "sparql_union",
+    "sparql_union_default_graph",
+    "stream_interval_join",
+    "stream_windowed_counts",
+    "text_pii",
+    "text_token_count",
 ]
 
 
