@@ -782,10 +782,24 @@ def minhash_verified_pairs(
     id_col: str = "doc_id",
     bucket_cap: int | None = 512,
     collapse_threshold: int = 64,
+    collapse: str = "auto",
 ) -> DataFrame:
     """MinHash-LSH candidate generation + EXACT Jaccard verification —
     the standard two-phase production dedup (candidates from banding,
-    then the exact measure only on candidate pairs). Output (id_a,
+    then the exact measure only on candidate pairs).
+
+    EAGER under ``collapse='auto'`` (the default): building the
+    returned DataFrame runs one Spark job NOW — a digest groupBy +
+    max-class-size probe over the full input — to decide whether the
+    duplicate-class collapse machinery is needed, and that decision is
+    FROZEN into the returned plan (stale if the underlying source
+    changes before the action). Callers composing lazy plans or on
+    known-clean corpora can pass ``collapse='never'`` (skip the probe
+    and the collapse — the r8-shaped plan, correct but O(d^2 x bands)
+    banded blowup if a d-sized duplicate class exists) or
+    ``collapse='always'`` (skip the probe, always pay the collapse
+    joins) to stay fully lazy (ADVICE r10 #3). Output is identical
+    for all three modes. Output (id_a,
     id_b, jaccard) is bit-identical to ngram_jaccard_pairs whenever
     banding recall reaches every true pair, which makes the LSH path
     oracle-checkable against the quadratic exact baseline (VERDICT r5
@@ -852,8 +866,15 @@ def minhash_verified_pairs(
     # pairs at the default 64 — and bit-identical in output (identical
     # texts share signatures, so banding emits every within-class pair
     # and the exact verify scores it 1.0), so skip the whole apparatus.
-    row = classes.agg(F.max("csize").alias("m")).first()
-    small = row is None or row["m"] is None or row["m"] <= collapse_threshold
+    # collapse='always'/'never' skips the eager probe entirely (lazy
+    # plan; ADVICE r10 #3).
+    if collapse not in ("auto", "always", "never"):
+        raise ValueError(f"collapse must be auto|always|never, got {collapse!r}")
+    if collapse == "auto":
+        row = classes.agg(F.max("csize").alias("m")).first()
+        small = row is None or row["m"] is None or row["m"] <= collapse_threshold
+    else:
+        small = collapse == "never"
 
     if small:
         reps = base.select(

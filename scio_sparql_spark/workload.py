@@ -1467,17 +1467,26 @@ def q_dedup_cross_corpus(spark, sf_dir):
     (% 20 == 0) with broadcast benchmark bands, exact Jaccard verify
     on candidates — catches paraphrased eval leakage that exact n-gram
     contamination misses. Hash-gated against the inverted-index exact
-    cross-Jaccard oracle (recall argument as dedup_minhash_verified)."""
+    cross-Jaccard oracle.
+
+    r11 (ADVICE r10 #4): the banding curve is matched to the gate
+    threshold so "every true pair clears banding" is robust, not
+    incidental — at threshold=0.5 with 32 bands x 2 rows a true pair
+    at exactly J=0.5 is missed with probability (1-0.5^2)^32 ~ 1e-4,
+    and the miss probability only falls as J rises (the r10 gate at
+    threshold=0.2 with 4-row bands passed a J=0.2 pair with only
+    ~2.5% probability and held only because the fixture had no
+    borderline cross pairs)."""
     docs = _table(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 20 != 0)
     benchmark = docs.filter(F.col("doc_id") % 20 == 0)
     return dedup.cross_corpus_minhash_pairs(
-        corpus, benchmark, threshold=0.2, n=3
+        corpus, benchmark, threshold=0.5, bands=32, n=3
     )
 
 
 def _cross_corpus_oracle_sql() -> str:
-    return f"""WITH {_jaccard_pairs_ctes(0.2)}
+    return f"""WITH {_jaccard_pairs_ctes(0.5)}
         SELECT CASE WHEN xa % 20 = 0 THEN xb ELSE xa END AS id_a,
                CASE WHEN xa % 20 = 0 THEN xa ELSE xb END AS id_b,
                jaccard
@@ -3189,21 +3198,27 @@ CATALOG_FRONT = [
     #             in r10).
     #   last=r7:  the 8 stale — the 6 the r10 ledger displaced plus the
     #             2 that fell off the end of the 52-long list.
-    # This list: the 3 changed-or-unwitnessed-code entries first —
+    # This list: the 4 changed-or-unwitnessed-code entries first —
     #   corpus_cardinality_kmv (r11: spread + salted two-level k-min,
     #   hash unchanged by construction but re-proven), embed_perceptron
     #   (r11: checkpointed base + posexplode update path), ann_lsh_topk
     #   (its gated path switched to lsh_build_index/lsh_probe in r10
-    #   but was not windowed — ADVICE r10 #2) —
+    #   but was not windowed — ADVICE r10 #2), dedup_cross_corpus
+    #   (r11: gate re-pinned at threshold=0.5 with 2-row bands so the
+    #   banding curve matches the gate — ADVICE r10 #4) —
     # then the 8 last=r7 stale entries, then the 42 last=r9 actives
-    # minus 2 displaced to r12 (each covered by an in-this-window
+    # minus 3 displaced to r12 (each covered by an in-this-window
     # strict-superset sibling):
     #   sparql_agg_count (sparql_having in-window: same COUNT(?o)
     #   GROUP BY lowering plus the HAVING filter on top; COUNT-path
     #   also driven by sparql_q3_shaped's r10-green COUNT),
     #   sparql_bind (sparql_bind_exists in-window: same Extension/BIND
     #   lowering plus the EXISTS value case; BIND arithmetic further
-    #   covered by the arith/string differential-fuzz families).
+    #   covered by the arith/string differential-fuzz families),
+    #   sparql_path_seq (p1/p2 desugars at PARSE time into the same
+    #   multi-pattern BGP join sparql_bgp_join drives in-window; the
+    #   desugar itself is locked by the path differential-fuzz family
+    #   in test_path_fuzz.py).
     # Retired entries whose code changed in r11 (no driver slot by
     # policy): sample_quality_weighted (optimizer-barrier fix — local
     # sf0.01 oracle green, plan-locked, sibling text_classifier_score
@@ -3213,6 +3228,7 @@ CATALOG_FRONT = [
     "corpus_cardinality_kmv",
     "embed_perceptron",
     "ann_lsh_topk",
+    "dedup_cross_corpus",
     # --- the 8 last=r7 stale actives ------------------------------------
     "sparql_ask",
     "sparql_agg_avg",
@@ -3222,7 +3238,7 @@ CATALOG_FRONT = [
     "dedup_embedding_cosine",
     "dedup_span_removal",
     "events_funnel",
-    # --- the last=r9 actives (42 minus ann_lsh_topk above minus the 2
+    # --- the last=r9 actives (42 minus ann_lsh_topk above minus the 3
     # displaced to r12) --------------------------------------------------
     "ann_ivf_topk",
     "dedup_simhash_check",
@@ -3251,7 +3267,6 @@ CATALOG_FRONT = [
     "sparql_optional",
     "sparql_path_inv",
     "sparql_path_negated",
-    "sparql_path_seq",
     "sparql_path_zero_or_one",
     "sparql_property_table",
     "sparql_quads_roundtrip",

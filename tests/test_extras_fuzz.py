@@ -235,3 +235,72 @@ def test_fuzz_quantize_int8_reference(spark, vecs):
             want = ([int(x * 127.0 / mx) for x in v], int(mx * 1e6))
         assert got[i] == want, (i, v, got[i], want)
         assert all(-127 <= q <= 127 for q in got[i][0])
+
+
+def _pycross_pairs(texts, threshold, n=3):
+    """Brute-force cross-corpus Jaccard: corpus = odd indices,
+    benchmark = even indices (mirrors q_dedup_cross_corpus's % split)."""
+    out = set()
+    sh = {i: _pyshingles(t, n) for i, t in enumerate(texts)}
+    for a in range(len(texts)):
+        for b in range(len(texts)):
+            if a % 2 == 0 or b % 2 != 0:
+                continue  # a must be corpus (odd), b benchmark (even)
+            u = sh[a] | sh[b]
+            if not u:
+                continue
+            j = round(len(sh[a] & sh[b]) / len(u), 6)
+            if j >= threshold:
+                out.add((a, b, j))
+    return out
+
+
+@given(texts=_corpus)
+@_settings
+def test_fuzz_cross_corpus_sound_and_dup_complete(spark, texts):
+    """cross_corpus_minhash_pairs (r10, fuzz per VERDICT r10 next #9):
+    SOUND — every returned (corpus, benchmark) pair carries the exact
+    brute-force Jaccard and clears the threshold (the verify is exact,
+    so no false positive can survive); J=1-COMPLETE — an identical
+    corpus/benchmark text pair has identical signatures, collides in
+    every band, and MUST be returned. Mid-J completeness is
+    probabilistic by design (the (1-J^r)^b curve), so it is not
+    asserted here; the catalog gate pins it at the matched
+    threshold=0.5 / 2-row-band operating point."""
+    df = _df(spark, texts)
+    corpus = df.filter(F.col("doc_id") % 2 != 0)
+    benchmark = df.filter(F.col("doc_id") % 2 == 0)
+    got = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.cross_corpus_minhash_pairs(
+            corpus, benchmark, threshold=0.5, bands=32, n=3
+        ).collect()
+    }
+    want = _pycross_pairs(texts, 0.5)
+    assert got <= want, got - want
+    dups = {p for p in want if p[2] == 1.0}
+    assert dups <= got, dups - got
+
+
+@given(texts=st.lists(_doc, min_size=4, max_size=12))
+@_settings
+def test_fuzz_minhash_verified_collapse_modes_agree(spark, texts):
+    """ADVICE r10 #3 regression: collapse='auto'|'always'|'never'
+    must produce the SAME output rows. The corpus is salted with a
+    duplicate class larger than collapse_threshold so 'auto' actually
+    takes the collapse path and all three modes are exercised for
+    real."""
+    big = [texts[0]] * 6  # duplicate class of 6 > collapse_threshold=4
+    all_texts = texts + big
+    df = _df(spark, all_texts)
+    outs = []
+    for mode in ("auto", "always", "never"):
+        outs.append(
+            {
+                (r.id_a, r.id_b, r.jaccard)
+                for r in dedup.minhash_verified_pairs(
+                    df, threshold=0.5, collapse_threshold=4, collapse=mode
+                ).collect()
+            }
+        )
+    assert outs[0] == outs[1] == outs[2], (outs[0] ^ outs[1], outs[1] ^ outs[2])

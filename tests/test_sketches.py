@@ -94,3 +94,43 @@ def test_kmv_k_below_two_rejected(spark):
     df = spark.createDataFrame([("k", "v")], ["k", "v"])
     with pytest.raises(ValueError):
         sketches.kmv_sketch(df, "k", "v", k=1)
+
+
+def test_kmv_salted_two_level_equals_single_level(spark):
+    """VERDICT r10 #2b / next #9: the salted two-level construction
+    must be hash-identical to the single-level k-min for EVERY
+    salt_buckets value (salt_buckets=1 degenerates to the single-level
+    plan). Exactness argument: each of a key's k globally-smallest
+    distinct hashes lands in some salt bucket and is among that
+    bucket's k smallest, so level 1 never drops a true top-k member —
+    the same set-algebra fact kmv_merge's losslessness rests on."""
+    df = spark.createDataFrame(
+        [("a", f"v{i}") for i in range(300)]
+        + [("b", f"w{i}") for i in range(7)]  # below k: exact sketch
+        + [("a", f"v{i}") for i in range(50)],  # duplicates collapse
+        ["k", "v"],
+    )
+    base = sorted(map(tuple, sketches.kmv_sketch(df, "k", "v", k=16, salt_buckets=1).collect()))
+    for s in (2, 7, 64, 256):
+        salted = sorted(map(tuple, sketches.kmv_sketch(df, "k", "v", k=16, salt_buckets=s).collect()))
+        assert salted == base, f"salt_buckets={s} diverged"
+
+
+def test_kmv_salted_merge_is_lossless(spark):
+    """Merge-equality under arbitrary splits holds for the salted
+    construction too: sketch(whole) == merge(sketch(A), sketch(B))
+    for a value-based split, at a salt_buckets that actually splits
+    keys multiple ways."""
+    df = spark.createDataFrame(
+        [("k1", f"x{i}") for i in range(200)]
+        + [("k2", f"y{i}") for i in range(40)],
+        ["k", "v"],
+    )
+    k = 16
+    whole = sketches.kmv_sketch(df, "k", "v", k, salt_buckets=8)
+    half1 = sketches.kmv_sketch(df.filter(F.length("v") % 2 == 0), "k", "v", k, salt_buckets=8)
+    half2 = sketches.kmv_sketch(df.filter(F.length("v") % 2 == 1), "k", "v", k, salt_buckets=8)
+    merged = sketches.kmv_merge(half1, half2, k)
+    assert sorted(map(tuple, whole.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
