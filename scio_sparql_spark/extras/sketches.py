@@ -139,3 +139,111 @@ def kmv_distinct(
     """End-to-end per-key approximate distinct count:
     sketch -> estimate. See module docstring for the 100-TB shape."""
     return kmv_estimate(kmv_sketch(df, key_col, value_col, k), k)
+
+
+# --------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005, "An improved data
+# stream summary: the count-min sketch and its applications") — the
+# frequency-summary complement to KMV's cardinality summary. State is
+# a CONSTANT depth x width counter grid regardless of input size,
+# counters are non-negative sums (mergeable by cell-wise +), and the
+# point estimate min_d(counter[d][h_d(v)]) NEVER underestimates the
+# true count. Same cross-engine discipline as kmv_hash: cells come
+# from md5 prefixes, so Spark, DuckDB and Python agree bit-for-bit
+# and the sketch (unlike an engine-private state) can be hash-gated.
+#
+# 100-TB shape: the grid build is one partial-agg shuffle whose state
+# is bounded at depth*width per task (the classic bounded-memory
+# heavy-hitter summary — contrast corpus_top_ngrams, which shuffles
+# every distinct n-gram); the estimate pass broadcasts the grid
+# (depth*width rows, kilobytes) so candidates are scored map-side.
+# --------------------------------------------------------------------
+
+
+def cms_cell(col, d: int, width: int) -> F.Column:
+    """Row-d cell index for a string value: the 60-bit md5-prefix hash
+    of 'd:value' (kmv_hash's exact recipe, domain-separated by the row
+    index) reduced mod width. Replicable in DuckDB as
+    ``('0x' || substr(md5(d || ':' || v), 1, 15))::BIGINT % width``."""
+    return F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{d}:"), col)), 1, 15), 16, 10
+        ).cast("long"),
+        F.lit(width),
+    )
+
+
+def cms_sketch(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """(d, cell, c) counter grid over the multiset of `value_col` rows
+    (NULLs excluded). Each input row emits `depth` (d, cell) pairs
+    map-side; the single groupBy's partial aggregation collapses them
+    to at most depth*width rows per task before the shuffle, so the
+    shuffle volume is CONSTANT in the input size. Cells that no value
+    hits are absent (implicitly zero)."""
+    if depth < 1 or width < 1:
+        raise ValueError(f"depth/width must be >= 1, got {depth}/{width}")
+    v = F.col(value_col)
+    cells = (
+        df.filter(v.isNotNull())
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).alias("d"),
+                            cms_cell(v, d, width).alias("cell"),
+                        )
+                        for d in range(depth)
+                    ]
+                )
+            ).alias("__dc")
+        )
+        .select(F.col("__dc.d").alias("d"), F.col("__dc.cell").alias("cell"))
+    )
+    return cells.groupBy("d", "cell").agg(F.count(F.lit(1)).alias("c"))
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Cell-wise sum of two grids built with the same (depth, width):
+    exactly the grid of the concatenated inputs (counters are sums)."""
+    return (
+        a.unionByName(b).groupBy("d", "cell").agg(F.sum("c").alias("c"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """(value, est) point estimates for each distinct row of `items`:
+    min over the item's depth cells, with absent cells read as 0. The
+    estimate is >= the true count always, and == it when none of the
+    item's cells collide with a different value's. The grid side is
+    BROADCAST (depth*width rows at most), so this pass is map-side +
+    one bounded groupBy per item."""
+    v = F.col(value_col)
+    probes = items.filter(v.isNotNull()).select(
+        v.alias("value"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"), cms_cell(v, d, width).alias("cell")
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("__dc"),
+    ).select("value", F.col("__dc.d").alias("d"), F.col("__dc.cell").alias("cell"))
+    joined = probes.join(F.broadcast(sketch), on=["d", "cell"], how="left")
+    return joined.groupBy("value").agg(
+        F.min(F.coalesce(F.col("c"), F.lit(0))).cast("bigint").alias("est")
+    )

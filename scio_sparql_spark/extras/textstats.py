@@ -649,3 +649,69 @@ def top_ngrams(
         .orderBy(F.desc("n_occurrences"), F.asc("ngram"))
         .limit(k)
     )
+
+
+def pmi_bigrams(
+    docs: DataFrame,
+    min_count: int = 5,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k collocations: adjacent token bigrams ranked by pointwise
+    mutual information — the statistical phrase-discovery pass
+    (Church & Hanks 1990) used to find multiword expressions, template
+    boilerplate, and tokenizer-merge candidates in corpus curation.
+
+    Determinism discipline (COVERAGE.md): PMI = log(p(xy)/(p(x)p(y)))
+    needs no log to RANK — log is monotone, so ordering by the exact
+    integer ratio  c_xy * N * 1e6 DIV (c_x * c_y)  (N = total bigram
+    count) is PMI order, computed entirely in BIGINT arithmetic that
+    Spark and DuckDB evaluate bit-identically (no float log whose last
+    ulp differs between JVM Math.log and libm). The projected
+    `pmi_ratio_micro` is that integer (floor division; both engines
+    truncate toward zero). min_count filters the classic PMI
+    rare-pair pathology (a 1-occurrence pair of 1-occurrence words
+    maxes the ratio). Overflow headroom: c_xy*N*1e6 needs
+    c_xy*N < 9.2e12 — at larger corpora lift the multiplier into
+    DECIMAL or rank by (c_xy*N, c_x*c_y) cross-multiplication.
+
+    Plan shape at 100 TB: tokenization + bigram windowing are per-row
+    codegen (zero shuffle); bigram and unigram counts are each ONE
+    groupBy with map-side partial aggregation; the two count lookups
+    join on the word (vocabulary-keyed shuffle joins — never a driver
+    collect; AQE broadcasts the unigram side when it is small); N is a
+    1-row cross join; the top-k is TakeOrderedAndProject with a
+    (ratio DESC, bigram ASC) deterministic tie-break."""
+    toks = docs.select(_tokens(F.col(text_col)).alias("__toks"))
+    pair = F.expr(
+        "CASE WHEN size(__toks) >= 2"
+        " THEN transform(sequence(0, size(__toks) - 2),"
+        "   i -> struct(__toks[i] AS x, __toks[i + 1] AS y))"
+        " ELSE array() END"
+    )
+    pairs = toks.select(F.explode(pair).alias("__p")).select(
+        F.col("__p.x").alias("x"), F.col("__p.y").alias("y")
+    )
+    big = pairs.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c_xy"))
+    uni = (
+        toks.select(F.explode("__toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_w"))
+    )
+    total = pairs.agg(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        big.filter(F.col("c_xy") >= min_count)
+        .join(uni.select(F.col("w").alias("x"), F.col("c_w").alias("c_x")), on="x")
+        .join(uni.select(F.col("w").alias("y"), F.col("c_w").alias("c_y")), on="y")
+        .crossJoin(total)
+        .select(
+            F.concat_ws(" ", "x", "y").alias("bigram"),
+            F.col("c_xy").cast("bigint").alias("c_xy"),
+            F.expr("CAST(c_xy * __n * 1000000 AS BIGINT) DIV (c_x * c_y)").alias(
+                "pmi_ratio_micro"
+            ),
+        )
+    )
+    return scored.orderBy(
+        F.desc("pmi_ratio_micro"), F.asc("bigram")
+    ).limit(k)

@@ -723,6 +723,88 @@ def q_corpus_cardinality_kmv(spark, sf_dir):
     )
 
 
+def q_corpus_heavy_hitters_cms(spark, sf_dir):
+    """Heavy-hitter tokens via a Count-Min sketch (r11, beyond-
+    reference): 4x512 md5-cell counter grid built in one constant-
+    state partial-agg shuffle, point estimates = min over the token's
+    4 cells (never underestimates), report tokens whose ESTIMATE is
+    >= 1% of the corpus token count. Deterministic md5 cells make the
+    whole sketch DuckDB-replicable, hence hash-gated — unlike an
+    engine-private frequency state. The 100-TB point: the grid is
+    CONSTANT-size mergeable state (cms_merge, pytest-locked), so
+    per-shard grids combine without re-reading the corpus, and the
+    estimate pass broadcasts kilobytes instead of shuffling the
+    vocabulary (contrast corpus_top_ngrams, the exact path)."""
+    from .extras.util import spread
+
+    docs = spread(_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        F.explode(dedup.token_ngrams(F.col("text"), 1)).alias("w")
+    )
+    grid = sketches.cms_sketch(toks, "w", depth=4, width=512)
+    est = sketches.cms_estimate(grid, toks.distinct(), "w", depth=4, width=512)
+    total = toks.agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        est.crossJoin(total)
+        .filter(F.col("est") * 100 >= F.col("__n"))
+        .select(F.col("value").alias("token"), F.col("est").alias("est_count"))
+    )
+
+
+def _cms_oracle_sql() -> str:
+    return f"""WITH tok AS (SELECT unnest({_TOKS}) AS w FROM documents),
+    dd AS (SELECT unnest([0, 1, 2, 3]) AS d),
+    cells AS (SELECT dd.d AS d,
+                     ('0x' || substr(md5(CAST(dd.d AS VARCHAR) || ':' || w),
+                                     1, 15))::BIGINT % 512 AS cell,
+                     COUNT(*) AS c
+              FROM tok, dd GROUP BY 1, 2),
+    dist AS (SELECT DISTINCT w FROM tok),
+    probe AS (SELECT dist.w AS w, dd.d AS d,
+                     ('0x' || substr(md5(CAST(dd.d AS VARCHAR) || ':' || dist.w),
+                                     1, 15))::BIGINT % 512 AS cell
+              FROM dist, dd),
+    est AS (SELECT w, MIN(COALESCE(c, 0)) AS est
+            FROM probe LEFT JOIN cells USING (d, cell) GROUP BY w),
+    tot AS (SELECT COUNT(*) AS n FROM tok)
+    SELECT w AS token, CAST(est AS BIGINT) AS est_count
+    FROM est, tot WHERE est * 100 >= n"""  # noqa: E501
+
+
+def q_text_pmi_bigrams(spark, sf_dir):
+    """PMI-ranked collocations (r11, beyond-reference): top-20 adjacent
+    bigrams by pointwise mutual information, ranked by the EXACT
+    integer ratio c_xy*N*1e6 DIV (c_x*c_y) — log-free (log is monotone,
+    so integer-ratio order IS PMI order), which keeps the entry inside
+    the all-BIGINT hash discipline. min_count=5 suppresses the classic
+    PMI rare-pair pathology."""
+    from .extras.util import spread
+
+    return textstats.pmi_bigrams(
+        spread(_table(spark, sf_dir, "documents")), min_count=5, k=20
+    )
+
+
+def _pmi_oracle_sql() -> str:
+    return f"""WITH t AS (SELECT {_TOKS} AS toks FROM documents),
+    pairs AS (SELECT unnest(toks[1:len(toks) - 1]) AS x,
+                     unnest(toks[2:len(toks)]) AS y
+              FROM t),
+    big AS (SELECT x, y, COUNT(*) AS c_xy FROM pairs GROUP BY x, y),
+    uni AS (SELECT unnest(toks) AS w FROM t),
+    uc AS (SELECT w, COUNT(*) AS c_w FROM uni GROUP BY w),
+    tot AS (SELECT COUNT(*) AS n FROM pairs)
+    SELECT big.x || ' ' || big.y AS bigram,
+           CAST(c_xy AS BIGINT) AS c_xy,
+           CAST((c_xy * n * 1000000) // (cx.c_w * cy.c_w) AS BIGINT)
+             AS pmi_ratio_micro
+    FROM big
+    JOIN uc cx ON cx.w = big.x
+    JOIN uc cy ON cy.w = big.y, tot
+    WHERE c_xy >= 5
+    ORDER BY pmi_ratio_micro DESC, bigram ASC LIMIT 20"""
+
+
 def q_docs_bucketed_join(spark, sf_dir):
     """Bucketed co-located join: documents and a derived per-doc token
     stats table are both written bucketed+sorted by doc_id, then joined
@@ -2436,6 +2518,10 @@ EXTRA_QUERIES = {
                    CAST(n_kept AS INT) AS n_kept
             FROM s""",
     ),
+    # r11 beyond-reference additions: Count-Min heavy hitters and
+    # integer-ratio PMI collocations (both all-BIGINT, hash-gated)
+    "corpus_heavy_hitters_cms": (q_corpus_heavy_hitters_cms, _cms_oracle_sql()),
+    "text_pmi_bigrams": (q_text_pmi_bigrams, _pmi_oracle_sql()),
     # both ANN variants hash-gated since r8 (VERDICT r7 item 3): LSH
     # against a full in-SQL replica of the approximate semantics; IVF
     # under full-coverage probing == brute force (see the q_ functions)
@@ -3184,6 +3270,21 @@ CATALOG_RETIRED = {
     # coverage-metrics projection stays hash-gated via that entry's
     # oracle and pytest-locked in test_dedup_spans.
     "dedup_spans": "dedup_span_removal (same window-hash spans + removal)",
+    # r11 (active slots for the two new hash-gated operators,
+    # corpus_heavy_hitters_cms and text_pmi_bigrams):
+    # ann_cosine_topk's brute-force top-k is EXECUTED by
+    # ann_ivf_topk's nprobe=None full-coverage probe — provably equal
+    # output through the same exact integer cosine and gated by the
+    # SAME DuckDB oracle (the r10 ledger's displacement argument, now
+    # permanent; the quadratic baseline form stays benched in bench.py
+    # and pytest-locked in test_similarity). dedup_exact's
+    # digest-groupBy-min survivor is the identical machinery
+    # dedup_normalized drives (md5 groupBy + min id — normalization is
+    # the only delta) and dedup_incremental's digest anti-join extends;
+    # both siblings hold driver rows and dedup_exact stays benched as
+    # the r1-baseline row.
+    "ann_cosine_topk": "ann_ivf_topk (nprobe=None == brute force, same oracle)",
+    "dedup_exact": "dedup_normalized + dedup_incremental (same digest groupBy)",
 }
 
 CATALOG_FRONT = [
@@ -3198,16 +3299,25 @@ CATALOG_FRONT = [
     #             in r10).
     #   last=r7:  the 8 stale — the 6 the r10 ledger displaced plus the
     #             2 that fell off the end of the 52-long list.
-    # This list: the 4 changed-or-unwitnessed-code entries first —
+    # This list: the 2 NEW r11 operators first (corpus_heavy_hitters_cms,
+    # text_pmi_bigrams — their active slots come from the two r11
+    # retirements recorded in CATALOG_RETIRED: ann_cosine_topk and
+    # dedup_exact, which also frees their two stale-8 window slots,
+    # so no extra displacement), then the changed-or-unwitnessed-code
+    # entries —
     #   corpus_cardinality_kmv (r11: spread + salted two-level k-min,
     #   hash unchanged by construction but re-proven), embed_perceptron
     #   (r11: checkpointed base + posexplode update path), ann_lsh_topk
     #   (its gated path switched to lsh_build_index/lsh_probe in r10
     #   but was not windowed — ADVICE r10 #2), dedup_cross_corpus
     #   (r11: gate re-pinned at threshold=0.5 with 2-row bands so the
-    #   banding curve matches the gate — ADVICE r10 #4) —
-    # then the 8 last=r7 stale entries, then the 42 last=r9 actives
-    # minus 3 displaced to r12 (each covered by an in-this-window
+    #   banding curve matches the gate — ADVICE r10 #4),
+    #   dedup_clusters (r11: its pair-gen gained the ppjoin
+    #   prefix-filter dispatch — the t=0.2 entry stays on the plain
+    #   postings join by the auto rule, but the dispatch sits on its
+    #   gated path, so re-prove) —
+    # then the 6 remaining last=r7 stale entries, then the last=r9 actives
+    # minus 4 displaced to r12 (each covered by an in-this-window
     # strict-superset sibling):
     #   sparql_agg_count (sparql_having in-window: same COUNT(?o)
     #   GROUP BY lowering plus the HAVING filter on top; COUNT-path
@@ -3218,27 +3328,33 @@ CATALOG_FRONT = [
     #   sparql_path_seq (p1/p2 desugars at PARSE time into the same
     #   multi-pattern BGP join sparql_bgp_join drives in-window; the
     #   desugar itself is locked by the path differential-fuzz family
-    #   in test_path_fuzz.py).
+    #   in test_path_fuzz.py),
+    #   rdf_egress_turtle (rdf_egress_jsonld in-window drives the same
+    #   rio egress machinery — the mirror of the r10 displacement in
+    #   the other direction; the Turtle serializer itself stays
+    #   round-trip pytest-locked in test_rio_fuzz).
     # Retired entries whose code changed in r11 (no driver slot by
     # policy): sample_quality_weighted (optimizer-barrier fix — local
     # sf0.01 oracle green, plan-locked, sibling text_classifier_score
     # in-window) and dedup_minhash_lsh (narrow band join — rows-only
     # oracle green locally, plan-locked, sibling dedup_minhash_verified
     # in-window).
+    "corpus_heavy_hitters_cms",
+    "text_pmi_bigrams",
     "corpus_cardinality_kmv",
     "embed_perceptron",
     "ann_lsh_topk",
     "dedup_cross_corpus",
-    # --- the 8 last=r7 stale actives ------------------------------------
+    "dedup_clusters",
+    # --- the 6 remaining last=r7 stale actives (ann_cosine_topk and
+    # dedup_exact retired above) ------------------------------------------
     "sparql_ask",
     "sparql_agg_avg",
-    "ann_cosine_topk",
-    "dedup_exact",
     "rdf_egress_jsonld",
     "dedup_embedding_cosine",
     "dedup_span_removal",
     "events_funnel",
-    # --- the last=r9 actives (42 minus ann_lsh_topk above minus the 3
+    # --- the last=r9 actives (42 minus ann_lsh_topk/dedup_clusters above minus the 4
     # displaced to r12) --------------------------------------------------
     "ann_ivf_topk",
     "dedup_simhash_check",
@@ -3247,7 +3363,6 @@ CATALOG_FRONT = [
     "embed_kmeans",
     "events_props",
     "events_quantiles",
-    "rdf_egress_turtle",
     "sample_stratified",
     "sparql_agg_minmax",
     "sparql_agg_sum",

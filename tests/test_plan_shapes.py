@@ -233,6 +233,11 @@ def test_catalog_extras_plans_free_of_anti_patterns(spark):
         "dedup_embedding_cosine",
         "retrieval_bm25",
         "text_lm_score",
+        # r11: each cross-joins ONE scalar row (the corpus token total)
+        # into the final projection — the same scalar-broadcast shape
+        # as bm25/lm_score above
+        "corpus_heavy_hitters_cms",
+        "text_pmi_bigrams",
     }
     SORT_AGG_OK = {"dedup_keep_best"}
     ARROW_OK = {

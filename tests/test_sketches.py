@@ -134,3 +134,50 @@ def test_kmv_salted_merge_is_lossless(spark):
     assert sorted(map(tuple, whole.collect())) == sorted(
         map(tuple, merged.collect())
     )
+
+
+def test_cms_never_underestimates_and_exact_without_collisions(spark):
+    """CMS invariants: est >= true count for every value (counters only
+    ever add), and est == true count when no other value shares all of
+    a value's cells — with width=512 and a 6-value domain, collisions
+    in ALL 4 rows are (512^-1)^... practically impossible and, the
+    hash being fixed, deterministic: this is documentation of the
+    achieved exactness, not a flaky bound."""
+    data = [("k", v) for v in ["a"] * 100 + ["b"] * 50 + ["c"] * 3 + ["d", "e", "f"]]
+    df = spark.createDataFrame(data, ["k", "v"])
+    grid = sketches.cms_sketch(df, "v", depth=4, width=512)
+    est = {
+        r["value"]: r["est"]
+        for r in sketches.cms_estimate(
+            grid, df.select("v").distinct(), "v", depth=4, width=512
+        ).collect()
+    }
+    true = {"a": 100, "b": 50, "c": 3, "d": 1, "e": 1, "f": 1}
+    for v, t in true.items():
+        assert est[v] >= t
+        assert est[v] == t, (v, est[v], t)
+
+
+def test_cms_merge_equals_whole(spark):
+    """Grid of the whole == cell-wise sum of the halves' grids (the
+    mergeability that makes per-shard sketches combinable without
+    re-reading the corpus)."""
+    df = spark.createDataFrame(
+        [("k", f"v{i % 17}") for i in range(500)], ["k", "v"]
+    )
+    whole = sketches.cms_sketch(df, "v", depth=4, width=64)
+    a = sketches.cms_sketch(df.filter(F.length("v") % 2 == 0), "v", depth=4, width=64)
+    b = sketches.cms_sketch(df.filter(F.length("v") % 2 == 1), "v", depth=4, width=64)
+    merged = sketches.cms_merge(a, b)
+    assert sorted(map(tuple, whole.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
+
+
+def test_cms_grid_is_bounded(spark):
+    """The grid never exceeds depth*width rows no matter the input."""
+    df = spark.createDataFrame(
+        [("k", f"unique-{i}") for i in range(5000)], ["k", "v"]
+    )
+    grid = sketches.cms_sketch(df, "v", depth=3, width=32)
+    assert grid.count() <= 3 * 32
