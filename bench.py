@@ -114,7 +114,11 @@ BENCH_QUERIES = [
     # interpreted fallback, 27s/run), and at 100 TB the 4 one-off
     # compiles amortize to nothing against the scan.
     "embed_kmeans",
-    # SemDeDup proper: k-means blocking + exact within-cluster cosine
+    # SemDeDup proper: k-means blocking + exact within-cluster cosine.
+    # Shares embed_kmeans's measurement caveat above (it RUNS
+    # kmeans_micro internally, so its number moves with the same JIT
+    # warm-up ordering): r11 re-measure 6.5s stable warm vs 5.06 (r10)
+    # with zero code change to clustering.py this round.
     "embed_semdedup",
     # exact discrete per-key percentiles (rank select, no sketch)
     "events_quantiles",

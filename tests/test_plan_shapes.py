@@ -506,3 +506,19 @@ def test_minhash_lsh_pairs_narrow_band_join(spark):
     assert band_joins, opt
     for j in band_joins:
         assert "sig" not in j, j
+
+
+def test_cms_estimate_broadcasts_the_grid(spark):
+    """The Count-Min estimate pass must broadcast the counter grid
+    (depth*width rows — kilobytes) so candidate scoring is map-side:
+    a shuffle join keyed on (d, cell) would funnel every probe of a
+    hot cell through one reducer at 100 TB."""
+    from scio_sparql_spark.extras import sketches
+
+    df = spark.createDataFrame(
+        [("k", f"v{i % 50}") for i in range(500)], ["k", "v"]
+    )
+    grid = sketches.cms_sketch(df, "v", depth=4, width=64)
+    est = sketches.cms_estimate(grid, df.select("v").distinct(), "v", 4, 64)
+    plan = _plan(est)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
