@@ -162,6 +162,8 @@ BENCH_QUERIES = [
     # integer-ratio PMI collocations (log-free PMI ranking)
     "corpus_heavy_hitters_cms",
     "text_pmi_bigrams",
+    # directed containment (excerpt/quote detector; inverted-index)
+    "dedup_containment",
 ]
 
 

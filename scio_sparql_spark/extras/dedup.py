@@ -243,6 +243,59 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DIRECTED exact containment pairs: (id_a, id_b, containment)
+    where containment = |A∩B| / |A| >= threshold — "document A's
+    shingles are mostly inside document B". The asymmetric complement
+    to ngram_jaccard_pairs: an excerpt, quote, or partial copy of a
+    much longer document has containment ~1 toward its source while
+    its Jaccard is tiny (bounded by |A|/|B|), so symmetric near-dup
+    passes never see it. Both directions are emitted independently
+    (identical docs contain each other).
+
+    Exact for threshold > 0 as an inverted-index join (containment > 0
+    requires a shared shingle): postings self-join on the shingle with
+    a.id != b.id, one count per directed pair, divide by |A|. Work is
+    quadratic in per-shingle document frequency like the plain Jaccard
+    join — this is the oracle baseline; the scale path for adversarial
+    df is MinHash banding (containment-LSH needs per-size banding and
+    is future work). Empty shingle sets (docs shorter than n tokens)
+    produce no postings and never appear — 0/0 is excluded, matching
+    the Jaccard operator's NULL-drop discipline."""
+    sh = spread_pinned(docs).select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(token_ngrams(F.col(text_col), n)).alias("sh"),
+    )
+    if threshold <= 0:
+        raise ValueError("containment threshold must be > 0")
+    sizes = sh.select("id", F.size("sh").alias("ns"))
+    posts = sh.select("id", F.explode("sh").alias("g"))
+    inter = (
+        posts.alias("a")
+        .join(
+            posts.alias("b"),
+            (F.col("a.g") == F.col("b.g")) & (F.col("a.id") != F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("__i"))
+    )
+    containment = F.col("__i") / F.col("__na")
+    return (
+        inter.join(
+            sizes.select(F.col("id").alias("id_a"), F.col("ns").alias("__na")),
+            on="id_a",
+        )
+        .select("id_a", "id_b", F.round(containment, 6).alias("containment"))
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     num_hashes: int = 64,

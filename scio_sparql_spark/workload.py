@@ -723,6 +723,37 @@ def q_corpus_cardinality_kmv(spark, sf_dir):
     )
 
 
+def q_dedup_containment(spark, sf_dir):
+    """Directed containment pairs (r11, beyond-reference): documents
+    >=80% of whose shingles appear in another document — the
+    excerpt/quote/partial-copy detector symmetric Jaccard passes miss
+    (an excerpt's Jaccard to its source is bounded by the length
+    ratio). Exact inverted-index form, hash-gated against the directed
+    DuckDB replica."""
+    return dedup.containment_pairs(
+        _table(spark, sf_dir, "documents"), threshold=0.8, n=3
+    )
+
+
+def _containment_oracle_sql() -> str:
+    return f"""WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        s AS (SELECT doc_id,
+                     list_distinct(list_transform(
+                       generate_series(1, len(toks) - 2),
+                       i -> array_to_string(toks[i:i+2], ' '))) AS sh
+              FROM t),
+        g AS (SELECT doc_id, unnest(sh) AS gram, len(sh) AS nsh FROM s),
+        ix AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                      COUNT(*) AS i, ANY_VALUE(a.nsh) AS na
+               FROM g a JOIN g b ON a.gram = b.gram
+                                AND a.doc_id <> b.doc_id
+               GROUP BY a.doc_id, b.doc_id)
+        SELECT id_a, id_b,
+               ROUND(CAST(i AS DOUBLE) / na, 6) AS containment
+        FROM ix
+        WHERE CAST(i AS DOUBLE) / na >= 0.8"""
+
+
 def q_corpus_heavy_hitters_cms(spark, sf_dir):
     """Heavy-hitter tokens via a Count-Min sketch (r11, beyond-
     reference): 4x512 md5-cell counter grid built in one constant-
@@ -2521,6 +2552,7 @@ EXTRA_QUERIES = {
     # r11 beyond-reference additions: Count-Min heavy hitters and
     # integer-ratio PMI collocations (both all-BIGINT, hash-gated)
     "corpus_heavy_hitters_cms": (q_corpus_heavy_hitters_cms, _cms_oracle_sql()),
+    "dedup_containment": (q_dedup_containment, _containment_oracle_sql()),
     "text_pmi_bigrams": (q_text_pmi_bigrams, _pmi_oracle_sql()),
     # both ANN variants hash-gated since r8 (VERDICT r7 item 3): LSH
     # against a full in-SQL replica of the approximate semantics; IVF
@@ -3285,6 +3317,11 @@ CATALOG_RETIRED = {
     # the r1-baseline row.
     "ann_cosine_topk": "ann_ivf_topk (nprobe=None == brute force, same oracle)",
     "dedup_exact": "dedup_normalized + dedup_incremental (same digest groupBy)",
+    # r11 (active slot for dedup_containment): docs_bucketed_join's
+    # hash-gated join output carries textstats.token_count verbatim as
+    # its stats side (n_tokens column), so the bare-projection entry is
+    # fully embedded in an in-window sibling.
+    "text_token_count": "docs_bucketed_join (token_count is its gated stats side)",
 }
 
 CATALOG_FRONT = [
@@ -3299,12 +3336,12 @@ CATALOG_FRONT = [
     #             in r10).
     #   last=r7:  the 8 stale — the 6 the r10 ledger displaced plus the
     #             2 that fell off the end of the 52-long list.
-    # This list: the 2 NEW r11 operators first (corpus_heavy_hitters_cms,
-    # text_pmi_bigrams — their active slots come from the two r11
-    # retirements recorded in CATALOG_RETIRED: ann_cosine_topk and
-    # dedup_exact, which also frees their two stale-8 window slots,
-    # so no extra displacement), then the changed-or-unwitnessed-code
-    # entries —
+    # This list: the 3 NEW r11 operators first (corpus_heavy_hitters_cms,
+    # text_pmi_bigrams, dedup_containment — their active slots come
+    # from the three r11 retirements recorded in CATALOG_RETIRED:
+    # ann_cosine_topk, dedup_exact, text_token_count, which also frees
+    # three window slots, so no extra displacement), then the
+    # changed-or-unwitnessed-code entries —
     #   corpus_cardinality_kmv (r11: spread + salted two-level k-min,
     #   hash unchanged by construction but re-proven), embed_perceptron
     #   (r11: checkpointed base + posexplode update path), ann_lsh_topk
@@ -3341,6 +3378,7 @@ CATALOG_FRONT = [
     # in-window).
     "corpus_heavy_hitters_cms",
     "text_pmi_bigrams",
+    "dedup_containment",
     "corpus_cardinality_kmv",
     "embed_perceptron",
     "ann_lsh_topk",
@@ -3392,7 +3430,6 @@ CATALOG_FRONT = [
     "stream_interval_join",
     "stream_windowed_counts",
     "text_pii",
-    "text_token_count",
 ]
 
 

@@ -393,3 +393,29 @@ def test_fuzz_pmi_bigrams_vs_reference(spark, texts):
         key=lambda r: (-r[2], r[0]),
     )[:10]
     assert got == want
+
+
+@given(texts=_corpus, threshold=st.sampled_from([0.5, 0.8, 1.0]))
+@_settings
+def test_fuzz_containment_pairs_equals_bruteforce(spark, texts, threshold):
+    """Directed containment |A∩B|/|A| vs a brute-force reference —
+    including the asymmetric excerpt case the corpus strategy produces
+    organically (short docs whose shingles sit inside longer ones)."""
+    got = {
+        (r.id_a, r.id_b, r.containment)
+        for r in dedup.containment_pairs(
+            _df(spark, texts), threshold=threshold, n=3
+        ).collect()
+    }
+    sh = {i: _pyshingles(t, 3) for i, t in enumerate(texts)}
+    want = set()
+    for a in range(len(texts)):
+        if not sh[a]:
+            continue
+        for b in range(len(texts)):
+            if a == b or not (sh[a] & sh[b]):
+                continue
+            c = round(len(sh[a] & sh[b]) / len(sh[a]), 6)
+            if c >= threshold:
+                want.add((a, b, c))
+    assert got == want

@@ -181,3 +181,40 @@ def test_cms_grid_is_bounded(spark):
     )
     grid = sketches.cms_sketch(df, "v", depth=3, width=32)
     assert grid.count() <= 3 * 32
+
+
+def test_cms_grid_streaming_equals_batch(spark, tmp_path):
+    """The CMS grid is a pure groupBy-count over deterministic cells,
+    so the SAME plan runs as a Structured Streaming aggregation: an
+    availableNow complete-mode run over the parquet source must yield
+    the batch grid EXACTLY — the constant-state streaming frequency
+    tracker (state per partition bounded at depth*width counters,
+    unlike a streaming distinct-count whose state grows with the
+    vocabulary)."""
+    from pyspark.sql import types as T
+
+    from scio_sparql_spark.streaming.bounded import run_bounded
+
+    path = str(tmp_path / "vals")
+    df = spark.createDataFrame(
+        [(f"v{i % 23}",) for i in range(400)], ["v"]
+    )
+    df.write.parquet(path)
+    batch_grid = sorted(
+        map(tuple, sketches.cms_sketch(spark.read.parquet(path), "v",
+                                       depth=4, width=64).collect())
+    )
+    stream = spark.readStream.schema(
+        T.StructType([T.StructField("v", T.StringType())])
+    ).parquet(path)
+    stream_grid = sorted(
+        map(
+            tuple,
+            run_bounded(
+                sketches.cms_sketch(stream, "v", depth=4, width=64),
+                output_mode="complete",
+                shuffle_partitions=4,
+            ).collect(),
+        )
+    )
+    assert stream_grid == batch_grid
