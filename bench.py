@@ -164,6 +164,8 @@ BENCH_QUERIES = [
     "text_pmi_bigrams",
     # directed containment (excerpt/quote detector; inverted-index)
     "dedup_containment",
+    # two-stage retrieval: int8 prefilter -> exact cosine rerank
+    "ann_rerank_topk",
 ]
 
 
@@ -368,6 +370,16 @@ def main():
     # (metric/value/unit/sf/queries, ms-rounded, no whitespace:
     # ~1.7 KB at 59 queries) and every diagnostic (steal, remeasure
     # ledger, build split) goes to the committed BENCH_DETAIL.json.
+    # Host load average at end of run (r11): /proc/stat steal+iowait
+    # misses CO-TENANT contention (a neighbor saturating shared memory
+    # bandwidth slows every rep uniformly with steal ~0 — observed
+    # 1.7s-8.7s spread on the SAME query/code within minutes). A 1-min
+    # loadavg far above this process's own parallelism flags the run as
+    # environment-contaminated without a judge re-measure.
+    try:
+        loadavg = list(os.getloadavg())
+    except OSError:
+        loadavg = None
     detail = {
         "spread": spread,
         "steal_pct": steal_pct,
@@ -376,6 +388,7 @@ def main():
         "errors": error_detail,
         "sf": sf,
         "cpus": int(cpus),
+        "loadavg_end": loadavg,
         "total": total,
         "queries": timings,
     }

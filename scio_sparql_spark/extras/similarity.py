@@ -78,6 +78,11 @@ def cosine_topk(
     """Exact top-k by cosine to a constant query vector. Plan: scan ->
     per-row unrolled dot (codegen) -> TakeOrderedAndProject(k). No
     shuffle of the full table; the query norm folds to a constant.
+    Domain: nonzero-NORM vectors — a zero row vector (or one so tiny
+    its squared norm UNDERFLOWS to 0.0, e.g. 1e-308 components; the
+    r11 rerank fuzz surfaced both) makes the denominator 0, which
+    raises DIVIDE_BY_ZERO under ANSI mode; filter zero-norm rows
+    upstream if the corpus can contain them.
     ``spread_input=False`` skips the under-partitioning check (itself a
     plan->RDD conversion, ~1s on a fresh DataFrame) when the caller
     knows the input is already well-partitioned (e.g. the IVF probe's
@@ -350,6 +355,41 @@ def int8_dot_topk(
         .orderBy(F.desc("qdot"), F.col(id_col))
         .limit(k)
     )
+
+
+def int8_rerank_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    prefilter: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage production retrieval (r11): int8 quantized-dot
+    PREFILTER to `prefilter` candidates, then EXACT float cosine
+    rerank of just those — the cheap-scorer-then-exact-rerank shape
+    every serving stack runs (quantized first pass touches 4x less
+    data and stays in integer codegen; the expensive exact score runs
+    on `prefilter` rows instead of the corpus). Returns the reranked
+    (id, score) top-k.
+
+    Equals exact cosine top-k whenever the true top-k survive the
+    int8 top-`prefilter` cut; the catalog gate pins the two-stage
+    semantics themselves (both stages replicated in the DuckDB
+    oracle — the ann_lsh_topk discipline, not a degenerate
+    full-coverage check). Both stage cuts are deterministic: integer
+    qdot ties break on id, rounded cosine ties break on id.
+
+    Scale: stage 1 is the int8 map pass + TakeOrderedAndProject (no
+    shuffle); the candidate id list (`prefilter` rows) broadcasts into
+    a semi-join, so stage 2 rescans only the pruned sliver — at 100 TB
+    compose stage 1 with IVF/LSH partition pruning for the
+    scan-avoidance half."""
+    cand = int8_dot_topk(emb, query_vec, k=prefilter, id_col=id_col,
+                         vec_col=vec_col).select(id_col)
+    pruned = emb.join(F.broadcast(cand), on=id_col, how="left_semi")
+    return cosine_topk(pruned, query_vec, k=k, id_col=id_col,
+                       vec_col=vec_col, spread_input=False)
 
 
 def _lloyd_kmeans(sample, k: int, iters: int, seed: int):

@@ -1641,6 +1641,52 @@ def _ann_int8_oracle_sql(dim: int = 64, k: int = 10) -> str:
         ORDER BY qdot DESC, vec_id LIMIT {k}"""
 
 
+def q_ann_rerank_topk(spark, sf_dir):
+    """Two-stage retrieval (r11): int8 quantized-dot prefilter to 100
+    candidates, exact float-cosine rerank to top-10 — the
+    cheap-scorer-then-exact-rerank serving shape. Hash-gated with BOTH
+    stages replicated in the DuckDB oracle (int8 quantization CTEs +
+    cosine rerank over the stage-1 cut), the ann_lsh discipline."""
+    emb = _table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return similarity.int8_rerank_topk(emb, list(qv), k=10, prefilter=100)
+
+
+def _ann_rerank_oracle_sql(dim: int = 64, k: int = 10, prefilter: int = 100) -> str:
+    """Both stages of int8_rerank_topk in SQL: the int8 CTE chain from
+    _ann_int8_oracle_sql cut at `prefilter`, then the exact cosine of
+    ann_cosine_topk's oracle restricted to the stage-1 candidates."""
+    return f"""WITH x AS (
+          SELECT vec_id,
+                 list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xv,
+                 list_max(list_transform(embedding,
+                     v -> abs(CAST(v AS DOUBLE)))) AS mx
+          FROM embeddings),
+        qz AS (
+          SELECT vec_id, generate_subscripts(xv, 1) AS i,
+                 CASE WHEN mx > 0
+                      THEN CAST(trunc(unnest(xv) * 127 / mx) AS BIGINT)
+                      ELSE 0 END AS qi
+          FROM x),
+        qv AS (SELECT i, qi AS qc FROM qz WHERE vec_id = 0),
+        s1 AS (SELECT qz.vec_id, SUM(qz.qi * qv.qc) AS qdot
+               FROM qz JOIN qv USING (i) GROUP BY qz.vec_id
+               ORDER BY qdot DESC, vec_id LIMIT {prefilter}),
+        q AS (SELECT unnest(embedding) AS qf,
+                     generate_subscripts(embedding, 1) AS i
+              FROM embeddings WHERE vec_id = 0),
+        e AS (SELECT vec_id, unnest(embedding) AS ev,
+                     generate_subscripts(embedding, 1) AS i
+              FROM embeddings JOIN s1 USING (vec_id)),
+        d AS (SELECT vec_id,
+                     SUM(CAST(ev AS DOUBLE) * CAST(qf AS DOUBLE)) AS dot,
+                     SUM(CAST(ev AS DOUBLE) * CAST(ev AS DOUBLE)) AS ne,
+                     SUM(CAST(qf AS DOUBLE) * CAST(qf AS DOUBLE)) AS nq
+              FROM e JOIN q USING (i) GROUP BY vec_id)
+        SELECT vec_id, ROUND(dot / (sqrt(ne) * sqrt(nq)), 6) AS score
+        FROM d ORDER BY score DESC, vec_id LIMIT {k}"""
+
+
 def q_dedup_bloom_contamination(spark, sf_dir):
     """Bloom-prefiltered contamination (the 100-TB scale path: 128KB
     constant-size broadcast + k integer probes per shingle, exact
@@ -2553,6 +2599,7 @@ EXTRA_QUERIES = {
     # integer-ratio PMI collocations (both all-BIGINT, hash-gated)
     "corpus_heavy_hitters_cms": (q_corpus_heavy_hitters_cms, _cms_oracle_sql()),
     "dedup_containment": (q_dedup_containment, _containment_oracle_sql()),
+    "ann_rerank_topk": (q_ann_rerank_topk, _ann_rerank_oracle_sql()),
     "text_pmi_bigrams": (q_text_pmi_bigrams, _pmi_oracle_sql()),
     # both ANN variants hash-gated since r8 (VERDICT r7 item 3): LSH
     # against a full in-SQL replica of the approximate semantics; IVF
@@ -3322,6 +3369,12 @@ CATALOG_RETIRED = {
     # its stats side (n_tokens column), so the bare-projection entry is
     # fully embedded in an in-window sibling.
     "text_token_count": "docs_bucketed_join (token_count is its gated stats side)",
+    # r11 (active slot for ann_rerank_topk): the r10 ledger's own
+    # displacement argument made permanent — embed_semdedup drives the
+    # same exact cosine arithmetic hash-gated within clusters, and the
+    # quadratic all-pairs baseline form stays pytest-locked against it
+    # (test_clustering) and benched in bench.py.
+    "dedup_embedding_cosine": "embed_semdedup (same exact cosine, gated in-cluster)",
 }
 
 CATALOG_FRONT = [
@@ -3336,12 +3389,13 @@ CATALOG_FRONT = [
     #             in r10).
     #   last=r7:  the 8 stale — the 6 the r10 ledger displaced plus the
     #             2 that fell off the end of the 52-long list.
-    # This list: the 3 NEW r11 operators first (corpus_heavy_hitters_cms,
-    # text_pmi_bigrams, dedup_containment — their active slots come
-    # from the three r11 retirements recorded in CATALOG_RETIRED:
-    # ann_cosine_topk, dedup_exact, text_token_count, which also frees
-    # three window slots, so no extra displacement), then the
-    # changed-or-unwitnessed-code entries —
+    # This list: the 4 NEW r11 operators first (corpus_heavy_hitters_cms,
+    # text_pmi_bigrams, dedup_containment, ann_rerank_topk — their
+    # active slots come from the four r11 retirements recorded in
+    # CATALOG_RETIRED: ann_cosine_topk, dedup_exact, text_token_count,
+    # dedup_embedding_cosine, which also frees four window slots, so
+    # no extra displacement), then the changed-or-unwitnessed-code
+    # entries —
     #   corpus_cardinality_kmv (r11: spread + salted two-level k-min,
     #   hash unchanged by construction but re-proven), embed_perceptron
     #   (r11: checkpointed base + posexplode update path), ann_lsh_topk
@@ -3379,17 +3433,17 @@ CATALOG_FRONT = [
     "corpus_heavy_hitters_cms",
     "text_pmi_bigrams",
     "dedup_containment",
+    "ann_rerank_topk",
     "corpus_cardinality_kmv",
     "embed_perceptron",
     "ann_lsh_topk",
     "dedup_cross_corpus",
     "dedup_clusters",
-    # --- the 6 remaining last=r7 stale actives (ann_cosine_topk and
-    # dedup_exact retired above) ------------------------------------------
+    # --- the remaining last=r7 stale actives (ann_cosine_topk,
+    # dedup_exact, dedup_embedding_cosine retired above) ------------------------------------------
     "sparql_ask",
     "sparql_agg_avg",
     "rdf_egress_jsonld",
-    "dedup_embedding_cosine",
     "dedup_span_removal",
     "events_funnel",
     # --- the last=r9 actives (42 minus ann_lsh_topk/dedup_clusters above minus the 4

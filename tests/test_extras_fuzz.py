@@ -419,3 +419,43 @@ def test_fuzz_containment_pairs_equals_bruteforce(spark, texts, threshold):
             if c >= threshold:
                 want.add((a, b, c))
     assert got == want
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(
+                min_value=-8, max_value=8, allow_nan=False, allow_infinity=False
+            ),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=2,
+        max_size=12,
+    )
+)
+@_settings
+def test_fuzz_int8_rerank_full_prefilter_equals_exact(spark, vecs):
+    """With prefilter >= corpus size, the two-stage rerank degenerates
+    to exact cosine top-k — stage 1 cuts nothing, so any divergence is
+    a bug in the candidate plumbing, not the quantization."""
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id bigint, embedding array<double>",
+    )
+    if any(sum(x * x for x in v) == 0.0 for v in vecs):
+        return  # zero-NORM vectors (incl. subnormals whose square
+        # underflows to 0.0) are outside cosine_topk's documented
+        # domain (norm divides; ANSI mode raises DIVIDE_BY_ZERO)
+    qv = vecs[0]
+    got = [
+        (r.vec_id, r.score)
+        for r in similarity.int8_rerank_topk(
+            df, qv, k=5, prefilter=len(vecs) + 10
+        ).collect()
+    ]
+    want = [
+        (r.vec_id, r.score)
+        for r in similarity.cosine_topk(df, qv, k=5).collect()
+    ]
+    assert got == want

@@ -522,3 +522,50 @@ def test_cms_estimate_broadcasts_the_grid(spark):
     est = sketches.cms_estimate(grid, df.select("v").distinct(), "v", 4, 64)
     plan = _plan(est)
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_expensive_hof_duplication_sweep(spark):
+    """VERDICT r10 #1 (second half): sweep the composed entries for the
+    CollapseProject hazard — an expensive per-row HOF (the md5-weight
+    classifier aggregate, shingle transforms) inlined into multiple
+    references. Nuance learned in r11: Spark's whole-stage
+    subexpression elimination DOES rescue a duplicate that appears
+    UNCONDITIONALLY in one projection (classifier_score projects the
+    aggregate as both score_micro and keep, yet benches 0.15s), but a
+    reference under a CASE WHEN branch is evaluated per branch
+    (quality_weighted_sample's 3x, fixed via the optimizer barrier).
+    This lock pins today's audited occurrence counts for the watched
+    entries so a future composition that re-inlines an expensive HOF
+    shows up as a count increase, which then needs the barrier or a
+    justified bump here."""
+    from scio_sparql_spark import workload
+
+    # audited r11: (max "aggregate(" count, max "transform(" count) in
+    # the OPTIMIZED plan. Sources of the allowed counts:
+    #   classifier_score 2x aggregate: unconditional dual projection
+    #     (score_micro + keep), CSE-eliminated at codegen;
+    #   embed_random_projection 8x: eight DIFFERENT plane dots, by
+    #     design (unrolled output coordinates, not duplication);
+    #   ngram/containment/int8 8x transform: distinct per-stage
+    #     shingle/quantize derivations on separate plan branches.
+    WATCHED = {
+        "sample_quality_weighted": (1, 3),
+        "text_classifier_score": (2, 2),
+        "docs_filter_funnel": (2, 6),
+        "docs_gopher_filter": (2, 6),
+        "text_quality": (2, 6),
+        "text_lm_score": (2, 6),
+        "embed_random_projection": (8, 8),
+        "dedup_ngram_jaccard": (0, 8),
+        "dedup_containment": (0, 8),
+        "ann_int8_topk": (0, 8),
+    }
+    qs = workload.build_queries()
+    sf = "/root/testdata/sf0.001"
+    over = {}
+    for name, (max_agg, max_tr) in WATCHED.items():
+        opt = qs[name](spark, sf)._jdf.queryExecution().optimizedPlan().toString()
+        n_agg, n_tr = opt.count("aggregate("), opt.count("transform(")
+        if n_agg > max_agg or n_tr > max_tr:
+            over[name] = (n_agg, max_agg, n_tr, max_tr)
+    assert not over, over
