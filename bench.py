@@ -393,26 +393,55 @@ def main():
         "queries": timings,
     }
     repo_dir = os.path.dirname(os.path.abspath(__file__))
+    # BENCH_DETAIL.json is the COMMITTED sf0.1 record; a run at any
+    # other SF writes a suffixed file so a quick sf0.001 smoke can
+    # never clobber the canonical artifact with wrong-scale numbers
+    # (the r9 wrong-scale-artifact failure class, re-triggered once
+    # in r11 before this guard).
+    fname = (
+        "BENCH_DETAIL.json" if abs(sf - 0.1) < 1e-9
+        else f"BENCH_DETAIL_sf{sf}.json"
+    )
     try:
-        with open(os.path.join(repo_dir, "BENCH_DETAIL.json"), "w") as f:
+        with open(os.path.join(repo_dir, fname), "w") as f:
             json.dump(detail, f, indent=1, sort_keys=True)
     except OSError as e:
-        print(f"# BENCH_DETAIL.json write failed: {e}", file=sys.stderr)
-    headline = {
-        "metric": "headline_queries_total",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf,
-    }
-    if errors:
-        # exception-type-only (full messages live in BENCH_DETAIL.json)
-        # to stay inside the driver's 2,000-byte stdout tail
-        headline["errors"] = errors
-    line = json.dumps(headline, separators=(",", ":"))
-    if len(line) > 1900:  # stay inside the driver's 2,000-byte tail
-        print(f"# WARNING: headline line {len(line)}B > 1900B budget",
-              file=sys.stderr)
+        print(f"# {fname} write failed: {e}", file=sys.stderr)
+    # The driver captures only the LAST 2,000 bytes of stdout; at 72
+    # queries the ms-rounded mapping hit 1,904 B (r11) — 96 B from the
+    # r7 parsed:null cliff. The headline therefore carries centisecond
+    # values (BENCH_DETAIL.json keeps ms), and if a future catalog
+    # still overflows the budget, the SMALLEST-value entries are
+    # dropped from the line (never from BENCH_DETAIL) with an explicit
+    # queries_dropped count rather than silently truncating the JSON.
+    def _line(ts: dict, dropped: int) -> str:
+        headline = {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "queries": ts,
+            "sf": sf,
+        }
+        if dropped:
+            headline["queries_dropped"] = dropped
+        if errors:
+            # exception-type-only (full messages live in
+            # BENCH_DETAIL.json) to stay inside the stdout tail
+            headline["errors"] = errors
+        return json.dumps(headline, separators=(",", ":"))
+
+    coarse = {k: round(v, 2) for k, v in timings.items()}
+    dropped = 0
+    line = _line(coarse, dropped)
+    by_size = sorted(coarse, key=lambda k: (coarse[k], k))
+    while len(line) > 1900 and by_size:
+        coarse.pop(by_size.pop(0))
+        dropped += 1
+        line = _line(coarse, dropped)
+    if dropped:
+        print(f"# headline budget: dropped the {dropped} smallest-value "
+              f"queries from the stdout line (all retained in "
+              f"BENCH_DETAIL.json)", file=sys.stderr)
     print(line)
 
 

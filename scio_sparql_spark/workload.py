@@ -3407,7 +3407,8 @@ CATALOG_FRONT = [
     #   prefix-filter dispatch — the t=0.2 entry stays on the plain
     #   postings join by the auto rule, but the dispatch sits on its
     #   gated path, so re-prove) —
-    # then the 6 remaining last=r7 stale entries, then the last=r9 actives
+    # then the 5 remaining last=r7 stale entries (3 of the original 8
+    # are among the retirements above), then the last=r9 actives
     # minus 4 displaced to r12 (each covered by an in-this-window
     # strict-superset sibling):
     #   sparql_agg_count (sparql_having in-window: same COUNT(?o)
