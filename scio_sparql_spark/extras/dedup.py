@@ -119,10 +119,15 @@ def ngram_jaccard_pairs(
     1/t shingles, so the high-df blowup the plain join's r10
     docstring conceded cannot happen (measured 9.5s -> 1.5s, 6.5x, on
     a 4k-doc corpus sharing a universal 4-token prefix; the fuzz
-    family covers it vs brute force). All ceils are computed on
-    (value - 1e-9): float error can only LENGTHEN a prefix or RELAX a
-    prune (more candidates, still exact), never tighten below the
-    proof's bound.
+    family covers it vs brute force). All pruning bounds run on
+    t_eff = t - 1e-6 with a further (value - 1e-9) ceil guard: float
+    error AND the final filter's ROUND(J, 6) boundary can only
+    LENGTHEN a prefix or RELAX a prune (more candidates, still exact)
+    — a pair whose raw J sits just under t but rounds up to t is
+    covered by the t_eff proofs, so the three plan shapes stay
+    row-identical even at the rounding boundary (r11 review finding).
+    Thresholds above 1 give an empty prefix and the correct empty
+    result (r10's postings form returned empty there too).
 
     spread_pinned (not plain spread): joining on the exploded shingle
     makes Catalyst infer isnotnull/size filters containing the whole
@@ -187,17 +192,30 @@ def ngram_jaccard_pairs(
     # plain shuffle join, never a driver collect; AQE broadcasts it at
     # small SF on its own)
     freq = posts.groupBy("g").agg(F.count(F.lit(1)).alias("__df"))
+    # The FINAL filter tests the ROUNDED Jaccard (round(J,6) >= t), so
+    # a pair with raw J in [t - 5e-7, t) still belongs in the output.
+    # All candidate-pruning bounds therefore use t_eff = t - 1e-6: the
+    # prefix/length/positional exactness proofs then cover every pair
+    # with raw J >= t_eff, a superset of everything that can round up
+    # to >= t — keeping the three plan shapes row-identical even at the
+    # rounding boundary (r11 review finding).
+    t_eff = max(threshold - 1e-6, 1e-12)
     # per-document prefix in the global (df, g) order, built with array
     # ops after ONE groupBy(id): collect the doc's (df, g) structs
     # (bounded by document length, never corpus size), sort, slice the
-    # prefix, re-explode with positions
+    # prefix, re-explode with positions. greatest(.., 0): thresholds
+    # above 1 drive p_len negative — an empty prefix (no candidates,
+    # empty result) is the correct degeneration, not a slice() error.
     arr = posts.join(freq, on="g").groupBy("id").agg(
         F.first("ns").alias("ns"),
         F.collect_list(F.struct(F.col("__df"), F.col("g"))).alias("__sg"),
     )
-    p_len = (
-        F.col("ns") - F.ceil(F.lit(threshold) * F.col("ns") - F.lit(1e-9)) + 1
-    ).cast("int")
+    p_len = F.greatest(
+        (
+            F.col("ns") - F.ceil(F.lit(t_eff) * F.col("ns") - F.lit(1e-9)) + 1
+        ).cast("int"),
+        F.lit(0),
+    )
     pre = arr.select(
         "id",
         "ns",
@@ -210,7 +228,7 @@ def ngram_jaccard_pairs(
     # valid at the pair's minimal-order meet, which is the row that
     # keeps any true pair alive through the filter
     req = F.ceil(
-        F.lit(threshold / (1.0 + threshold)) * (F.col("a.ns") + F.col("b.ns"))
+        F.lit(t_eff / (1.0 + t_eff)) * (F.col("a.ns") + F.col("b.ns"))
         - F.lit(1e-9)
     )
     bound = 1 + F.least(
@@ -222,8 +240,8 @@ def ngram_jaccard_pairs(
             pre.alias("b"),
             (F.col("a.g") == F.col("b.g"))
             & (F.col("a.id") < F.col("b.id"))
-            & (F.lit(threshold) * F.col("a.ns") - F.lit(1e-9) <= F.col("b.ns"))
-            & (F.lit(threshold) * F.col("b.ns") - F.lit(1e-9) <= F.col("a.ns"))
+            & (F.lit(t_eff) * F.col("a.ns") - F.lit(1e-9) <= F.col("b.ns"))
+            & (F.lit(t_eff) * F.col("b.ns") - F.lit(1e-9) <= F.col("a.ns"))
             & (bound >= req),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))

@@ -228,21 +228,42 @@ def cms_estimate(
     estimate is >= the true count always, and == it when none of the
     item's cells collide with a different value's. The grid side is
     BROADCAST (depth*width rows at most), so this pass is map-side +
-    one bounded groupBy per item."""
+    one bounded groupBy per item.
+
+    The probe rows take their `d` values FROM the sketch itself (its
+    distinct `d` column — a broadcast cross join of <= depth rows), so
+    a `depth` argument larger than the sketch's cannot silently probe
+    rows that do not exist and zero every estimate (r11 review
+    finding); the `depth` parameter remains only for symmetry and
+    validation. `width` has no such self-description — it MUST match
+    the sketch's build width, or cell indexes land on the wrong
+    counters and estimates are garbage (over OR under)."""
+    if depth < 1 or width < 1:
+        raise ValueError(f"depth/width must be >= 1, got {depth}/{width}")
     v = F.col(value_col)
-    probes = items.filter(v.isNotNull()).select(
-        v.alias("value"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(d).alias("d"), cms_cell(v, d, width).alias("cell")
+    dvals = sketch.select("d").distinct()
+    cell = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("d").cast("string"), F.lit(":"), F.col("value")
                     )
-                    for d in range(depth)
-                ]
-            )
-        ).alias("__dc"),
-    ).select("value", F.col("__dc.d").alias("d"), F.col("__dc.cell").alias("cell"))
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(width),
+    )
+    probes = (
+        items.filter(v.isNotNull())
+        .select(v.alias("value"))
+        .crossJoin(F.broadcast(dvals))
+        .select("value", "d", cell.alias("cell"))
+    )
     joined = probes.join(F.broadcast(sketch), on=["d", "cell"], how="left")
     return joined.groupBy("value").agg(
         F.min(F.coalesce(F.col("c"), F.lit(0))).cast("bigint").alias("est")

@@ -751,7 +751,7 @@ def _containment_oracle_sql() -> str:
         SELECT id_a, id_b,
                ROUND(CAST(i AS DOUBLE) / na, 6) AS containment
         FROM ix
-        WHERE CAST(i AS DOUBLE) / na >= 0.8"""
+        WHERE ROUND(CAST(i AS DOUBLE) / na, 6) >= 0.8"""
 
 
 def q_corpus_heavy_hitters_cms(spark, sf_dir):
@@ -761,11 +761,18 @@ def q_corpus_heavy_hitters_cms(spark, sf_dir):
     4 cells (never underestimates), report tokens whose ESTIMATE is
     >= 1% of the corpus token count. Deterministic md5 cells make the
     whole sketch DuckDB-replicable, hence hash-gated — unlike an
-    engine-private frequency state. The 100-TB point: the grid is
-    CONSTANT-size mergeable state (cms_merge, pytest-locked), so
-    per-shard grids combine without re-reading the corpus, and the
-    estimate pass broadcasts kilobytes instead of shuffling the
-    vocabulary (contrast corpus_top_ngrams, the exact path)."""
+    engine-private frequency state. The 100-TB point is the GRID: a
+    constant-size mergeable summary (cms_merge, pytest-locked), so
+    per-shard grids combine without re-reading the corpus, and probes
+    score against kilobytes of broadcast state. Honest caveat (r11
+    review): THIS entry probes every distinct token so the output is
+    oracle-checkable end to end — that candidate enumeration is itself
+    a vocabulary-keyed shuffle; the production pattern probes a
+    BOUNDED candidate set (a sampled lexicon, last epoch's heavy
+    hitters) against the broadcast grid, which is where the
+    constant-state economics actually land. N is read off the grid
+    itself (every non-null token lands exactly once in row d=0) — no
+    third corpus scan."""
     from .extras.util import spread
 
     docs = spread(_table(spark, sf_dir, "documents"))
@@ -774,7 +781,9 @@ def q_corpus_heavy_hitters_cms(spark, sf_dir):
     )
     grid = sketches.cms_sketch(toks, "w", depth=4, width=512)
     est = sketches.cms_estimate(grid, toks.distinct(), "w", depth=4, width=512)
-    total = toks.agg(F.count(F.lit(1)).alias("__n"))
+    total = grid.filter(F.col("d") == 0).agg(
+        F.coalesce(F.sum("c"), F.lit(0)).alias("__n")
+    )
     return (
         est.crossJoin(total)
         .filter(F.col("est") * 100 >= F.col("__n"))
@@ -797,7 +806,8 @@ def _cms_oracle_sql() -> str:
               FROM dist, dd),
     est AS (SELECT w, MIN(COALESCE(c, 0)) AS est
             FROM probe LEFT JOIN cells USING (d, cell) GROUP BY w),
-    tot AS (SELECT COUNT(*) AS n FROM tok)
+    tot AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n
+            FROM cells WHERE d = 0)
     SELECT w AS token, CAST(est AS BIGINT) AS est_count
     FROM est, tot WHERE est * 100 >= n"""  # noqa: E501
 
@@ -1652,7 +1662,7 @@ def q_ann_rerank_topk(spark, sf_dir):
     return similarity.int8_rerank_topk(emb, list(qv), k=10, prefilter=100)
 
 
-def _ann_rerank_oracle_sql(dim: int = 64, k: int = 10, prefilter: int = 100) -> str:
+def _ann_rerank_oracle_sql(k: int = 10, prefilter: int = 100) -> str:
     """Both stages of int8_rerank_topk in SQL: the int8 CTE chain from
     _ann_int8_oracle_sql cut at `prefilter`, then the exact cosine of
     ann_cosine_topk's oracle restricted to the stage-1 candidates."""
@@ -1821,7 +1831,7 @@ def _jaccard_pairs_ctes(threshold: float = 0.2) -> str:
                              ROUND(CAST(i AS DOUBLE) / (na + nb - i), 6)
                                AS jaccard
                       FROM ix
-                      WHERE CAST(i AS DOUBLE) / (na + nb - i)
+                      WHERE ROUND(CAST(i AS DOUBLE) / (na + nb - i), 6)
                             >= {threshold})"""
 
 

@@ -189,3 +189,64 @@ def test_empty_doc_tokenizes_to_zero_tokens(spark):
     out = dedup.remove_dup_spans(df)
     nt = {r["doc_id"]: r["n_tokens"] for r in out.collect()}
     assert nt["a"] == 0 and nt["b"] == 0
+
+
+def test_ngram_jaccard_threshold_above_one_is_empty_not_error(spark):
+    """r11 review: thresholds above 1 drove the prefix path's p_len
+    negative and slice() threw at action time, where the r10 postings
+    form returned empty. greatest(p_len, 0) restores the graceful
+    degeneration on every dispatch path."""
+    from scio_sparql_spark.extras import dedup
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d e"), (1, "a b c d e")], ["doc_id", "text"]
+    )
+    for mode in ("auto", "always", "never"):
+        assert (
+            dedup.ngram_jaccard_pairs(
+                docs, threshold=1.2, n=3, prefix_filter=mode
+            ).count()
+            == 0
+        ), mode
+
+
+def test_cms_estimate_depth_mismatch_does_not_zero(spark):
+    """r11 review: cms_estimate used to synthesize probe rows for
+    every d in range(depth); a depth argument larger than the sketch's
+    probed nonexistent grid rows and min(coalesce(c,0)) zeroed every
+    estimate. Probes now take d FROM the sketch, so the estimate is
+    correct regardless of the depth argument."""
+    from scio_sparql_spark.extras import sketches
+
+    df = spark.createDataFrame([("k", "a")] * 9 + [("k", "b")], ["k", "v"])
+    grid = sketches.cms_sketch(df, "v", depth=4, width=512)
+    est = {
+        r["value"]: r["est"]
+        for r in sketches.cms_estimate(
+            grid, df.select("v").distinct(), "v", depth=8, width=512
+        ).collect()
+    }
+    assert est == {"a": 9, "b": 1}
+
+
+def test_containment_oracle_filters_on_rounded_value(spark):
+    """r11 review: the operator filters on ROUND(containment, 6) while
+    the oracle filtered on the raw ratio — a borderline pair that
+    rounds UP to the threshold would diverge. Both now round before
+    comparing; this locks the operator side of that contract."""
+    from pyspark.sql import functions as F
+
+    from scio_sparql_spark.extras import dedup
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d e f"), (1, "a b c d e f g h")], ["doc_id", "text"]
+    )
+    out = dedup.containment_pairs(docs, threshold=0.5, n=3)
+    # the filter must reference the rounded projection, not a raw ratio
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "round" in plan.lower(), plan
+    rows = {(r.id_a, r.id_b): r.containment for r in out.collect()}
+    # doc 0 (4 shingles) is fully inside doc 1 (6 shingles): c(0->1)=1.0,
+    # c(1->0)=4/6=0.666667
+    assert rows[(0, 1)] == 1.0
+    assert rows[(1, 0)] == 0.666667
