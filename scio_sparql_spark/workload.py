@@ -728,8 +728,11 @@ def q_dedup_containment(spark, sf_dir):
     >=80% of whose shingles appear in another document — the
     excerpt/quote/partial-copy detector symmetric Jaccard passes miss
     (an excerpt's Jaccard to its source is bounded by the length
-    ratio). Exact inverted-index form, hash-gated against the directed
-    DuckDB replica."""
+    ratio). At t=0.8 the auto dispatch takes the r12 asymmetric
+    prefix-filtered path (index only A's first |A|-ceil(t|A|)+1
+    df-ordered shingles; B probes full) — exact by the minimal-meet
+    argument, fuzz-locked against the plain join and brute force,
+    hash-gated against the directed DuckDB replica."""
     return dedup.containment_pairs(
         _table(spark, sf_dir, "documents"), threshold=0.8, n=3
     )

@@ -395,18 +395,7 @@ def test_fuzz_pmi_bigrams_vs_reference(spark, texts):
     assert got == want
 
 
-@given(texts=_corpus, threshold=st.sampled_from([0.5, 0.8, 1.0]))
-@_settings
-def test_fuzz_containment_pairs_equals_bruteforce(spark, texts, threshold):
-    """Directed containment |A∩B|/|A| vs a brute-force reference —
-    including the asymmetric excerpt case the corpus strategy produces
-    organically (short docs whose shingles sit inside longer ones)."""
-    got = {
-        (r.id_a, r.id_b, r.containment)
-        for r in dedup.containment_pairs(
-            _df(spark, texts), threshold=threshold, n=3
-        ).collect()
-    }
+def _pycontainment_pairs(texts, threshold):
     sh = {i: _pyshingles(t, 3) for i, t in enumerate(texts)}
     want = set()
     for a in range(len(texts)):
@@ -418,7 +407,45 @@ def test_fuzz_containment_pairs_equals_bruteforce(spark, texts, threshold):
             c = round(len(sh[a] & sh[b]) / len(sh[a]), 6)
             if c >= threshold:
                 want.add((a, b, c))
-    assert got == want
+    return want
+
+
+@given(texts=_corpus, threshold=st.sampled_from([0.5, 0.8, 1.0]))
+@_settings
+def test_fuzz_containment_pairs_equals_bruteforce(spark, texts, threshold):
+    """Directed containment |A∩B|/|A| vs a brute-force reference —
+    including the asymmetric excerpt case the corpus strategy produces
+    organically (short docs whose shingles sit inside longer ones).
+    BOTH plan shapes (plain postings join and the r12 asymmetric
+    prefix filter) must match it."""
+    want = _pycontainment_pairs(texts, threshold)
+    for mode in ("always", "never"):
+        got = {
+            (r.id_a, r.id_b, r.containment)
+            for r in dedup.containment_pairs(
+                _df(spark, texts), threshold=threshold, n=3, prefix_filter=mode
+            ).collect()
+        }
+        assert got == want, (mode, got ^ want)
+
+
+@given(texts=_stop_corpus, threshold=st.sampled_from([0.2, 0.5, 0.8, 1.0]))
+@_settings
+def test_fuzz_containment_prefix_filter_high_df(spark, texts, threshold):
+    """The asymmetric prefix-filtered containment path must stay EXACT
+    on the universal-stopword corpus (every doc shares the high-df
+    shingles that the df-ordered A-prefix must exclude) and agree with
+    both the brute-force reference and the plain postings join. Forced
+    'always' so sub-0.4 thresholds exercise the prefix machinery."""
+    want = _pycontainment_pairs(texts, threshold)
+    for mode in ("always", "never"):
+        got = {
+            (r.id_a, r.id_b, r.containment)
+            for r in dedup.containment_pairs(
+                _df(spark, texts), threshold=threshold, n=3, prefix_filter=mode
+            ).collect()
+        }
+        assert got == want, (mode, got ^ want)
 
 
 @given(
