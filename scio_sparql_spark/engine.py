@@ -43,7 +43,8 @@ def execute_sparql(
     ASK -> single-row ``ask: boolean``; CONSTRUCT / DESCRIBE -> triples
     as term-struct columns ``s, p, o``.
 
-    ``bindings`` maps variable name -> Term and restricts solutions on the
+    ``bindings`` maps variable name -> Term (plain str/int/float/bool
+    coerce to literals) and restricts solutions on the
     projected variables (the reference splices initial bindings into the
     query text pre-parse — Interpreter.scala:191-205; joining a one-row
     VALUES at the algebra level is the injection-safe equivalent).
@@ -97,7 +98,7 @@ def execute_sparql(
     root = reorder_joins(q.algebra, catalog)
     if bindings:
         names = tuple(bindings.keys())
-        row = tuple(bindings[n] for n in names)
+        row = tuple(_coerce_binding(n, bindings[n]) for n in names)
         values = A.Values(names, (row,))
         root = _join_beneath_projection(root, values)
     if strict:
@@ -252,6 +253,28 @@ def _describe(df: DataFrame, targets: tuple, quads: DataFrame) -> DataFrame:
         seen = seen.unionByName(frontier).localCheckpoint(eager=True)
         out = out.unionByName(outgoing(frontier, small=True)).dropDuplicates()
     return out
+
+
+def _coerce_binding(name: str, v):
+    """Accept plain Python values in ``bindings=`` (bool before int —
+    bool IS int in Python): int -> xsd:integer, float -> xsd:double,
+    str -> plain literal. Anything else must already be a Term; raise a
+    clear TypeError instead of the opaque Arrow AttributeError a raw
+    value used to hit inside arrow_terms_df (found by a verify drive)."""
+    if isinstance(v, Term):
+        return v
+    if isinstance(v, bool):
+        return Term.boolean(v)
+    if isinstance(v, int):
+        return Term.integer(v)
+    if isinstance(v, float):
+        return Term.double(repr(v))
+    if isinstance(v, str):
+        return Term.literal(v)
+    raise TypeError(
+        f"binding {name!r}: expected Term or str/int/float/bool, "
+        f"got {type(v).__name__}"
+    )
 
 
 def _join_beneath_projection(node: A.Node, values: A.Values) -> A.Node:

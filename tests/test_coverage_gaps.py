@@ -186,3 +186,20 @@ def test_initial_bindings_api(spark):
         bindings={"s": Term.iri("urn:g:b")},
     )
     assert [r["v"]["lex"] for r in df.collect()] == ["3"]
+
+
+def test_initial_bindings_plain_python_values(spark):
+    """Plain int/str/float/bool bindings coerce to typed literals (r12,
+    found by a verify drive: a raw int used to die with an Arrow
+    AttributeError deep in arrow_terms_df); non-coercible values get a
+    clear TypeError."""
+    import pytest
+
+    from scio_sparql_spark import execute_sparql, parse_turtle, quads_df_from_list
+
+    quads = quads_df_from_list(spark, parse_turtle(TTL))
+    q = "PREFIX : <urn:g:> SELECT ?s WHERE { ?s :p ?v }"
+    got = [r["s"]["lex"] for r in execute_sparql(quads, q, bindings={"v": 3}).collect()]
+    assert got == ["urn:g:b"]
+    with pytest.raises(TypeError, match="binding 'v'"):
+        execute_sparql(quads, q, bindings={"v": object()})
