@@ -166,20 +166,69 @@ BENCH_QUERIES = [
     "dedup_containment",
     # two-stage retrieval: int8 prefilter -> exact cosine rerank
     "ann_rerank_topk",
+    # new in r12 (appended; prior-round common comparisons unchanged):
+    # bounded-candidate CMS probe (the production heavy-hitters shape)
+    # and ordered-degree triangle counting over the part co-order graph
+    "corpus_heavy_hitters_cms_bounded",
+    "graph_triangles",
 ]
 
 
 def _cpu_stat():
-    """(total, steal, iowait) jiffies from the aggregate /proc/stat row."""
+    """(total, steal, iowait, busy) jiffies from the aggregate
+    /proc/stat row; busy = everything except idle+iowait."""
     try:
         with open("/proc/stat") as f:
             vals = [int(x) for x in f.readline().split()[1:]]
     except (OSError, ValueError):
-        return 0, 0, 0
+        return 0, 0, 0, 0
     total = sum(vals)
+    idle = vals[3] if len(vals) > 3 else 0
     iowait = vals[4] if len(vals) > 4 else 0
     steal = vals[7] if len(vals) > 7 else 0
-    return total, steal, iowait
+    return total, steal, iowait, total - idle - iowait
+
+
+def _tree_cpu_jiffies():
+    """utime+stime jiffies of THIS process tree (the Python driver, the
+    Spark JVM it launched, and any worker children), by one /proc walk.
+    The difference between system-wide busy jiffies and this tree's
+    jiffies over a window is CPU burned by CO-TENANTS — the direct
+    contamination signal the r11 record lacked (loadavg can't separate
+    our own local[32] parallelism from a neighbor's; VERDICT r11
+    wrong #1)."""
+    me = os.getpid()
+    procs = {}
+    try:
+        pids = [int(p) for p in os.listdir("/proc") if p.isdigit()]
+    except OSError:
+        return 0
+    for pid in pids:
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                raw = f.read()
+        except OSError:
+            continue
+        # comm may contain spaces/parens: split after the LAST ')'
+        rp = raw.rsplit(")", 1)
+        if len(rp) != 2:
+            continue
+        fields = rp[1].split()
+        try:
+            ppid = int(fields[1])
+            cpu = int(fields[11]) + int(fields[12])  # utime + stime
+        except (IndexError, ValueError):
+            continue
+        procs[pid] = (ppid, cpu)
+    mine = {me}
+    grew = True
+    while grew:
+        grew = False
+        for pid, (ppid, _) in procs.items():
+            if pid not in mine and ppid in mine:
+                mine.add(pid)
+                grew = True
+    return sum(cpu for pid, (_, cpu) in procs.items() if pid in mine)
 
 
 def _prev_best_timings(repo_dir: str) -> dict:
@@ -221,6 +270,8 @@ def main():
     timings = {}
     steal_pct = {}
     spread = {}
+    foreign_pct = {}
+    load1 = {}
     errors = {}
     error_detail = {}
     total = 0.0
@@ -229,26 +280,52 @@ def main():
         # Three runs, report the min: steady-state timing (this host's
         # CPU shares are noisy — r3 recorded 4.6s for a query that
         # measures 0.9s under the same config; first run also absorbs
-        # codegen JIT). min-of-3 cannot filter SUSTAINED steal, so the
-        # /proc/stat steal+iowait share across the three runs is
-        # returned too — a recorded artifact with high steal_pct is
-        # self-diagnosing as contaminated (BENCH_r05 carried six 3-11x
-        # regressions that judge re-measurement attributed entirely to
-        # vCPU steal; VERDICT r5 item 3).
+        # codegen JIT). min-of-3 cannot filter SUSTAINED steal, so two
+        # contamination signals ride along (VERDICT r5 item 3 and r11
+        # wrong #1):
+        #   steal_pct — /proc/stat steal+iowait share (hypervisor-level
+        #   contention);
+        #   foreign_pct — system-wide busy jiffies MINUS this process
+        #   tree's jiffies, as a share of total capacity: CPU burned by
+        #   CO-TENANTS while the reps ran. This is the signal the r11
+        #   record lacked — loadavg alone cannot separate our own
+        #   local[32] parallelism from a neighbor saturating the box.
         reps, n = [], 0
-        t_a, s_a, w_a = _cpu_stat()
+        t_a, s_a, w_a, b_a = _cpu_stat()
+        tree_a = _tree_cpu_jiffies()
         for _ in range(3):
             t0 = time.time()
             n = fn()
             reps.append(time.time() - t0)
-        t_b, s_b, w_b = _cpu_stat()
+        t_b, s_b, w_b, b_b = _cpu_stat()
+        tree_b = _tree_cpu_jiffies()
         dtot = max(1, t_b - t_a)
         pct = 100.0 * ((s_b - s_a) + (w_b - w_a)) / dtot
+        fpct = 100.0 * max(0, (b_b - b_a) - (tree_b - tree_a)) / dtot
+        try:
+            la = round(os.getloadavg()[0], 2)
+        except OSError:
+            la = None
         # (min, max) of the reps goes to BENCH_DETAIL.json: a smeared
         # run (uniform slowdown, low steal) shows a wide or uniformly
         # shifted spread and is distinguishable from a plan regression
         # without a judge re-measure (VERDICT r8 item 6 / wrong #4)
-        return min(reps), n, round(pct, 2), (round(min(reps), 3), round(max(reps), 3))
+        return (
+            min(reps),
+            n,
+            round(pct, 2),
+            (round(min(reps), 3), round(max(reps), 3)),
+            round(fpct, 2),
+            la,
+        )
+
+    def _dirty(sp, fp):
+        # contaminated-entry predicate: rep spread above 2.5x with a
+        # non-trivial absolute gap (rep 1 pays the query's own codegen,
+        # so sub-second entries legitimately show wide RATIOS), or
+        # co-tenants burning >25% of the box while the reps ran
+        wide = sp[1] > 2.5 * sp[0] and (sp[1] - sp[0]) > 0.5
+        return wide or fp > 25.0
 
     # flagship first (also the driver's smoke query). One untimed
     # warm-up run before the min-of-3: as the first query on a cold JVM
@@ -256,12 +333,14 @@ def main():
     # (observed 1.7s-4.8s min-of-3 spread across otherwise-idle runs)
     try:
         len(workload.flagship(spark, sf_dir).collect())
-        dt, _, pct, sp = timed(
+        dt, _, pct, sp, fp, la = timed(
             lambda: len(workload.flagship(spark, sf_dir).collect())
         )
         timings["flagship"] = round(dt, 3)
         steal_pct["flagship"] = pct
         spread["flagship"] = sp
+        foreign_pct["flagship"] = fp
+        load1["flagship"] = la
     except Exception as e:  # noqa: BLE001
         errors["flagship"] = type(e).__name__
         error_detail["flagship"] = str(e)[:500]
@@ -322,7 +401,7 @@ def main():
         # 14 of 61 raised — VERDICT r9 wrong #2). Record the error and
         # keep timing the rest.
         try:
-            dt, n, pct, sp = timed(lambda: qs[name](spark, sf_dir).count())
+            dt, n, pct, sp, fp, la = timed(lambda: qs[name](spark, sf_dir).count())
         except Exception as e:  # noqa: BLE001 — any query failure
             errors[name] = type(e).__name__
             error_detail[name] = str(e)[:500]
@@ -332,33 +411,52 @@ def main():
         timings[name] = round(dt, 3)
         steal_pct[name] = pct
         spread[name] = sp
-        print(f"# {name}: {dt:.2f}s ({n} rows, steal {pct}%, "
-              f"spread {sp[0]}-{sp[1]}s)", file=sys.stderr)
+        foreign_pct[name] = fp
+        load1[name] = la
+        print(f"# {name}: {dt:.2f}s ({n} rows, steal {pct}%, foreign "
+              f"{fp}%, load1 {la}, spread {sp[0]}-{sp[1]}s)", file=sys.stderr)
 
-    # End-of-run re-measure: any query whose min-of-3 landed >3x its
-    # best prior recorded value is presumed steal-contaminated and gets
-    # one more min-of-3 at the end of the run (by which time transient
-    # neighbor load has usually moved on); the final value is the min
-    # across both passes (VERDICT r5 item 3).
+    # End-of-run re-measure (VERDICT r5 item 3, hardened per r11 Next
+    # #1): a query is re-measured when (a) its min-of-3 landed >3x its
+    # best prior recorded value, OR (b) its own reps showed
+    # contamination — spread >2.5x with >0.5s absolute gap, or
+    # co-tenant CPU >25% of the box while it ran. By the end of the run
+    # transient neighbor load has usually moved on; the final value is
+    # the min across both passes, and an entry counts as CLEAN if
+    # EITHER pass was uncontaminated.
     ref = _prev_best_timings(os.path.dirname(os.path.abspath(__file__)))
     remeasured = []
+    still_contaminated = []
     for name in list(timings):
         prev = ref.get(name)
-        if prev is None or prev <= 0 or timings[name] <= 3 * prev:
+        regressed = prev is not None and prev > 0 and timings[name] > 3 * prev
+        was_dirty = _dirty(spread[name], foreign_pct[name])
+        if not (regressed or was_dirty):
             continue
         if name == "flagship":
             fn = lambda: len(workload.flagship(spark, sf_dir).collect())
         else:
             fn = lambda: qs[name](spark, sf_dir).count()
-        dt, _, pct, sp = timed(fn)
+        try:
+            dt, _, pct, sp, fp, la = timed(fn)
+        except Exception as e:  # noqa: BLE001
+            print(f"# remeasure {name}: ERROR {type(e).__name__}",
+                  file=sys.stderr)
+            still_contaminated.append(name)
+            continue
         if dt < timings[name]:
             timings[name] = round(dt, 3)
             steal_pct[name] = pct
             spread[name] = sp
+            foreign_pct[name] = fp
+            load1[name] = la
         remeasured.append(name)
+        if _dirty(sp, fp) and was_dirty:
+            still_contaminated.append(name)
         print(
-            f"# remeasure {name}: {dt:.2f}s (was >{3 * prev:.2f}s gate, "
-            f"steal {pct}%)",
+            f"# remeasure {name}: {dt:.2f}s (trigger: "
+            f"{'3x-prior' if regressed else 'dirty reps'}, steal {pct}%, "
+            f"foreign {fp}%, spread {sp[0]}-{sp[1]}s)",
             file=sys.stderr,
         )
 
@@ -383,7 +481,10 @@ def main():
     detail = {
         "spread": spread,
         "steal_pct": steal_pct,
+        "foreign_pct": foreign_pct,
+        "loadavg_per_query": load1,
         "remeasured": remeasured,
+        "still_contaminated": still_contaminated,
         "build": builds,
         "errors": error_detail,
         "sf": sf,
@@ -402,6 +503,23 @@ def main():
         "BENCH_DETAIL.json" if abs(sf - 0.1) < 1e-9
         else f"BENCH_DETAIL_sf{sf}.json"
     )
+    # Refuse-to-overwrite guard (VERDICT r11 Next #1): when more than 5
+    # entries are STILL contaminated after their remeasure pass, the run
+    # is environment-poisoned and must not become the canonical record —
+    # BENCH_r11 was committed with 13 wide-spread entries and a paper
+    # gate breach that a quiet-box re-measure disproved. The poisoned
+    # detail goes to a side file for diagnosis; the previous
+    # BENCH_DETAIL.json stays, and the stdout headline carries an
+    # explicit contaminated count so the round record is self-describing.
+    if len(still_contaminated) > 5:
+        fname = fname.replace(".json", "_CONTAMINATED.json")
+        print(
+            f"# RUN CONTAMINATED: {len(still_contaminated)} entries dirty "
+            f"after remeasure ({', '.join(sorted(still_contaminated)[:8])}"
+            f"{'...' if len(still_contaminated) > 8 else ''}) — writing "
+            f"{fname}, keeping the previous canonical record",
+            file=sys.stderr,
+        )
     try:
         with open(os.path.join(repo_dir, fname), "w") as f:
             json.dump(detail, f, indent=1, sort_keys=True)
@@ -424,6 +542,8 @@ def main():
         }
         if dropped:
             headline["queries_dropped"] = dropped
+        if still_contaminated:
+            headline["contaminated"] = len(still_contaminated)
         if errors:
             # exception-type-only (full messages live in
             # BENCH_DETAIL.json) to stay inside the stdout tail
