@@ -967,8 +967,8 @@ def _pmi_oracle_sql() -> str:
     tot AS (SELECT COUNT(*) AS n FROM pairs)
     SELECT big.x || ' ' || big.y AS bigram,
            CAST(c_xy AS BIGINT) AS c_xy,
-           CAST((c_xy * n * 1000000) // (cx.c_w * cy.c_w) AS BIGINT)
-             AS pmi_ratio_micro
+           CAST((c_xy::HUGEINT * n * 1000000) // (cx.c_w::HUGEINT * cy.c_w)
+                AS BIGINT) AS pmi_ratio_micro
     FROM big
     JOIN uc cx ON cx.w = big.x
     JOIN uc cy ON cy.w = big.y, tot

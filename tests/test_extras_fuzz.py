@@ -395,6 +395,46 @@ def test_fuzz_pmi_bigrams_vs_reference(spark, texts):
     assert got == want
 
 
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=5, max_value=10**9),
+            st.integers(min_value=5, max_value=45 * 10**12),
+            st.integers(min_value=5, max_value=45 * 10**12),
+            st.integers(min_value=5, max_value=45 * 10**12),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@_settings
+def test_fuzz_pmi_ratio_decimal_no_overflow(spark, rows):
+    """The DECIMAL(38) PMI ratio (r12, VERDICT r11 wrong #5) vs Python
+    big-int floor division, over the operator's DOCUMENTED domain
+    (min_count >= 5, N < 4.6e13 so the RESULT fits the BIGINT output
+    column — pmi_bigrams docstring; beyond it, the result column
+    itself overflows whatever the intermediate type). c_xy*N here
+    reaches ~4.5e22 — ten orders of magnitude past the 9.2e12 point
+    where the replaced BIGINT numerator overflowed. Operator-shaped
+    constraints: c_x, c_y, N >= c_xy (a bigram count never exceeds
+    its word counts or the total)."""
+    data = [
+        (c_xy, max(c_x, c_xy), max(c_y, c_xy), max(n, c_xy))
+        for c_xy, c_x, c_y, n in rows
+    ]
+    df = spark.createDataFrame(data, ["c_xy", "c_x", "c_y", "__n"])
+    got = [
+        r.ratio
+        for r in df.select(
+            textstats.pmi_ratio_micro_expr().alias("ratio")
+        ).collect()
+    ]
+    want = [
+        (c_xy * n * 1000000) // (c_x * c_y) for c_xy, c_x, c_y, n in data
+    ]
+    assert got == want
+
+
 def _pycontainment_pairs(texts, threshold):
     sh = {i: _pyshingles(t, 3) for i, t in enumerate(texts)}
     want = set()
