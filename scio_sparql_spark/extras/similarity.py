@@ -74,6 +74,7 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     spread_input: bool = True,
+    skip_zero_norm: bool = False,
 ) -> DataFrame:
     """Exact top-k by cosine to a constant query vector. Plan: scan ->
     per-row unrolled dot (codegen) -> TakeOrderedAndProject(k). No
@@ -81,17 +82,21 @@ def cosine_topk(
     Domain: nonzero-NORM vectors — a zero row vector (or one so tiny
     its squared norm UNDERFLOWS to 0.0, e.g. 1e-308 components; the
     r11 rerank fuzz surfaced both) makes the denominator 0, which
-    raises DIVIDE_BY_ZERO under ANSI mode; filter zero-norm rows
-    upstream if the corpus can contain them.
+    raises DIVIDE_BY_ZERO under ANSI mode. ``skip_zero_norm=True``
+    (r12, VERDICT r11 Next #9) drops such rows inside the same codegen
+    stage — an extra per-row comparison, no new shuffle or scan — for
+    corpora that can contain them; the default stays False so gated
+    hashes and the fail-loud domain contract are unchanged.
     ``spread_input=False`` skips the under-partitioning check (itself a
     plan->RDD conversion, ~1s on a fresh DataFrame) when the caller
     knows the input is already well-partitioned (e.g. the IVF probe's
     bucketed parquet)."""
     qn = math.sqrt(sum(float(x) * float(x) for x in query_vec)) or 1.0
-    score = _dot_const(vec_col, query_vec) / (
-        F.sqrt(_norm_sq_unrolled(vec_col, len(query_vec))) * qn
-    )
+    norm_sq = _norm_sq_unrolled(vec_col, len(query_vec))
+    score = _dot_const(vec_col, query_vec) / (F.sqrt(norm_sq) * qn)
     src = spread(emb) if spread_input else emb
+    if skip_zero_norm:
+        src = src.filter(norm_sq > 0.0)
     scored = src.select(F.col(id_col), F.round(score, 6).alias("score"))
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
 

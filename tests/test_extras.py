@@ -77,6 +77,28 @@ def test_cosine_topk(spark):
     assert out[0]["score"] == 1.0
 
 
+def test_cosine_topk_zero_norm_modes(spark):
+    """The fuzz-found ANSI divide-by-zero domain edge (r11) and its r12
+    opt-in guard: default mode raises on a zero-norm row (fail-loud
+    domain contract), skip_zero_norm=True drops it and ranks the rest
+    identically."""
+    import pytest
+    from pyspark.errors import ArithmeticException
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 0.0]),  # zero norm
+        (2, [0.5, 0.5]),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    with pytest.raises(ArithmeticException):
+        similarity.cosine_topk(emb, [1.0, 0.0], k=3).collect()
+    out = similarity.cosine_topk(
+        emb, [1.0, 0.0], k=3, skip_zero_norm=True
+    ).collect()
+    assert [r["vec_id"] for r in out] == [0, 2]
+
+
 def test_lsh_topk_subset_of_brute(spark):
     import random
 
