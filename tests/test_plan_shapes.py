@@ -233,10 +233,12 @@ def test_catalog_extras_plans_free_of_anti_patterns(spark):
         "dedup_embedding_cosine",
         "retrieval_bm25",
         "text_lm_score",
-        # r11: each cross-joins ONE scalar row (the corpus token total)
-        # into the final projection — the same scalar-broadcast shape
-        # as bm25/lm_score above
+        # r11/r12: each cross-joins ONE scalar row (the corpus token
+        # total; for the CMS entries also the <=4-row dvals identity
+        # broadcast) into the final projection — the same
+        # scalar-broadcast shape as bm25/lm_score above
         "corpus_heavy_hitters_cms",
+        "corpus_heavy_hitters_cms_bounded",
         "text_pmi_bigrams",
     }
     SORT_AGG_OK = {"dedup_keep_best"}
@@ -577,7 +579,13 @@ def test_expensive_hof_duplication_sweep(spark):
     #   embed_random_projection 8x: eight DIFFERENT plane dots, by
     #     design (unrolled output coordinates, not duplication);
     #   ngram/containment/int8 8x transform: distinct per-stage
-    #     shingle/quantize derivations on separate plan branches.
+    #     shingle/quantize derivations on separate plan branches;
+    #   dedup_containment 14x (re-audited r12): the asymmetric prefix
+    #     path adds the B-side FULL posting branch — pre_a and full_b
+    #     both re-derive the df-sorted struct frame, plus the global-df
+    #     join — deliberate plan shape (same multi-branch contract as
+    #     the Jaccard prefix path), measured 9x cheaper than the plain
+    #     join on adversarial df and 2.9s at the sf0.01 gate.
     WATCHED = {
         "sample_quality_weighted": (1, 3),
         "text_classifier_score": (2, 2),
@@ -587,7 +595,7 @@ def test_expensive_hof_duplication_sweep(spark):
         "text_lm_score": (2, 6),
         "embed_random_projection": (8, 8),
         "dedup_ngram_jaccard": (0, 8),
-        "dedup_containment": (0, 8),
+        "dedup_containment": (0, 14),
         "ann_int8_topk": (0, 8),
     }
     qs = workload.build_queries()
