@@ -243,7 +243,16 @@ def _prev_best_timings(repo_dir: str) -> dict:
                 d = json.load(f)
         except (OSError, json.JSONDecodeError):
             continue
-        for k, v in (d.get("queries") or {}).items():
+        # driver-written BENCH_r{N}.json nests the headline under
+        # "parsed" (top-level keys are n/rc/cpus/sf/tail/parsed) — the
+        # top-level lookup alone made this reference EMPTY and the
+        # 3x-prior remeasure rule dead code since it shipped (found
+        # r12: three sub-second entries recorded 4-6x their r10 bests
+        # with no remeasure pass)
+        q = d.get("queries")
+        if not q and isinstance(d.get("parsed"), dict):
+            q = d["parsed"].get("queries")
+        for k, v in (q or {}).items():
             if isinstance(v, (int, float)):
                 ref[k] = min(ref.get(k, v), v)
     return ref
