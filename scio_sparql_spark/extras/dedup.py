@@ -383,7 +383,11 @@ def containment_pairs(
         F.posexplode(sorted_sg).alias("__pos", "__e"),
     ).select("id", "ns", (F.col("__pos") + 1).alias("rn"), F.col("__e.g").alias("g"))
     # required overlap is ceil(t*|A|) — containment's denominator is
-    # |A| alone, so the bound has no (|A|+|B|) form and no B filter
+    # |A| alone, so the bound has no (|A|+|B|) form and no B filter.
+    # (An A-side-only positional variant probing raw B postings was
+    # prototyped in r12 and measured WORSE on both the adversarial and
+    # the benign corpus — the B-side rank term carries real pruning —
+    # so both terms stay.)
     req = F.ceil(F.lit(t_eff) * F.col("a.ns") - F.lit(1e-9))
     bound = 1 + F.least(
         F.col("a.ns") - F.col("a.rn"), F.col("b.ns") - F.col("b.rn")
