@@ -167,10 +167,13 @@ BENCH_QUERIES = [
     # two-stage retrieval: int8 prefilter -> exact cosine rerank
     "ann_rerank_topk",
     # new in r12 (appended; prior-round common comparisons unchanged):
-    # bounded-candidate CMS probe (the production heavy-hitters shape)
-    # and ordered-degree triangle counting over the part co-order graph
+    # bounded-candidate CMS probe (the production heavy-hitters shape),
+    # ordered-degree triangle counting over the part co-order graph,
+    # and mergeable log-histogram quantiles (constant-state sibling of
+    # the exact rank-select entry)
     "corpus_heavy_hitters_cms_bounded",
     "graph_triangles",
+    "events_quantiles_histogram",
 ]
 
 

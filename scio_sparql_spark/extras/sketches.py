@@ -268,3 +268,104 @@ def cms_estimate(
     return joined.groupBy("value").agg(
         F.min(F.coalesce(F.col("c"), F.lit(0))).cast("bigint").alias("est")
     )
+
+
+def _hist_bucket_exprs(value: str, sub_bits: int):
+    """(shift, prefix) log-bucket coordinates for a NON-NEGATIVE BIGINT
+    column: shift = max(bitlen(v) - 1 - sub_bits, 0), prefix =
+    v >> shift. Bit length via length(bin(v)) — exact integer on both
+    engines (DuckDB replica: length(printf('%b', v))); the shift is
+    applied as DIV by power(2, shift): powers of two are exact doubles
+    at every magnitude and prefix carries <= sub_bits+1 significant
+    bits, so every step is integer-exact. Buckets partition [0, 2^63):
+    a value's bucket is [prefix << shift, (prefix+1) << shift), giving
+    relative width 2^-sub_bits."""
+    bitlen = f"length(bin(`{value}`))"
+    shift = f"greatest({bitlen} - 1 - {sub_bits}, 0)"
+    prefix = f"`{value}` DIV CAST(power(2, {shift}) AS BIGINT)"
+    return F.expr(shift).cast("int"), F.expr(prefix).cast("bigint")
+
+
+def value_histogram_sketch(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    sub_bits: int = 4,
+) -> DataFrame:
+    """(key, shift, prefix, c) mergeable log-scale histogram over
+    non-negative BIGINT values (micro-quantize floats upstream) — the
+    constant-state quantile path. Exact rank-select quantiles
+    (streaming/events.py value_quantiles) sort every row of a key
+    group; at 100 TB a hot key's sort is the bottleneck. This sketch's
+    per-key state is bounded by the bucket count (<= 64 shifts x
+    2^(sub_bits+1) prefixes, ~2k rows at sub_bits=4 — constant in the
+    data) with ONE partial-agg shuffle to build, grids merge by
+    cell-wise sum (histogram_merge), and any quantile reads off the
+    cumulative bucket walk with relative value error <= 2^-sub_bits.
+    Deterministic integer bucketing (no t-digest centroids, no
+    engine-private RNG) keeps it DuckDB-replicable, hence
+    hash-gateable. NULL and negative values are excluded (the
+    micro-unit discipline keeps real pipelines non-negative; a signed
+    variant would mirror the bucket map below zero)."""
+    if sub_bits < 1 or sub_bits > 16:
+        raise ValueError(f"sub_bits must be in [1, 16], got {sub_bits}")
+    shift, prefix = _hist_bucket_exprs(value_col, sub_bits)
+    return (
+        df.filter(F.col(value_col).isNotNull() & (F.col(value_col) >= 0))
+        .select(F.col(key_col).alias("key"), shift.alias("shift"), prefix.alias("prefix"))
+        .groupBy("key", "shift", "prefix")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def histogram_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Cell-wise sum of two histograms built with the same sub_bits:
+    exactly the histogram of the concatenated inputs."""
+    return (
+        a.unionByName(b)
+        .groupBy("key", "shift", "prefix")
+        .agg(F.sum("c").alias("c"))
+    )
+
+
+def histogram_quantiles(
+    sketch: DataFrame,
+    percentiles: tuple = (50, 90, 99),
+    key_col: str = "key",
+) -> DataFrame:
+    """Per-key quantile LOWER BOUNDS from the histogram: for each p,
+    the lower edge of the first bucket (in value order) whose
+    cumulative count reaches ceil(p*n/100) — the same rank convention
+    as the exact value_quantiles operator, so the true p-quantile lies
+    in [lb, lb*(1 + 2^-sub_bits)). Bucket lower edges prefix*2^shift
+    are unique across (shift, prefix) pairs (prefix is odd-or-capped in
+    [2^sub_bits, 2^(sub_bits+1)) for shift > 0, so equal products would
+    force a prefix out of range), making the value order total. One
+    keyed shuffle over BUCKET rows (bounded), never value rows."""
+    lb = (F.col("prefix") * F.expr("CAST(power(2, shift) AS BIGINT)")).cast(
+        "bigint"
+    )
+    w_cum = (
+        Window.partitionBy("key")
+        .orderBy("lb")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("key")
+    rows = (
+        sketch.select("key", lb.alias("lb"), "c")
+        .withColumn("cum", F.sum("c").over(w_cum))
+        .withColumn("n", F.sum("c").over(w_all))
+    )
+    # integer ceil((p*n)/100) as (p*n + 99) DIV 100 — no float division
+    # anywhere, so the rank target is bit-identical on both engines
+    aggs = [
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr(f"({int(p)} * n + 99) DIV 100"),
+                F.col("lb"),
+            )
+        ).alias(f"p{int(p)}_lb")
+        for p in percentiles
+    ]
+    out = rows.groupBy("key").agg(*aggs)
+    return out.withColumnRenamed("key", key_col) if key_col != "key" else out

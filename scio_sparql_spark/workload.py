@@ -888,6 +888,53 @@ def _cms_bounded_oracle_sql() -> str:
     FROM est, tot WHERE est * 100 >= n"""  # noqa: E501
 
 
+def q_events_quantiles_histogram(spark, sf_dir):
+    """Mergeable log-histogram quantiles (r12, beyond-reference): p50/
+    p90/p99 LOWER BOUNDS per event type from a constant-state bucket
+    sketch — the 100-TB sibling of the exact rank-select
+    events_quantiles entry, whose per-key sort a hot key saturates.
+    Buckets are (bit-length, top-4-bits) coordinates — deterministic
+    integer bucketing, so the whole sketch is DuckDB-replicable and
+    hash-gated; true quantiles lie within 1+2^-4 of the reported
+    bounds, and grids merge by cell-wise sum (pytest-locked)."""
+    ev_t = _table(spark, sf_dir, "events").select(
+        F.col("event_type"),
+        F.round(F.col("value") * 1000000).cast("bigint").alias("vm"),
+    )
+    sk = sketches.value_histogram_sketch(ev_t, "event_type", "vm", sub_bits=4)
+    return sketches.histogram_quantiles(sk, (50, 90, 99), key_col="event_type")
+
+
+def _events_quantiles_histogram_oracle_sql() -> str:
+    return """WITH e AS (
+         SELECT event_type, CAST(ROUND(value * 1000000) AS BIGINT) AS vm
+         FROM events WHERE value IS NOT NULL
+           AND CAST(ROUND(value * 1000000) AS BIGINT) >= 0),
+       b AS (
+         SELECT event_type,
+                greatest(length(printf('%b', vm)) - 1 - 4, 0) AS shift,
+                vm // CAST(power(2, greatest(length(printf('%b', vm)) - 1 - 4,
+                                             0)) AS BIGINT) AS prefix,
+                COUNT(*) AS c
+         FROM e GROUP BY 1, 2, 3),
+       l AS (SELECT event_type,
+                    prefix * CAST(power(2, shift) AS BIGINT) AS lb, c
+             FROM b),
+       cum AS (
+         SELECT event_type, lb,
+                SUM(c) OVER (PARTITION BY event_type ORDER BY lb) AS cum,
+                SUM(c) OVER (PARTITION BY event_type) AS n
+         FROM l)
+       SELECT event_type,
+              CAST(MIN(CASE WHEN cum >= (50 * n + 99) // 100 THEN lb END)
+                   AS BIGINT) AS p50_lb,
+              CAST(MIN(CASE WHEN cum >= (90 * n + 99) // 100 THEN lb END)
+                   AS BIGINT) AS p90_lb,
+              CAST(MIN(CASE WHEN cum >= (99 * n + 99) // 100 THEN lb END)
+                   AS BIGINT) AS p99_lb
+       FROM cum GROUP BY event_type"""
+
+
 def q_graph_triangles(spark, sf_dir):
     """Per-node triangle counts (r12 catalog slot for the r11 operator;
     VERDICT r11 missing #4) over the part co-order graph: parts are
@@ -2697,6 +2744,10 @@ EXTRA_QUERIES = {
     "dedup_cross_corpus": (q_dedup_cross_corpus, _cross_corpus_oracle_sql()),
     # r10: int8-quantized retrieval — all-integer scoring, hash-gated
     "ann_int8_topk": (q_ann_int8_topk, _ann_int8_oracle_sql()),
+    "events_quantiles_histogram": (
+        q_events_quantiles_histogram,
+        _events_quantiles_histogram_oracle_sql(),
+    ),
     # r10: KMV distinct-cardinality sketch — deterministic (md5-prefix
     # hashes + closed-form estimator), so hash-gated where HLL can't be
     # r10: integer batch-perceptron training — broadcast weight literal,
@@ -3537,6 +3588,13 @@ CATALOG_RETIRED = {
     # (cumulative F.sum over the same keyed order in sessionize); both
     # siblings hold r12-window driver rows.
     "events_running_total": "events_asof + events_sessions (same cumulative keyed frame)",
+    # r12 (active slot for events_quantiles_histogram): the standalone
+    # int8 top-k IS stage 1 of ann_rerank_topk — the identical
+    # quantize_int8 + exact int64 dot + TakeOrdered machinery, and the
+    # rerank entry's DuckDB oracle replicates that stage as its own CTE
+    # (both stages hash-gated). The standalone form stays benched in
+    # bench.py and pytest-locked against the Python reference.
+    "ann_int8_topk": "ann_rerank_topk (stage 1 is the same int8 dot, oracle-replicated)",
 }
 
 CATALOG_FRONT = [
@@ -3547,14 +3605,15 @@ CATALOG_FRONT = [
     # r10 rows except the 4 the r11 ledger displaced to r12 with
     # in-window sibling arguments (sparql_agg_count, sparql_bind,
     # sparql_path_seq: last=r9; rdf_egress_turtle: last=r9).
-    # This window: the 2 NEW r12 operators first (their active slots
-    # come from the two r12 retirements recorded in CATALOG_RETIRED —
-    # events_session_windows and events_running_total — both of which
-    # were due this window, so the remaining 48 pending actives + 2 new
-    # = exactly 50 and nobody is displaced), then the 4 r9-displaced,
-    # then the 44 remaining last=r10 actives. After this window every
-    # active entry's driver evidence is r11 or r12 — the 2-round policy
-    # holds with zero exceptions.
+    # This window: the 3 NEW r12 operators first/in-place (their
+    # active slots come from the three r12 retirements recorded in
+    # CATALOG_RETIRED — events_session_windows and events_running_total
+    # were themselves due this window, and ann_int8_topk hands its due
+    # slot to events_quantiles_histogram in place — so the remaining
+    # 47 pending actives + 3 new = exactly 50 and nobody is displaced),
+    # then the 4 r9-displaced, then the last=r10 actives. After this
+    # window every active entry's driver evidence is r11 or r12 — the
+    # 2-round policy holds with zero exceptions.
     "corpus_heavy_hitters_cms_bounded",
     "graph_triangles",
     # --- displaced from r11 (last=r9) -----------------------------------
@@ -3566,7 +3625,7 @@ CATALOG_FRONT = [
     # minus the 4 r9 rows just listed... the r9 rows were displaced
     # FROM the r10 window's complement, so: 50 not-in-r11 minus 4 r9
     # minus 2 retired = 44) --------------------------------------------
-    "ann_int8_topk",
+    "events_quantiles_histogram",
     "corpus_top_ngrams",
     "dedup_bloom_contamination",
     "dedup_incremental",

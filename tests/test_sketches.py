@@ -218,3 +218,82 @@ def test_cms_grid_streaming_equals_batch(spark, tmp_path):
         )
     )
     assert stream_grid == batch_grid
+
+
+def _py_hist_quantile_bounds(values, p, sub_bits=4):
+    """Python reference: exact rank-select quantile and the histogram
+    bucket [lb, ub) it must land in."""
+    vs = sorted(values)
+    import math
+
+    target = vs[(p * len(vs) + 99) // 100 - 1]
+    bl = target.bit_length()
+    shift = max(bl - 1 - sub_bits, 0)
+    prefix = target >> shift
+    return prefix << shift, (prefix + 1) << shift
+
+
+def test_histogram_quantiles_bracket_exact_quantiles(spark):
+    """For every key and percentile, the sketch's reported lower bound
+    must be the bucket edge of the EXACT rank-select quantile: the true
+    quantile lies in [lb, lb * (1 + 2^-sub_bits))."""
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (k, rng.randint(0, 10**9) if k == "wide" else rng.randint(1, 500))
+        for k in ("wide", "narrow")
+        for _ in range(997)
+    ]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    sk = sketches.value_histogram_sketch(df, "k", "v", sub_bits=4)
+    got = {
+        r["k"]: (r["p50_lb"], r["p90_lb"], r["p99_lb"])
+        for r in sketches.histogram_quantiles(sk, (50, 90, 99), key_col="k").collect()
+    }
+    by_key = {}
+    for k, v in rows:
+        by_key.setdefault(k, []).append(v)
+    for k, vals in by_key.items():
+        for i, p in enumerate((50, 90, 99)):
+            lb, ub = _py_hist_quantile_bounds(vals, p)
+            assert got[k][i] == lb, (k, p, got[k][i], lb)
+            exact = sorted(vals)[(p * len(vals) + 99) // 100 - 1]
+            assert lb <= exact < ub
+
+
+def test_histogram_merge_equals_whole(spark):
+    """histogram(A ∪ B) == merge(histogram(A), histogram(B)) cell-wise,
+    and the quantiles read identically from either."""
+    import random
+
+    rng = random.Random(3)
+    a_rows = [("k", rng.randint(0, 10**6)) for _ in range(400)]
+    b_rows = [("k", rng.randint(0, 10**12)) for _ in range(400)]
+    a = spark.createDataFrame(a_rows, ["k", "v"])
+    b = spark.createDataFrame(b_rows, ["k", "v"])
+    both = spark.createDataFrame(a_rows + b_rows, ["k", "v"])
+    merged = sketches.histogram_merge(
+        sketches.value_histogram_sketch(a, "k", "v"),
+        sketches.value_histogram_sketch(b, "k", "v"),
+    )
+    whole = sketches.value_histogram_sketch(both, "k", "v")
+    as_set = lambda df: {tuple(r) for r in df.collect()}  # noqa: E731
+    assert as_set(merged) == as_set(whole)
+    q = lambda sk: sketches.histogram_quantiles(sk).collect()  # noqa: E731
+    assert [tuple(r) for r in q(merged)] == [tuple(r) for r in q(whole)]
+
+
+def test_histogram_zero_and_boundaries(spark):
+    """v=0 and exact powers of two land in well-defined buckets; a
+    single-value corpus reports that value's own bucket edge for every
+    percentile."""
+    df = spark.createDataFrame([("k", 0), ("k", 0), ("k", 0)], ["k", "v"])
+    sk = sketches.value_histogram_sketch(df, "k", "v")
+    r = sketches.histogram_quantiles(sk).collect()[0]
+    assert (r["p50_lb"], r["p90_lb"], r["p99_lb"]) == (0, 0, 0)
+    df2 = spark.createDataFrame([("k", 1024)], ["k", "v"])
+    r2 = sketches.histogram_quantiles(
+        sketches.value_histogram_sketch(df2, "k", "v")
+    ).collect()[0]
+    assert r2["p50_lb"] == 1024  # power of two is its own bucket edge
