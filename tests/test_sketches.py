@@ -297,3 +297,48 @@ def test_histogram_zero_and_boundaries(spark):
         sketches.value_histogram_sketch(df2, "k", "v")
     ).collect()[0]
     assert r2["p50_lb"] == 1024  # power of two is its own bucket edge
+
+
+def test_histogram_grid_streaming_equals_batch(spark, tmp_path):
+    """Like the CMS grid, the log-histogram is a pure groupBy-count
+    over deterministic integer bucket coordinates — the SAME plan runs
+    as a Structured Streaming aggregation with state bounded at the
+    bucket count (never the value count). availableNow complete-mode
+    over the parquet source must equal the batch grid exactly."""
+    from pyspark.sql import types as T
+
+    from scio_sparql_spark.streaming.bounded import run_bounded
+
+    path = str(tmp_path / "hvals")
+    df = spark.createDataFrame(
+        [("k%d" % (i % 3), (i * 7919) % 100003) for i in range(500)],
+        ["k", "v"],
+    )
+    df.write.parquet(path)
+    batch_grid = sorted(
+        map(
+            tuple,
+            sketches.value_histogram_sketch(
+                spark.read.parquet(path), "k", "v"
+            ).collect(),
+        )
+    )
+    stream = spark.readStream.schema(
+        T.StructType(
+            [
+                T.StructField("k", T.StringType()),
+                T.StructField("v", T.LongType()),
+            ]
+        )
+    ).parquet(path)
+    stream_grid = sorted(
+        map(
+            tuple,
+            run_bounded(
+                sketches.value_histogram_sketch(stream, "k", "v"),
+                output_mode="complete",
+                shuffle_partitions=4,
+            ).collect(),
+        )
+    )
+    assert stream_grid == batch_grid
