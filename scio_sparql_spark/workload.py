@@ -3621,10 +3621,10 @@ CATALOG_FRONT = [
     "sparql_bind",
     "sparql_path_seq",
     "rdf_egress_turtle",
-    # --- the last=r10 actives (44: the 50 minus the 2 retired above
-    # minus the 4 r9 rows just listed... the r9 rows were displaced
-    # FROM the r10 window's complement, so: 50 not-in-r11 minus 4 r9
-    # minus 2 retired = 44) --------------------------------------------
+    # --- the last=r10 actives (43: 50 not-in-r11 minus the 4 r9 rows
+    # just listed minus the 3 retired — events_session_windows,
+    # events_running_total, ann_int8_topk) plus the third NEW entry,
+    # events_quantiles_histogram, standing in ann_int8_topk's slot ----
     "events_quantiles_histogram",
     "corpus_top_ngrams",
     "dedup_bloom_contamination",
