@@ -219,7 +219,16 @@ def _tree_cpu_jiffies():
         fields = rp[1].split()
         try:
             ppid = int(fields[1])
-            cpu = int(fields[11]) + int(fields[12])  # utime + stime
+            # utime + stime of the process itself, PLUS cutime + cstime
+            # (CPU of its already-reaped children — a child's jiffies
+            # move from its own utime/stime into the parent's cutime at
+            # reap, so counting both never double-counts, and without
+            # cutime a short-lived subprocess's CPU would vanish from
+            # the tree and be misread as co-tenant load; ADVICE r12).
+            cpu = (
+                int(fields[11]) + int(fields[12])
+                + int(fields[13]) + int(fields[14])
+            )
         except (IndexError, ValueError):
             continue
         procs[pid] = (ppid, cpu)

@@ -9,6 +9,8 @@ README.md:72-77) and executes on ``.collect()``/action.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -278,6 +280,13 @@ def _coerce_binding(name: str, v):
     if isinstance(v, int):
         return Term.integer(v)
     if isinstance(v, float):
+        # repr() of non-finite floats ('inf'/'nan') is not a valid
+        # xsd:double lexical form — map to the XSD spellings so the
+        # literal round-trips instead of silently malforming (ADVICE r12)
+        if math.isinf(v):
+            return Term.double("INF" if v > 0 else "-INF")
+        if math.isnan(v):
+            return Term.double("NaN")
         return Term.double(repr(v))
     if isinstance(v, str):
         return Term.literal(v)
@@ -299,7 +308,19 @@ def _join_beneath_projection(node: A.Node, values: A.Values) -> A.Node:
     if isinstance(node, A.OrderBy):
         return A.OrderBy(_join_beneath_projection(node.input, values), node.keys)
     if isinstance(node, A.Project):
-        return A.Project(A.Join(values, node.input), node.names)
+        return A.Project(_join_beneath_projection(node.input, values), node.names)
+    # Descend through FILTER and BIND too: an initial binding is an
+    # initial solution mapping, so a var that appears ONLY in a filter
+    # condition (e.g. a parameterized threshold) must already be bound
+    # when the filter evaluates — joining above it would error-drop
+    # every row (found by a verify drive, r13). Group is the stop:
+    # splicing below an aggregation would change grouping cardinality.
+    if isinstance(node, A.Filter):
+        return A.Filter(_join_beneath_projection(node.input, values), node.condition)
+    if isinstance(node, A.Extend):
+        return A.Extend(
+            _join_beneath_projection(node.input, values), node.var, node.expr
+        )
     return A.Join(values, node)
 
 

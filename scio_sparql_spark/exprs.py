@@ -99,7 +99,13 @@ def compile_bool(e, env: Env) -> Column:
         ):
             numl, _, _ = _numeric_parts_of(e.left, env)
             numr, _, _ = _numeric_parts_of(e.right, env)
-            return _OPS[e.op](numl, numr)
+            # Spark orders NaN greatest; XPath says every ordering
+            # comparison involving NaN is FALSE (a real boolean, not a
+            # type error). NULL operands skip the when-branch (isnan of
+            # NULL is NULL) and keep NULL propagation via f().
+            return F.when(
+                F.isnan(numl) | F.isnan(numr), F.lit(False)
+            ).otherwise(_OPS[e.op](numl, numr))
         return _compare(e.op, compile_value(e.left, env), compile_value(e.right, env))
     if isinstance(e, A.EIn):
         arg = compile_value(e.arg, env)
@@ -149,6 +155,12 @@ def _compare(op: str, l: Column, r: Column) -> Column:
     f = _OPS[op]
     numl, numr = num_value(l), num_value(r)
     both_num = numl.isNotNull() & numr.isNotNull()
+    # XPath NaN semantics: any comparison involving NaN is false except
+    # != which is true — Spark instead orders NaN greatest and equates
+    # NaN with NaN, so dispatch NaN explicitly before f()
+    num_res = F.when(
+        F.isnan(numl) | F.isnan(numr), F.lit(op == "!=")
+    ).otherwise(f(numl, numr))
 
     def both_dt(*dts):
         return is_literal(l) & is_literal(r) & l["dt"].isin(*dts) & r["dt"].isin(*dts)
@@ -157,7 +169,7 @@ def _compare(op: str, l: Column, r: Column) -> Column:
         F.coalesce(l["lang"], F.lit("")) == F.coalesce(r["lang"], F.lit(""))
     )
     out = (
-        F.when(both_num, f(numl, numr))
+        F.when(both_num, num_res)
         .when(both_dt(XSD_BOOLEAN), f(l["lex"] == "true", r["lex"] == "true"))
         .when(both_dt(XSD_DATETIME), f(F.to_timestamp(l["lex"]), F.to_timestamp(r["lex"])))
         .when(both_dt(XSD_DATE), f(F.to_date(l["lex"]), F.to_date(r["lex"])))
@@ -195,9 +207,11 @@ def _numeric_parts_of(e, env: Env) -> tuple[Column, Column, Column]:
     from .terms import _EXACT_NUM_RE
 
     if isinstance(e, A.ENumRef):
+        from .terms import num_lex
+
         p = lookup(env, e.name)
         lex = p["lex"]
-        num = lex.cast("double")
+        num = num_lex(lex).cast("double")
         exact = F.when(lex.rlike(_EXACT_NUM_RE), lex.cast("decimal(19,6)"))
         return num, p["lvl"], exact
     t = compile_value(e, env)

@@ -389,7 +389,13 @@ def compile_cast(target_iri: str, args) -> Column:
         from_bool = F.when(
             t["dt"] == XSD_BOOLEAN, F.when(t["lex"] == "true", 1.0).otherwise(0.0)
         )
-        v = F.coalesce(num_value(t), from_bool, F.when(is_literal(t), t["lex"].cast("double")))
+        from ..terms import num_lex
+
+        v = F.coalesce(
+            num_value(t),
+            from_bool,
+            F.when(is_literal(t), num_lex(t["lex"]).cast("double")),
+        )
         if lvl == 0:
             v = v.cast("long").cast("double")
         return make_numeric_term(v, F.lit(lvl))

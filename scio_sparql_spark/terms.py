@@ -234,14 +234,38 @@ def is_bnode(t: Column) -> Column:
     return t["kind"] == KIND_BNODE
 
 
+def num_lex(lex: Column) -> Column:
+    """XSD spells the non-finite doubles ``INF``/``+INF``/``-INF``;
+    Spark's CAST AS DOUBLE wants ``Infinity`` (``NaN`` both accept).
+    Translate before casting so xsd:double non-finite literals carry
+    their value through comparisons/arithmetic instead of silently
+    becoming NULL type errors (ADVICE r12 follow-through — the
+    ``_coerce_binding`` fix emits the XSD spellings, so the engine must
+    read them back). Applied regardless of datatype: INF on an integer
+    literal is malformed either way, and the engine is already lenient
+    about per-datatype lexical validation."""
+    return (
+        F.when((lex == "INF") | (lex == "+INF"), F.lit("Infinity"))
+        .when(lex == "-INF", F.lit("-Infinity"))
+        .otherwise(lex)
+    )
+
+
 def is_numeric(t: Column) -> Column:
-    return is_literal(t) & t["dt"].isin(*NUMERIC_DTS) & t["lex"].cast("double").isNotNull()
+    return (
+        is_literal(t)
+        & t["dt"].isin(*NUMERIC_DTS)
+        & num_lex(t["lex"]).cast("double").isNotNull()
+    )
 
 
 def num_value(t: Column) -> Column:
     """Numeric value as double, NULL if the term is not a valid numeric
     literal (SPARQL type error -> NULL propagates as error/unbound)."""
-    return F.when(is_literal(t) & t["dt"].isin(*NUMERIC_DTS), t["lex"].cast("double"))
+    return F.when(
+        is_literal(t) & t["dt"].isin(*NUMERIC_DTS),
+        num_lex(t["lex"]).cast("double"),
+    )
 
 
 def promotion_level(t: Column) -> Column:
@@ -272,10 +296,19 @@ def format_numeric_lex(value: Column, level: Column) -> Column:
         r"\.$",
         "",
     )
+    # Spark renders non-finite doubles as 'Infinity'/'-Infinity'; XSD
+    # spells them 'INF'/'-INF' (the num_lex inverse, so computed
+    # non-finites round-trip through re-parsing)
+    as_dbl = (
+        F.when(value == F.lit(float("inf")), F.lit("INF"))
+        .when(value == F.lit(float("-inf")), F.lit("-INF"))
+        .when(F.isnan(value), F.lit("NaN"))
+        .otherwise(value.cast("string"))
+    )
     return (
         F.when(level == 0, as_long)
         .when(level == 1, as_dec)
-        .otherwise(value.cast("string"))
+        .otherwise(as_dbl)
     )
 
 
@@ -406,7 +439,7 @@ def ebv(t: Column) -> Column:
     numeric -> value != 0 (NaN -> false); plain/xsd:string -> length > 0;
     anything else -> error (NULL).
     """
-    num = t["lex"].cast("double")
+    num = num_lex(t["lex"]).cast("double")
     return (
         F.when(~is_literal(t), F.lit(None).cast("boolean"))
         .when(t["dt"] == XSD_BOOLEAN, t["lex"] == "true")

@@ -4,6 +4,8 @@ above ORDER BY must preserve ordering; language tags participate in
 keys; Turtle DECIMAL must not swallow the statement dot; FROM over
 multiple graphs is a set union."""
 
+import pytest
+
 from .helpers import assert_bag_equal, num, s, run_sparql
 
 ORD_TTL = """
@@ -258,8 +260,9 @@ def test_iterative_checkpoints_release_superseded_blocks(spark):
     one session — superseded rounds are released eagerly and
     synchronously (see extras/util.release_checkpoint), not left to
     Python GC + the async ContextCleaner. Runs the CC fixpoint
-    (multi-round: a path graph forces O(diameter) rounds, so ~19
-    superseded checkpoints per run would pin without the release) 5x
+    (multi-round: a path graph forces multiple rounds — ~6 with the
+    r13 pointer-doubling shortcut, each leaving a superseded
+    checkpoint that would pin without the release) 5x
     and asserts the session's pinned RDD count does NOT grow run over
     run — the final round's checkpoint of each run may linger until
     GC, so a constant residue is allowed but no linear growth.
@@ -289,3 +292,97 @@ def test_iterative_checkpoints_release_superseded_blocks(spark):
     # without the releases each run pins ~20 round checkpoints (+sym);
     # with them at most the last run's final labels block lingers
     assert counts[-1] <= base + 3, (base, counts)
+
+
+def test_non_finite_bindings_and_filter_scope(spark):
+    """ADVICE r12 item 3 follow-through: plain-float bindings of
+    inf/-inf/nan must reach FILTER conditions as working xsd:double
+    values — which requires (a) _coerce_binding emitting the XSD
+    spellings, (b) num_value translating 'INF'/'-INF' for Spark's
+    cast, (c) the initial-bindings VALUES splicing BELOW filters (a
+    var bound only in the filter was previously unbound there, error-
+    dropping every row), and (d) XPath NaN semantics (every ordering
+    comparison and = involving NaN is false; != is true — Spark alone
+    orders NaN greatest and equates NaN=NaN)."""
+    from scio_sparql_spark import execute_sparql, parse_turtle, quads_df_from_list
+
+    quads = quads_df_from_list(
+        spark, parse_turtle("@prefix : <urn:x:> . :a :p 1 . :b :p 2 .")
+    )
+    q = "PREFIX : <urn:x:> SELECT ?s WHERE { ?s :p ?v . FILTER(?v < ?lim) }"
+    counts = [
+        execute_sparql(quads, q, bindings={"lim": v}).count()
+        for v in (1.5, float("inf"), float("-inf"), float("nan"))
+    ]
+    assert counts == [1, 2, 0, 0], counts
+    qne = "PREFIX : <urn:x:> SELECT ?s WHERE { ?s :p ?v . FILTER(?x != ?x) }"
+    assert execute_sparql(quads, qne, bindings={"x": float("nan")}).count() == 2
+    # a binding consumed only by BIND arithmetic is in scope there too
+    qb = "PREFIX : <urn:x:> SELECT ?w WHERE { ?s :p ?v . BIND(?v + ?off AS ?w) }"
+    got = sorted(
+        r["w"]["lex"]
+        for r in execute_sparql(quads, qb, bindings={"off": 10}).collect()
+    )
+    assert got == ["11", "12"]
+    # computed non-finite doubles render with the XSD spelling
+    qc = (
+        "PREFIX : <urn:x:> "
+        "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> "
+        "SELECT ?r WHERE { ?s :p ?v . "
+        'BIND(xsd:double("INF") AS ?r) } LIMIT 1'
+    )
+    r = execute_sparql(quads, qc).collect()[0]["r"]
+    assert r["lex"] == "INF", r
+
+
+def test_interrupted_fixpoint_releases_blocks_and_session_survives(
+    spark, monkeypatch
+):
+    """VERDICT r12 next #8: a fixpoint cancelled MID-ROUND (here: the
+    round's materialization barrier raises, exactly where a job cancel
+    or executor failure surfaces) must not strand its pinned
+    checkpoint blocks — 5 interrupted runs may not grow the session's
+    pinned RDD count, and a clean run afterwards must still produce
+    correct labels. Locks the except-path releases in
+    connected_components (extras/dedup.py)."""
+    from scio_sparql_spark.extras import dedup
+
+    sc = spark.sparkContext
+
+    def pinned():
+        return len(sc._jsc.sc().getRDDStorageInfo())
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(31)], ["id_a", "id_b"]
+    )
+    cls = type(edges)
+    orig = cls.localCheckpoint
+    calls = {"n": 0}
+
+    def boom(self, eager=True):
+        calls["n"] += 1
+        # call 1 = sym, 2 = initial labels, 3 = round-1 result; dying
+        # on call 4 is a genuine mid-round-2 failure with two live
+        # checkpoints (sym + round-1 labels) at stake
+        if calls["n"] == 4:
+            raise RuntimeError("injected mid-round cancel")
+        return orig(self, eager=eager)
+
+    base = pinned()
+    monkeypatch.setattr(cls, "localCheckpoint", boom)
+    try:
+        counts = []
+        for _ in range(5):
+            calls["n"] = 0
+            with pytest.raises(RuntimeError, match="injected"):
+                dedup.connected_components(edges).collect()
+            counts.append(pinned())
+    finally:
+        monkeypatch.setattr(cls, "localCheckpoint", orig)
+    assert counts[-1] <= base + 3, (base, counts)
+    # the session is still usable and correct after the interruptions
+    labels = {
+        r["node"]: r["label"]
+        for r in dedup.connected_components(edges).collect()
+    }
+    assert labels == {i: 0 for i in range(32)}
