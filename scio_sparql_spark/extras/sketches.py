@@ -328,6 +328,40 @@ def histogram_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     )
 
 
+def cms_store_merge(spark, paths: list) -> DataFrame:
+    """Merge-read persisted CMS grids (one parquet dir per split/day,
+    written with the same depth x width): cell-wise sum across every
+    split — exactly the grid of the concatenated inputs, the N-way
+    form of cms_merge. The per-day-sketch workflow's read side: grids
+    are kilobytes, so the merge touches sketch rows only, never the
+    corpora that produced them (VERDICT r12 next #4)."""
+    return (
+        spark.read.parquet(*paths)
+        .groupBy("d", "cell")
+        .agg(F.sum("c").alias("c"))
+    )
+
+
+def kmv_store_merge(spark, paths: list, k: int = 64) -> DataFrame:
+    """Merge-read persisted KMV sketches (same k): union, re-distinct
+    (an element present in several splits collapses to one hash), keep
+    the k smallest per key — identical to sketching the concatenated
+    inputs (kmv_merge's lemma, N-way)."""
+    u = spark.read.parquet(*paths).distinct()
+    rn = F.row_number().over(Window.partitionBy("key").orderBy("h"))
+    return u.withColumn("__rn", rn).filter(F.col("__rn") <= k).drop("__rn")
+
+
+def histogram_store_merge(spark, paths: list) -> DataFrame:
+    """Merge-read persisted log-histogram grids (same sub_bits):
+    cell-wise sum, the N-way histogram_merge."""
+    return (
+        spark.read.parquet(*paths)
+        .groupBy("key", "shift", "prefix")
+        .agg(F.sum("c").alias("c"))
+    )
+
+
 def histogram_quantiles(
     sketch: DataFrame,
     percentiles: tuple = (50, 90, 99),

@@ -47,6 +47,133 @@ def streaming_exact_dedup(
     return out.drop("__h")
 
 
+def minhash_band_claims(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    extra_cols: tuple = (),
+) -> DataFrame:
+    """(id, band, bucket) MinHash LSH band keys, computed MAP-ONLY per
+    row — the streaming-compatible twin of extras.dedup's banding
+    (VERDICT r12 next #3). The batch path builds signatures with an
+    explode + groupBy (codegen partial aggregation, the fast shape for
+    a scan); a stream can't shuffle-aggregate BEFORE its stateful
+    dedup, so here the whole signature is per-row higher-order-function
+    work: shingle -> md5 -> per-hash seeded md5 minima -> band key.
+    HOFs evaluate interpreted, which is the price of shuffle-freedom —
+    acceptable at ingest because each arriving document is touched
+    exactly once.
+
+    md5 instead of the batch path's xxhash64 on purpose: the md5-prefix
+    integer recipe (sketches.cms_cell) is exactly replicable in DuckDB
+    (('0x' || substr(md5(s), 1, 15))::BIGINT), so the claim-key set is
+    hash-gateable end to end. The shingle list is md5'd ONCE into a
+    barrier-fenced column — without the fence CollapseProject would
+    inline the shingle derivation into all ``num_hashes`` minima and
+    re-evaluate it per hash (the duplicated-HOF anti-pattern the plan
+    sweep hunts)."""
+    from ..extras.dedup import token_ngrams
+    from ..terms import optimizer_barrier
+
+    if num_hashes % bands:
+        raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
+    rows = num_hashes // bands
+    base = optimizer_barrier(
+        F.transform(
+            F.array_distinct(token_ngrams(F.col(text_col), n)),
+            lambda g: F.md5(g),
+        )
+    )
+    df = docs.withColumn("__mh_base", base).filter(F.size("__mh_base") > 0)
+
+    def h(i: int):
+        # 60-bit integer from the seeded md5 prefix of the 32-char hex
+        # base hash — each h(i) walks fixed-width strings, not the
+        # variable-length shingles (same re-hash trick as the batch
+        # minhash_signatures)
+        return F.array_min(
+            F.transform(
+                F.col("__mh_base"),
+                lambda b: F.conv(
+                    F.substring(F.md5(F.concat(F.lit(f"{i}:"), b)), 1, 15),
+                    16,
+                    10,
+                ).cast("long"),
+            )
+        )
+
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                ",", *[h(b * rows + j).cast("string") for j in range(rows)]
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    return df.select(
+        F.col(id_col),
+        *[F.col(c) for c in extra_cols],
+        F.explode(F.array(*band_structs)).alias("__bk"),
+    ).select(
+        id_col, *extra_cols,
+        F.col("__bk.band").alias("band"),
+        F.col("__bk.bucket").alias("bucket"),
+    )
+
+
+def streaming_minhash_neardup(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 8,
+    n: int = 3,
+    watermark: str | None = "10 minutes",
+    ts_col: str = "ts",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Ingest-time near-dup filter: first-claim-wins on MinHash band
+    buckets. Returns the surviving CLAIM rows (id, band, bucket) — a
+    document is a near-duplicate of earlier stream content iff any of
+    its band keys was already claimed, i.e. it survives iff all
+    ``bands`` of its claim rows come back. WHICH document claims a
+    contested bucket is arrival-order-dependent (as in any greedy
+    dedup); the claimed KEY SET is not, which is what the gated entry
+    projects (same move as stream_dedup_exact's surviving-digest set).
+
+    100-TB notes: state is one row per distinct (band, bucket) inside
+    the watermark horizon — ~``bands`` keys of a few dozen bytes per
+    distinct document, never text or signatures. The watermarked form
+    (dropDuplicatesWithinWatermark) bounds it; a late-arriving
+    near-dup then passes through, the same at-least-once tradeoff the
+    exact streaming dedup documents, squeezed by a terminal batch LSH
+    pass."""
+    extra = (ts_col,) if watermark is not None else ()
+    claims = minhash_band_claims(
+        docs, num_hashes, bands, n, text_col, id_col, extra_cols=extra
+    )
+    if watermark is not None:
+        return claims.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            ["band", "bucket"]
+        )
+    return claims.dropDuplicates(["band", "bucket"])
+
+
+def neardup_survivors(claims: DataFrame, bands: int = 8, id_col: str = "doc_id") -> DataFrame:
+    """Post-pass over surviving claim rows -> ids that won ALL their
+    bands (the kept documents). Batch-composable (run it on the sink
+    table) or chain it as a streaming agg with a watermark."""
+    return (
+        claims.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("__won"))
+        .filter(F.col("__won") == bands)
+        .select(id_col)
+    )
+
+
 def streaming_dedup_from_path(
     spark,
     path: str,

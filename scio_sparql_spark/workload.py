@@ -935,6 +935,125 @@ def _events_quantiles_histogram_oracle_sql() -> str:
        FROM cum GROUP BY event_type"""
 
 
+def q_corpus_sketch_store(spark, sf_dir):
+    """Persisted-sketch incremental workflow (r13, VERDICT r12 next
+    #4): the corpus is split 3 ways (doc_id % 3 — standing in for 3
+    ingest days), each split builds its OWN Count-Min grid, KMV sketch
+    and log-histogram, each is WRITTEN to parquet, and a second pass
+    merge-READS the persisted sketches (cms/kmv/histogram_store_merge).
+    The DuckDB oracle builds the same three sketches from the WHOLE
+    corpus in one pass, so the hash gate proves merged == whole — the
+    pytest merge lemma promoted to driver-hash evidence of the
+    per-day-sketch workflow (dedup_incremental's store pattern, sketch
+    flavored). Output is one tall (family, k1, k2, v) frame:
+    cms rows (d, cell) -> count, kmv rows (lang, rank) -> hash,
+    histogram rows (lang, shift:prefix) -> count.
+
+    100-TB shape: each day scans only its own ingest; the merge pass
+    reads KILOBYTES of sketch rows per day regardless of corpus size.
+    """
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    docs = _table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text", F.col("n_chars").cast("bigint").alias("n_chars")
+    )
+    app_id = spark.sparkContext.applicationId
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"scio_sketch_store_{os.path.abspath(sf_dir).strip('/').replace('/', '_')}_{app_id}",
+    )
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    paths = {"cms": [], "kmv": [], "hist": []}
+    for i in range(3):
+        split = docs.filter(F.col("doc_id") % 3 == i)
+        toks = split.select(
+            F.explode(dedup.token_ngrams(F.col("text"), 1)).alias("w")
+        )
+        for fam, sk in (
+            ("cms", sketches.cms_sketch(toks, "w", depth=4, width=512)),
+            ("kmv", sketches.kmv_sketch(split, "lang", "text", k=64)),
+            ("hist", sketches.value_histogram_sketch(split, "lang", "n_chars")),
+        ):
+            p = os.path.join(root, f"split{i}", fam)
+            sk.write.mode("overwrite").parquet(p)
+            paths[fam].append(p)
+    from pyspark.sql import Window
+
+    cms_m = sketches.cms_store_merge(spark, paths["cms"])
+    kmv_m = sketches.kmv_store_merge(spark, paths["kmv"], k=64)
+    rn = F.row_number().over(Window.partitionBy("key").orderBy("h"))
+    hist_m = sketches.histogram_store_merge(spark, paths["hist"])
+    return (
+        cms_m.select(
+            F.lit("cms").alias("family"),
+            F.col("d").cast("string").alias("k1"),
+            F.col("cell").cast("string").alias("k2"),
+            F.col("c").cast("bigint").alias("v"),
+        )
+        .unionByName(
+            kmv_m.withColumn("rn", rn).select(
+                F.lit("kmv").alias("family"),
+                F.col("key").alias("k1"),
+                F.col("rn").cast("string").alias("k2"),
+                F.col("h").cast("bigint").alias("v"),
+            )
+        )
+        .unionByName(
+            hist_m.select(
+                F.lit("hist").alias("family"),
+                F.col("key").alias("k1"),
+                F.concat_ws(
+                    ":",
+                    F.col("shift").cast("string"),
+                    F.col("prefix").cast("string"),
+                ).alias("k2"),
+                F.col("c").cast("bigint").alias("v"),
+            )
+        )
+    )
+
+
+def _sketch_store_oracle_sql() -> str:
+    """Whole-corpus construction of the same three sketches — equality
+    with the split-write-merge-read Spark side IS the merge proof."""
+    return f"""WITH tok AS (SELECT unnest({_TOKS}) AS w FROM documents),
+    dd AS (SELECT unnest([0, 1, 2, 3]) AS d),
+    cells AS (SELECT dd.d AS d,
+                     ('0x' || substr(md5(CAST(dd.d AS VARCHAR) || ':' || w),
+                                     1, 15))::BIGINT % 512 AS cell,
+                     COUNT(*) AS c
+              FROM tok, dd GROUP BY 1, 2),
+    kh AS (SELECT DISTINCT lang,
+                  ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+           FROM documents WHERE text IS NOT NULL),
+    kr AS (SELECT lang, h,
+                  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rn
+           FROM kh),
+    hb AS (SELECT lang,
+                  greatest(length(printf('%b', n_chars)) - 1 - 4, 0) AS shift,
+                  n_chars // CAST(power(2,
+                    greatest(length(printf('%b', n_chars)) - 1 - 4, 0))
+                    AS BIGINT) AS prefix,
+                  COUNT(*) AS c
+           FROM documents
+           WHERE n_chars IS NOT NULL AND n_chars >= 0
+           GROUP BY 1, 2, 3)
+    SELECT 'cms' AS family, CAST(d AS VARCHAR) AS k1,
+           CAST(cell AS VARCHAR) AS k2, CAST(c AS BIGINT) AS v
+    FROM cells
+    UNION ALL
+    SELECT 'kmv', lang, CAST(rn AS VARCHAR), CAST(h AS BIGINT)
+    FROM kr WHERE rn <= 64
+    UNION ALL
+    SELECT 'hist', lang,
+           CAST(shift AS VARCHAR) || ':' || CAST(prefix AS VARCHAR),
+           CAST(c AS BIGINT)
+    FROM hb"""
+
+
 def q_graph_triangles(spark, sf_dir):
     """Per-node triangle counts (r12 catalog slot for the r11 operator;
     VERDICT r11 missing #4) over the part co-order graph: parts are
@@ -1677,6 +1796,59 @@ def q_stream_dedup_exact(spark, sf_dir):
         streaming_exact_dedup(stream, watermark=None), shuffle_partitions=8
     )
     return out.select(F.md5("text").alias("digest")).distinct()
+
+
+def q_stream_dedup_neardup(spark, sf_dir):
+    """Streaming MinHash-band near-dup over the documents corpus
+    (VERDICT r12 next #3): map-only md5-minhash band keys feed
+    first-claim-wins dropDuplicates state; projected to the
+    arrival-order-independent part of the answer — the claimed
+    (band, bucket) KEY SET (which doc wins a contested bucket is
+    first-seen, exactly like stream_dedup_exact's digest set).
+    Unbounded-state variant for the bounded replay; production uses
+    the watermarked form (streaming/dedup.py
+    streaming_minhash_neardup)."""
+    from .streaming.dedup import streaming_minhash_neardup
+
+    path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    stream = stream_parquet(spark, path, schema)
+    out = run_bounded(
+        streaming_minhash_neardup(stream, watermark=None),
+        shuffle_partitions=8,
+    )
+    return out.select(
+        F.col("band").cast("int").alias("band"), "bucket"
+    ).distinct()
+
+
+def _stream_neardup_oracle_sql(num_hashes: int = 16, bands: int = 8) -> str:
+    """The claimed band-key set is order-independent: it is exactly the
+    DISTINCT band keys of the corpus, so DuckDB replays the per-row
+    md5-minhash derivation (cms_cell's 60-bit md5-prefix recipe) over
+    the same 3-token shingles and takes DISTINCT (band, bucket)."""
+    rows = num_hashes // bands
+    key = "||','||".join(
+        f"CAST(sg[{{b}}*{rows} + {j + 1}] AS VARCHAR)" for j in range(rows)
+    )
+    return f"""WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    s AS (SELECT doc_id,
+                 list_distinct(list_transform(
+                   generate_series(1, len(toks) - 2),
+                   i -> array_to_string(toks[i:i+2], ' '))) AS sh
+          FROM t),
+    base AS (SELECT doc_id, list_transform(sh, g -> md5(g)) AS bs
+             FROM s WHERE len(sh) > 0),
+    sig AS (SELECT doc_id,
+                   list_transform(range({num_hashes}),
+                     i -> list_min(list_transform(bs,
+                       b -> ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || b),
+                                            1, 15))::BIGINT))) AS sg
+            FROM base),
+    claims AS (SELECT DISTINCT bb.b AS band,
+                      {key.format(b="bb.b")} AS bucket
+               FROM sig, (SELECT unnest(range({bands})) AS b) bb)
+    SELECT CAST(band AS INT) AS band, bucket FROM claims"""
 
 
 def q_events_sessions(spark, sf_dir):
@@ -2794,6 +2966,9 @@ EXTRA_QUERIES = {
         _cms_bounded_oracle_sql(),
     ),
     "graph_triangles": (q_graph_triangles, _triangles_oracle_sql()),
+    # r13: persisted-sketch incremental workflow — per-split write,
+    # merge-read, hash-gated merged == whole (VERDICT r12 next #4)
+    "corpus_sketch_store": (q_corpus_sketch_store, _sketch_store_oracle_sql()),
     "dedup_containment": (q_dedup_containment, _containment_oracle_sql()),
     "ann_rerank_topk": (q_ann_rerank_topk, _ann_rerank_oracle_sql()),
     "text_pmi_bigrams": (q_text_pmi_bigrams, _pmi_oracle_sql()),
@@ -2936,6 +3111,12 @@ EXTRA_QUERIES = {
     "stream_dedup_exact": (
         q_stream_dedup_exact,
         "SELECT DISTINCT md5(text) AS digest FROM documents",
+    ),
+    # streaming MinHash-band near-dup: the claimed band-key set of the
+    # first-claim-wins dropDuplicates state (r13, VERDICT r12 next #3)
+    "stream_dedup_neardup": (
+        q_stream_dedup_neardup,
+        _stream_neardup_oracle_sql(),
     ),
     "events_asof": (
         q_events_asof,
@@ -3511,7 +3692,7 @@ CATALOG_RETIRED = {
     "sparql_reduced": "sparql_distinct (same dedup lowering)",
     "sparql_describe": "sparql_construct (same template machinery)",
     "sparql_count_empty": "sparql_agg_count (same aggregate lowering)",
-    "sparql_singleton": "sparql_bgp_join (same BGP machinery)",
+    "sparql_singleton": "sparql_q3_shaped (same BGP machinery, via sparql_bgp_join r13)",
     # r10: the 26-merge native-chain demo entry hands its driver gate to
     # the production path — text_bpe_tokens_1k drives the SAME sanitize/
     # segmentation semantics through bpe_token_count_arrow, and the
@@ -3595,6 +3776,23 @@ CATALOG_RETIRED = {
     # (both stages hash-gated). The standalone form stays benched in
     # bench.py and pytest-locked against the Python reference.
     "ann_int8_topk": "ann_rerank_topk (stage 1 is the same int8 dot, oracle-replicated)",
+    # r13: freshness slots for stream_dedup_neardup, corpus_sketch_store
+    # and the codec-upgraded multimodal_features re-gate.
+    # sparql_q3_shaped's 3-table BGP chain + constant-object pattern +
+    # grouped COUNT/SUM is a strict superset of both the 2-table BGP
+    # join (same StatementPattern scans, same assured-var equi-join
+    # lowering, one more chain hop) and the plain grouped SUM (same
+    # §2.4 SUM over the identical lineitem l_quantity column, same
+    # XPath promotion, alongside COUNT in the same single .agg).
+    "sparql_bgp_join": "sparql_q3_shaped (same BGP scan+join lowering, 3-table chain)",
+    "sparql_agg_sum": "sparql_q3_shaped (same grouped SUM over l_quantity)",
+    # The bounded-candidate probe runs the identical cms_sketch build,
+    # cms_estimate probe and grid-derived total; the ONLY code unique
+    # to the unbounded entry is the exhaustive toks.distinct()
+    # enumeration — the vocabulary-keyed-shuffle anti-pattern the
+    # bounded entry exists to replace (its own docstring says so), not
+    # machinery worth a driver slot. cms_merge stays pytest-locked.
+    "corpus_heavy_hitters_cms": "corpus_heavy_hitters_cms_bounded (same build+probe)",
 }
 
 CATALOG_FRONT = [

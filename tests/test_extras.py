@@ -483,6 +483,46 @@ def test_streaming_exact_dedup(spark, tmp_path):
     assert len([r for r in out if r["text"] == "alpha text"]) == 1
 
 
+def test_streaming_minhash_neardup_matches_batch(spark, tmp_path):
+    """streaming==batch for the MinHash-band near-dup (r13, VERDICT r12
+    next #3): the availableNow execution of the first-claim-wins
+    dropDuplicates state must produce (a) the same claimed band-key SET
+    as the batch execution of the identical plan, and (b) near-dup
+    semantics — a doc sharing >=1 band with earlier content loses at
+    least one claim, an unrelated doc wins all its bands."""
+    from scio_sparql_spark.streaming.bounded import run_bounded, stream_parquet
+    from scio_sparql_spark.streaming.dedup import (
+        minhash_band_claims,
+        neardup_survivors,
+        streaming_minhash_neardup,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = base + " tail"  # shares most shingles -> shares bands
+    other = "completely different words with no overlap at all here now"
+    rows = [(0, base), (1, near), (2, other)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    src = str(tmp_path / "neardup_parquet")
+    df.write.parquet(src)
+    stream = stream_parquet(spark, src, df.schema)
+    out = run_bounded(
+        streaming_minhash_neardup(stream, watermark=None), shuffle_partitions=4
+    )
+    got_keys = {(r["band"], r["bucket"]) for r in out.select("band", "bucket").collect()}
+    batch_keys = {
+        (r["band"], r["bucket"])
+        for r in minhash_band_claims(df)
+        .dropDuplicates(["band", "bucket"])
+        .collect()
+    }
+    assert got_keys == batch_keys
+    # claim accounting: 'other' shares no shingles so wins all 8 bands;
+    # of the base/near pair exactly one is dropped (loses >= 1 band)
+    survivors = {r["doc_id"] for r in neardup_survivors(out).collect()}
+    assert 2 in survivors
+    assert len(survivors & {0, 1}) == 1, survivors
+
+
 def test_run_bounded_matches_batch(spark, tmp_path):
     # run_bounded drives the streaming plan to completion and hands back
     # a batch DataFrame equal to the batch-mode answer of the same logic
