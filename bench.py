@@ -174,6 +174,11 @@ BENCH_QUERIES = [
     "corpus_heavy_hitters_cms_bounded",
     "graph_triangles",
     "events_quantiles_histogram",
+    # new in r13 (appended; prior-round common comparisons unchanged):
+    # streaming MinHash-band near-dup (first-claim-wins band-key state)
+    # and the persisted-sketch split-write/merge-read workflow
+    "stream_dedup_neardup",
+    "corpus_sketch_store",
 ]
 
 

@@ -1734,8 +1734,39 @@ def q_ann_ivf_topk(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
-    media = multimodal.docs_as_media(_table(spark, sf_dir, "documents"))
-    return multimodal.extract_features(media).select("media_id", "n_bytes", "head_hex")
+    """REAL pixel statistics through the pure-Python PPM codec (r13,
+    VERDICT r12 missing #1 — upgraded from byte stats): documents ->
+    deterministic md5-derived P6 payloads (built natively with
+    concat/unhex), then extract_image_features actually PARSES each
+    payload in the Arrow batch stage (header tokenizer + body-length
+    validation; malformed rows drop) and numpy-sums the channels.
+    The oracle rebuilds the identical pixel bytes from the same md5
+    hex strings and sums them with list arithmetic — real decode
+    output, hash-gated."""
+    media = multimodal.ppm_from_docs(_table(spark, sf_dir, "documents"))
+    return multimodal.extract_image_features(media)
+
+
+def _multimodal_features_oracle_sql(width: int = 8, height: int = 8) -> str:
+    n_md5 = (3 * width * height + 15) // 16
+    hexcat = " || ".join(f"md5(text || ':{k}')" for k in range(n_md5))
+    n_px = width * height
+
+    def chan(off: int) -> str:
+        # pixel i's channel byte at hex offset 6*i + 2*off + 1 (1-based)
+        return (
+            f"list_sum(list_transform(generate_series(0, {n_px - 1}), "
+            f"i -> ('0x' || substr(h, 6*i + {2 * off + 1}, 2))::BIGINT))"
+        )
+
+    return f"""WITH hx AS (SELECT doc_id, {hexcat} AS h
+                     FROM documents WHERE text IS NOT NULL)
+    SELECT doc_id AS media_id,
+           CAST({width} AS INT) AS width, CAST({height} AS INT) AS height,
+           CAST({chan(0)} AS BIGINT) AS r_sum,
+           CAST({chan(1)} AS BIGINT) AS g_sum,
+           CAST({chan(2)} AS BIGINT) AS b_sum
+    FROM hx"""
 
 
 def q_multimodal_frames(spark, sf_dir):
@@ -3077,10 +3108,7 @@ EXTRA_QUERIES = {
     ),
     "multimodal_features": (
         q_multimodal_features,
-        """SELECT doc_id AS media_id,
-                  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-                  lower(substr(hex(encode(text)), 1, 8)) AS head_hex
-           FROM documents""",
+        _multimodal_features_oracle_sql(),
     ),
     "multimodal_frames": (
         q_multimodal_frames,
@@ -3796,77 +3824,73 @@ CATALOG_RETIRED = {
 }
 
 CATALOG_FRONT = [
-    # --- r12 window (exactly 50 — the driver checks the FIRST 50) ------
-    # Rotation ledger (evidence age at the END of r11, from the
-    # CORRECTNESS_r{09,10,11}.json keys): the catalog had 100 actives;
-    # the 50 in the r11 window hold r11 driver rows; the other 50 hold
-    # r10 rows except the 4 the r11 ledger displaced to r12 with
-    # in-window sibling arguments (sparql_agg_count, sparql_bind,
-    # sparql_path_seq: last=r9; rdf_egress_turtle: last=r9).
-    # This window: the 3 NEW r12 operators first/in-place (their
-    # active slots come from the three r12 retirements recorded in
-    # CATALOG_RETIRED — events_session_windows and events_running_total
-    # were themselves due this window, and ann_int8_topk hands its due
-    # slot to events_quantiles_histogram in place — so the remaining
-    # 47 pending actives + 3 new = exactly 50 and nobody is displaced),
-    # then the 4 r9-displaced, then the last=r10 actives. After this
-    # window every active entry's driver evidence is r11 or r12 — the
-    # 2-round policy holds with zero exceptions.
-    "corpus_heavy_hitters_cms_bounded",
-    "graph_triangles",
-    # --- displaced from r11 (last=r9) -----------------------------------
-    "sparql_agg_count",
-    "sparql_bind",
-    "sparql_path_seq",
-    "rdf_egress_turtle",
-    # --- the last=r10 actives (43: 50 not-in-r11 minus the 4 r9 rows
-    # just listed minus the 3 retired — events_session_windows,
-    # events_running_total, ann_int8_topk) plus the third NEW entry,
-    # events_quantiles_histogram, standing in ann_int8_topk's slot ----
-    "events_quantiles_histogram",
-    "corpus_top_ngrams",
-    "dedup_bloom_contamination",
-    "dedup_incremental",
-    "dedup_minhash_verified",
-    "dedup_normalized",
-    "docs_bucketed_join",
-    "docs_clean_pipeline",
-    "docs_filter_funnel",
-    "docs_gopher_filter",
-    "docs_jsonl_roundtrip",
-    "docs_pack_bpe",
-    "docs_pack_sequences",
-    "embed_gram",
-    "embed_random_projection",
-    "embed_semdedup",
-    "events_asof",
-    "events_pivot",
-    "events_rollup",
-    "events_sessions",
-    "graph_pagerank",
+    # --- r13 window (exactly 50 — the driver checks the FIRST 50) ------
+    # Rotation ledger (evidence age at the END of r12, from the
+    # CORRECTNESS_r{11,12}.json keys): 100 actives; the 50 in the r12
+    # window hold r12 rows, the other 50 hold r11 rows and are ALL due
+    # now. Three of the due 50 are retired this round with
+    # strict-superset-sibling arguments (see CATALOG_RETIRED r13 block:
+    # corpus_heavy_hitters_cms -> cms_bounded, sparql_bgp_join and
+    # sparql_agg_sum -> sparql_q3_shaped), so the due set is 47. Their
+    # three freed slots go to the two NEW r13 entries
+    # (stream_dedup_neardup, corpus_sketch_store) and to
+    # multimodal_features — r12-green but REWRITTEN this round (real
+    # PPM pixel stats replaced the byte-stat stub, new schema + oracle),
+    # so its r12 evidence describes code that no longer exists and it
+    # re-gates now rather than riding the 2-round policy. 47 + 3 = 50,
+    # nobody is displaced, and after this window every active entry's
+    # evidence is r12 or r13.
+    "stream_dedup_neardup",
+    "corpus_sketch_store",
     "multimodal_features",
-    "retrieval_bm25",
-    "retrieval_term_stats",
-    "sparql_agg_expr",
-    "sparql_distinct",
-    "sparql_exists",
-    "sparql_offset_limit",
-    "sparql_path_alt",
-    "sparql_path_star",
-    "sparql_q3_shaped",
-    "sparql_topk",
-    "sparql_update_roundtrip",
-    "sparql_values_undef",
-    "stream_dedup_exact",
-    "stream_session_windows",
-    "stream_sparql_select",
-    "stream_stateful_sessions",
-    "text_bpe_tokens_1k",
-    "text_classifier_score",
-    "text_langid",
-    "text_lm_score",
-    "text_quality",
-    "text_repetition",
+    # --- the 47 due actives (last=r11) ---------------------------------
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "ann_rerank_topk",
+    "corpus_cardinality_kmv",
+    "dedup_clusters",
+    "dedup_containment",
+    "dedup_cross_corpus",
+    "dedup_simhash_check",
+    "dedup_span_removal",
+    "doc_chunks",
+    "docs_topk_per_source",
+    "embed_kmeans",
+    "embed_perceptron",
+    "events_funnel",
+    "events_props",
+    "events_quantiles",
+    "rdf_egress_jsonld",
+    "sample_stratified",
+    "sparql_agg_avg",
+    "sparql_agg_minmax",
+    "sparql_ask",
+    "sparql_bind_exists",
+    "sparql_bindings",
+    "sparql_construct",
+    "sparql_custom_function",
+    "sparql_filter",
+    "sparql_from_graph",
+    "sparql_graph",
+    "sparql_group_by_expr",
+    "sparql_group_concat",
+    "sparql_having",
+    "sparql_minus",
+    "sparql_not_exists",
+    "sparql_optional",
+    "sparql_path_inv",
+    "sparql_path_negated",
+    "sparql_path_zero_or_one",
+    "sparql_property_table",
+    "sparql_quads_roundtrip",
+    "sparql_sample",
+    "sparql_subselect",
+    "sparql_union",
+    "sparql_union_default_graph",
+    "stream_interval_join",
+    "stream_windowed_counts",
+    "text_pii",
+    "text_pmi_bigrams",
 ]
 
 
