@@ -901,7 +901,12 @@ def q_events_quantiles_histogram(spark, sf_dir):
         F.col("event_type"),
         F.round(F.col("value") * 1000000).cast("bigint").alias("vm"),
     )
-    sk = sketches.value_histogram_sketch(ev_t, "event_type", "vm", sub_bits=4)
+    # negatives='drop' is the EXPLICIT opt-in (r13: the silent default
+    # is gone — unsigned sketches now raise on negatives); the oracle
+    # filters vm >= 0 identically, so the gate hash is unchanged.
+    sk = sketches.value_histogram_sketch(
+        ev_t, "event_type", "vm", sub_bits=4, negatives="drop"
+    )
     return sketches.histogram_quantiles(sk, (50, 90, 99), key_col="event_type")
 
 
