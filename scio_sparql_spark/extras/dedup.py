@@ -655,16 +655,26 @@ def connected_components(
                     F.col("label"), F.coalesce("nbr_label", F.col("label"))
                 ).alias("hlabel"),
             )
-            # pointer doubling: adopt L_prev(hlabel) — `labels` is the
-            # PREVIOUS round's checkpointed table, so the lookup side
-            # costs no recompute and `hop` appears exactly once in the
-            # plan
-            short = labels.select(
-                F.col("node").alias("hlabel"), F.col("label").alias("slabel")
-            )
-            new = (
-                hop.join(short, on="hlabel", how="left")
-                .select(
+            if rounds == 1:
+                # round 1's shortcut is provably a no-op (the previous
+                # label table is the identity, L_0(m) = m) — skip the
+                # join entirely; shallow dedup graphs converge in 2-3
+                # rounds, so a wasted round-1 join would eat most of
+                # the doubling's win there
+                merged = hop.select(
+                    "node",
+                    F.col("hlabel").alias("label"),
+                    (F.col("hlabel") < F.col("old")).alias("__changed"),
+                )
+            else:
+                # pointer doubling: adopt L_prev(hlabel) — `labels` is
+                # the PREVIOUS round's checkpointed table, so the
+                # lookup side costs no recompute and `hop` appears
+                # exactly once in the plan
+                short = labels.select(
+                    F.col("node").alias("hlabel"), F.col("label").alias("slabel")
+                )
+                merged = hop.join(short, on="hlabel", how="left").select(
                     "node",
                     F.least(
                         F.col("hlabel"), F.coalesce("slabel", F.col("hlabel"))
@@ -676,8 +686,7 @@ def connected_components(
                         < F.col("old")
                     ).alias("__changed"),
                 )
-                .localCheckpoint(eager=True)
-            )
+            new = merged.localCheckpoint(eager=True)
             # the eager checkpoint just consumed the previous round's
             # label blocks (labels AND frontier both project from
             # prev_ck) — free them; the final round's checkpoint stays
