@@ -1,0 +1,116 @@
+"""Scale-curve measurement (VERDICT r12 next #2): the ~12
+scale-critical entries at the driver's sf0.1 vs the derived sf1
+(tools/make_scale_data.py, 10x decorrelated copies), recording
+observed growth against each plan's PREDICTED bound. The claims in
+the operator docstrings ("bucketed, never all-pairs", "constant
+state") are argued from plan shape; this measures them.
+
+Writes BENCH_SCALE.json. Run on an otherwise-idle box — foreign_pct
+(co-tenant CPU share, bench.py's detector) is recorded per
+measurement so a contaminated ratio is visible in the artifact.
+
+Usage: python tools/bench_scale.py [out.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import SparkSession
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402  (reuses _cpu_stat/_tree_cpu_jiffies)
+from scio_sparql_spark import workload  # noqa: E402
+
+SF01 = "/root/testdata/sf0.1"
+SF1 = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scale_data/sf1")
+
+# entry -> the plan's predicted growth for a 10x input, from the
+# operator's own scale argument (VERDICT r12 §"100-TB design" table)
+PREDICTED = {
+    "dedup_minhash_verified": "~10x: banding bounds candidates; signature build + bucket join linear in docs",
+    "dedup_containment": "~10x: asymmetric prefix filter bounds candidates at prefix_df*df, not df^2",
+    "dedup_clusters": "~10x: inverted-index pairs linear-ish in postings; CC now O(log d) rounds",
+    "embed_semdedup": "superlinear within clusters (k fixed -> cluster size 10x, Q@Qt quadratic per cluster) but capped by the oversize-cluster split",
+    "embed_kmeans": "~10x: broadcast-literal assignment + one groupBy per Lloyd round, all linear",
+    "corpus_heavy_hitters_cms_bounded": "~10x: one corpus scan into a constant-size grid; probe side constant. rows=0 at sf1 is SEMANTICALLY CORRECT: decorrelation splits each heavy hitter into 10 rotated tokens, each ~1/10 its share, so none clears the >=1%-of-corpus gate (DuckDB-verified: max sf1 token share 0.34%)",
+    "corpus_cardinality_kmv": "~10x: hash projection + distinct; k-bounded per-key state",
+    "events_quantiles_histogram": "~10x: one partial-agg scan into a constant bucket grid",
+    "graph_triangles": "~10x: 10 disjoint graph copies; wedge work O(m^1.5) holds within each copy",
+    "retrieval_bm25": "~10x: map-side term filter then linear stats",
+    "stream_dedup_neardup": "~10x: per-row map-only signature; state one row per distinct band key",
+    "corpus_sketch_store": "~10x: 3 per-split scans; merge pass reads kilobytes of sketch rows",
+}
+
+
+def main():
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_SCALE.json"
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("scio_sparql_spark-bench-scale")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = workload.build_queries()
+
+    def timed(fn, reps=2):
+        times = []
+        t_a, s_a, w_a, b_a = bench._cpu_stat()
+        tree_a = bench._tree_cpu_jiffies()
+        n = 0
+        for _ in range(reps):
+            t0 = time.time()
+            n = fn()
+            times.append(time.time() - t0)
+        t_b, s_b, w_b, b_b = bench._cpu_stat()
+        tree_b = bench._tree_cpu_jiffies()
+        dtot = max(1, t_b - t_a)
+        fpct = 100.0 * max(0, (b_b - b_a) - (tree_b - tree_a)) / dtot
+        return min(times), n, round(fpct, 2)
+
+    results = {}
+    for name in PREDICTED:
+        fn = qs[name]
+        row = {}
+        # warm-up at the small scale absorbs this entry's codegen/JIT
+        try:
+            fn(spark, SF01).count()
+            for key, sf_dir in (("sf0.1", SF01), ("sf1", SF1)):
+                sec, n, fpct = timed(lambda: fn(spark, sf_dir).count())
+                row[key] = {"sec": round(sec, 3), "rows": n, "foreign_pct": fpct}
+            row["ratio"] = round(row["sf1"]["sec"] / max(row["sf0.1"]["sec"], 1e-9), 2)
+            row["predicted"] = PREDICTED[name]
+        except Exception as exc:  # noqa: BLE001 — record, keep measuring
+            row["error"] = f"{type(exc).__name__}: {exc}"[:400]
+        results[name] = row
+        print(name, json.dumps(row)[:200], flush=True)
+
+    artifact = {
+        "sf_small": 0.1,
+        "sf_big": 1.0,
+        "cpus": int(cpus),
+        "note": (
+            "sf1 = tools/make_scale_data.py (10 decorrelated copies of the "
+            "driver sf0.1 fixtures); min-of-2 after one sf0.1 warm-up; "
+            "ratio ~10 = linear scaling"
+        ),
+        "entries": results,
+    }
+    with open(out_path, "w") as f:
+        json.dump(artifact, f, indent=1)
+    print("wrote", out_path)
+
+
+if __name__ == "__main__":
+    main()
