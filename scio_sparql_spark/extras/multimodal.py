@@ -3,18 +3,23 @@ processed with Arrow-batched pandas via mapInPandas.
 
 Two tiers (r13, VERDICT r12 missing #1):
 
-- A REAL pure-Python codec for binary PPM (P6 — the public netpbm
-  spec: ``P6 <w> <h> <maxval>`` header with ``#`` comments, then raw
-  RGB bytes). ``decode_ppm`` parses and validates; malformed payloads
-  decode to None and are DROPPED by the feature/resize stages (the
-  production behavior for corrupt crawl bytes). ``resize_ppm`` is an
-  integer box-filter downsample — all-integer arithmetic, so outputs
-  stay deterministic and hash-gateable.
+- REAL pure-Python codecs for three public formats:
+  * binary PPM (P6 — the netpbm spec: ``P6 <w> <h> <maxval>`` header
+    with ``#`` comments, then raw RGB bytes);
+  * PNG (RFC 2083 / the W3C spec: chunk walk with CRC32 verification,
+    zlib-inflated IDAT, and per-scanline unfiltering of all five
+    filter types incl. Paeth — 8-bit truecolor, non-interlaced);
+  * WAV (RIFF PCM 16-bit: chunk walk for fmt/data, int16 LE samples).
+  Each ``decode_*`` returns None for anything malformed (bad magic,
+  bad CRC, truncated body, unsupported variant) and the feature /
+  resize stages DROP such rows — the production behavior for corrupt
+  crawl bytes. ``resize_ppm`` is an integer box-filter downsample —
+  all-integer arithmetic, so outputs stay deterministic and
+  hash-gateable.
 - The original byte-stat stubs (`decode_image_stub`, `resize_stub`)
-  remain for formats whose codecs (JPEG/PNG/audio/video libs) are not
-  in this environment; swap them for PIL/librosa per modality. The
-  Arrow batch shape, schema, and partitioning are identical either
-  way.
+  remain for formats whose codecs (JPEG/video libs) are not in this
+  environment; swap them for PIL/pyav per modality. The Arrow batch
+  shape, schema, and partitioning are identical either way.
 
 Scale notes (100 TB): mapInPandas streams Arrow record batches — memory
 is bounded by spark.sql.execution.arrow.maxRecordsPerBatch regardless of
@@ -23,6 +28,8 @@ partition size; payloads never pass through the driver.
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -129,6 +136,228 @@ def decode_ppm(payload: bytes | None) -> dict | None:
     return {"width": w, "height": h, "body": body}
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor (PNG spec 6.6), vectorized: pick whichever of
+    left/up/up-left is closest to a+b-c, ties in that order."""
+    p = a.astype(np.int16) + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)).astype(
+        np.int16
+    )
+
+
+def encode_png(width: int, height: int, body: bytes, filters=None) -> bytes:
+    """Raw RGB bytes -> PNG (8-bit truecolor, non-interlaced). A real
+    encoder chooses a filter per scanline; here the choice is
+    DETERMINISTIC — ``filters[y % len]``, default cycling 0..4 — so a
+    payload built by this encoder exercises every unfilter path
+    (incl. Paeth) in any decoder that reads it, and the bytes are
+    reproducible for the hash gates."""
+    if len(body) != 3 * width * height:
+        raise ValueError(
+            f"body is {len(body)} bytes, want {3 * width * height} for "
+            f"{width}x{height} RGB"
+        )
+    if filters is None:
+        filters = (0, 1, 2, 3, 4)
+    rows = (
+        np.frombuffer(body, dtype=np.uint8)
+        .reshape(height, 3 * width)
+        .astype(np.int16)
+    )
+    zero = np.zeros(3 * width, dtype=np.int16)
+    out = bytearray()
+    prev = zero
+    for y in range(height):
+        raw = rows[y]
+        left = np.concatenate([np.zeros(3, dtype=np.int16), raw[:-3]])
+        upleft = np.concatenate([np.zeros(3, dtype=np.int16), prev[:-3]])
+        f = int(filters[y % len(filters)])
+        if f == 0:
+            filt = raw
+        elif f == 1:
+            filt = raw - left
+        elif f == 2:
+            filt = raw - prev
+        elif f == 3:
+            filt = raw - (left + prev) // 2
+        elif f == 4:
+            filt = raw - _paeth(left, prev, upleft)
+        else:
+            raise ValueError(f"filter type {f} not in 0..4")
+        out.append(f)
+        out += (filt % 256).astype(np.uint8).tobytes()
+        prev = raw
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes | None) -> dict | None:
+    """REAL PNG decode (public W3C spec), pure Python + numpy: verify
+    the 8-byte signature, walk chunks VERIFYING each CRC32, require a
+    13-byte IHDR describing 8-bit truecolor (color type 2)
+    non-interlaced, zlib-inflate the concatenated IDAT stream, then
+    unfilter every scanline (filter types 0-4; Sub via per-channel
+    cumsum, Average/Paeth via the serial left-dependency loop).
+    Returns {"width", "height", "body"} (raw RGB) or None for
+    anything malformed — bad magic, bad CRC, truncated chunk, missing
+    IEND, unsupported depth/color/interlace, corrupt zlib stream,
+    wrong inflated length, or an out-of-range filter byte. None (not
+    an exception) so Arrow batch stages can DROP bad rows."""
+    if not payload or not payload.startswith(_PNG_SIG):
+        return None
+    i, n = len(_PNG_SIG), len(payload)
+    ihdr, idat, saw_end = None, bytearray(), False
+    while i + 12 <= n:
+        ln = int.from_bytes(payload[i : i + 4], "big")
+        tag = payload[i + 4 : i + 8]
+        data = payload[i + 8 : i + 8 + ln]
+        crc = payload[i + 8 + ln : i + 12 + ln]
+        if len(data) != ln or len(crc) != 4:
+            return None
+        if int.from_bytes(crc, "big") != (zlib.crc32(tag + data) & 0xFFFFFFFF):
+            return None
+        if tag == b"IHDR":
+            ihdr = data
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            saw_end = True
+            break
+        i += 12 + ln
+    if ihdr is None or len(ihdr) != 13 or not saw_end or not idat:
+        return None
+    w, h, depth, ctype, comp, filt, inter = struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8 or ctype != 2 or comp or filt or inter or w <= 0 or h <= 0:
+        return None
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = 3 * w
+    if len(raw) != h * (1 + stride):
+        return None
+    lines = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
+    recon = np.zeros((h, stride), dtype=np.int16)
+    prev = np.zeros(stride, dtype=np.int16)
+    for y in range(h):
+        f = int(lines[y, 0])
+        filt_row = lines[y, 1:].astype(np.int16)
+        if f == 0:
+            row = filt_row
+        elif f == 1:
+            # recon[x] = filt[x] + recon[x-3]: per-channel cumsum mod 256
+            # (int64 accumulator — int16 would wrap past ~128 columns)
+            row = (
+                np.cumsum(filt_row.reshape(w, 3), axis=0, dtype=np.int64).reshape(
+                    stride
+                )
+                % 256
+            ).astype(np.int16)
+        elif f == 2:
+            row = (filt_row + prev) % 256
+        elif f in (3, 4):
+            row = np.empty(stride, dtype=np.int16)
+            for x in range(stride):
+                left = row[x - 3] if x >= 3 else 0
+                up = int(prev[x])
+                if f == 3:
+                    row[x] = (filt_row[x] + (left + up) // 2) % 256
+                else:
+                    ul = int(prev[x - 3]) if x >= 3 else 0
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = left if pa <= pb and pa <= pc else (up if pb <= pc else ul)
+                    row[x] = (filt_row[x] + pred) % 256
+        else:
+            return None
+        recon[y] = row
+        prev = row
+    return {"width": w, "height": h, "body": recon.astype(np.uint8).tobytes()}
+
+
+def encode_wav(body: bytes, sample_rate: int = 16000, channels: int = 1) -> bytes:
+    """Raw int16-LE PCM frames -> WAV (RIFF). The 44-byte header is a
+    pure function of (len(body), sample_rate, channels) — see
+    wav_header_bytes, which lets a Spark plan assemble WAV payloads
+    natively with concat."""
+    return wav_header_bytes(len(body), sample_rate, channels) + body
+
+
+def wav_header_bytes(n_body: int, sample_rate: int = 16000, channels: int = 1) -> bytes:
+    if n_body % (2 * channels):
+        raise ValueError(
+            f"body of {n_body} bytes is not whole {channels}-channel int16 frames"
+        )
+    block = 2 * channels
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + n_body)
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, channels, sample_rate,
+                      sample_rate * block, block, 16)
+        + b"data"
+        + struct.pack("<I", n_body)
+    )
+
+
+def decode_wav(payload: bytes | None) -> dict | None:
+    """REAL WAV decode (RIFF PCM, public spec): verify RIFF/WAVE
+    magic and the RIFF size field, walk chunks (word-aligned) for
+    ``fmt `` and ``data``, require PCM (format tag 1) at 16 bits with
+    a consistent block align, and a data length in whole frames.
+    Returns {"sample_rate", "channels", "samples" (np.int16 array,
+    interleaved)} or None for anything malformed."""
+    if not payload or len(payload) < 44 or payload[:4] != b"RIFF":
+        return None
+    if payload[8:12] != b"WAVE":
+        return None
+    if struct.unpack("<I", payload[4:8])[0] != len(payload) - 8:
+        return None
+    i, n = 12, len(payload)
+    fmt, data = None, None
+    while i + 8 <= n:
+        tag = payload[i : i + 4]
+        ln = struct.unpack("<I", payload[i + 4 : i + 8])[0]
+        chunk = payload[i + 8 : i + 8 + ln]
+        if len(chunk) != ln:
+            return None
+        if tag == b"fmt ":
+            fmt = chunk
+        elif tag == b"data":
+            data = chunk
+        i += 8 + ln + (ln & 1)
+    if fmt is None or data is None or len(fmt) < 16:
+        return None
+    tag1, channels, rate, _brate, block, bits = struct.unpack("<HHIIHH", fmt[:16])
+    if tag1 != 1 or bits != 16 or channels < 1 or block != 2 * channels:
+        return None
+    if rate <= 0 or len(data) % block:
+        return None
+    return {
+        "sample_rate": rate,
+        "channels": channels,
+        "samples": np.frombuffer(data, dtype="<i2"),
+    }
+
+
 def extract_image_features(media: DataFrame, id_col: str = "media_id") -> DataFrame:
     """Real pixel statistics via the PPM codec: per-channel integer
     sums (exact, engine-replicable — means are a trailing division the
@@ -212,6 +441,7 @@ def ppm_from_docs(
     height: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    seed: str = "",
 ) -> DataFrame:
     """Deterministic REAL P6 media table from the documents fixture:
     pixel bytes are md5-derived from the text (seeded chain, 16 bytes
@@ -220,11 +450,17 @@ def ppm_from_docs(
     derivation is engine-replicable — DuckDB rebuilds the identical
     bytes from the same md5 hex strings — which is what lets REAL
     pixel statistics hash-gate end to end (VERDICT r12 missing #1).
-    NULL text -> NULL payload, dropped by the decode stage."""
+    NULL text -> NULL payload, dropped by the decode stage. ``seed``
+    prefixes every md5 input so two media tables derived from the
+    same documents (e.g. the PPM and PNG gate families) carry
+    distinct pixel bytes."""
     n_bytes = 3 * width * height
     n_md5 = (n_bytes + 15) // 16
     hexcat = F.concat(
-        *[F.md5(F.concat(F.col(text_col), F.lit(f":{k}"))) for k in range(n_md5)]
+        *[
+            F.md5(F.concat(F.lit(seed), F.col(text_col), F.lit(f":{k}")))
+            for k in range(n_md5)
+        ]
     )
     payload = F.concat(
         F.encode(F.lit(f"P6\n{width} {height}\n255\n"), "utf-8"),
@@ -237,6 +473,131 @@ def ppm_from_docs(
         F.lit(width).cast("int").alias("width"),
         F.lit(height).cast("int").alias("height"),
     )
+
+
+def transcode_ppm_to_png(media: DataFrame, filters=None) -> DataFrame:
+    """1:1 mapInPandas transcode through BOTH real image codecs:
+    decode P6 -> re-encode PNG (deterministic per-row filter cycle, so
+    downstream decodes exercise every unfilter path). Malformed PPM
+    payloads drop. The gate shape: stats extracted after this stage
+    hash-match the P6 pixel derivation only if PNG decode inverts PNG
+    encode on real zlib-compressed, CRC'd files."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            keep, payloads = [], []
+            for k, p in enumerate(pdf["payload"]):
+                img = decode_ppm(p)
+                if img is None:
+                    continue
+                keep.append(k)
+                payloads.append(
+                    encode_png(img["width"], img["height"], img["body"], filters)
+                )
+            sub = pdf.iloc[keep].copy()
+            sub["payload"] = payloads
+            sub["mime"] = "image/png"
+            yield sub
+
+    return media.mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+def wav_from_docs(
+    docs: DataFrame,
+    n_samples: int = 64,
+    sample_rate: int = 16000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic REAL WAV media table from the documents fixture:
+    int16-LE PCM frames md5-derived from the text (tag ``wav:``),
+    assembled NATIVELY — the 44-byte RIFF/fmt/data header is a
+    constant for fixed (n_samples, rate), so the whole payload is one
+    codegen concat(lit(header), unhex(md5 chain)); no Python in the
+    build. DuckDB rebuilds the identical samples by reading the same
+    hex pairs little-endian, which is what lets REAL decoded sample
+    statistics hash-gate end to end."""
+    n_body = 2 * n_samples
+    n_md5 = (n_body + 15) // 16
+    hexcat = F.concat(
+        *[
+            F.md5(F.concat(F.lit("wav:"), F.col(text_col), F.lit(f":{k}")))
+            for k in range(n_md5)
+        ]
+    )
+    header = wav_header_bytes(n_body, sample_rate, channels=1)
+    payload = F.concat(
+        F.lit(bytearray(header)), F.unhex(F.substring(hexcat, 1, 2 * n_body))
+    )
+    return docs.select(
+        F.col(id_col).alias("media_id"),
+        payload.alias("payload"),
+        F.lit("audio/wav").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+    )
+
+
+MEDIA_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("family", T.StringType()),
+        T.StructField("stat", T.StringType()),
+        T.StructField("v", T.LongType()),
+    ]
+)
+
+_IMAGE_STATS = ("width", "height", "r_sum", "g_sum", "b_sum")
+_AUDIO_STATS = ("n_samples", "sample_rate", "channels", "abs_sum", "peak")
+
+
+def extract_media_stats(media: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Mixed-modality feature extraction: ONE tall
+    (media_id, family, stat, v) frame across image and audio payloads,
+    dispatched on mime inside the Arrow batch stage. Image rows
+    (ppm/png) carry integer per-channel pixel sums + dimensions; audio
+    rows (wav) carry exact int16 sample statistics (count, rate,
+    channels, sum of |sample|, peak |sample|). Exact integers only —
+    means are a trailing division the caller can do — so every stat is
+    engine-replicable. Malformed payloads and unknown mimes drop."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, fams, stats, vals = [], [], [], []
+
+            def emit(mid, fam, names, vs):
+                for s, v in zip(names, vs):
+                    ids.append(mid)
+                    fams.append(fam)
+                    stats.append(s)
+                    vals.append(int(v))
+
+            for mid, p, mime in zip(pdf[id_col], pdf["payload"], pdf["mime"]):
+                if mime == "image/x-portable-pixmap" or mime == "image/png":
+                    fam = "ppm" if mime.endswith("pixmap") else "png"
+                    img = decode_ppm(p) if fam == "ppm" else decode_png(p)
+                    if img is None:
+                        continue
+                    sums = (
+                        np.frombuffer(img["body"], dtype=np.uint8)
+                        .reshape(-1, 3)
+                        .sum(axis=0, dtype=np.int64)
+                    )
+                    emit(mid, fam, _IMAGE_STATS,
+                         (img["width"], img["height"], *sums))
+                elif mime == "audio/wav":
+                    wav = decode_wav(p)
+                    if wav is None:
+                        continue
+                    a = np.abs(wav["samples"].astype(np.int64))
+                    emit(mid, "wav", _AUDIO_STATS,
+                         (len(wav["samples"]), wav["sample_rate"],
+                          wav["channels"], a.sum(), a.max() if len(a) else 0))
+            yield pd.DataFrame(
+                {"media_id": ids, "family": fams, "stat": stats, "v": vals}
+            )
+
+    return media.mapInPandas(batches, schema=MEDIA_STATS_SCHEMA)
 
 
 def decode_image_stub(payload: bytes) -> dict:

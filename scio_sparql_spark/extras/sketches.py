@@ -407,6 +407,79 @@ def histogram_store_merge(spark, paths: list) -> DataFrame:
     )
 
 
+def sketch_store_pack(cms: DataFrame, kmv: DataFrame, hist: DataFrame) -> DataFrame:
+    """Pack one ingest day's three sketches into the tall
+    (family, k1, k2, v) store schema so the day persists as ONE
+    parquet write instead of three (r13: the per-family layout cost
+    9 driver-synchronous write jobs for a 3-day store; at bench scale
+    that was pure job overhead — 15.9s for kilobytes of sketch rows —
+    and at 100 TB it is 3x the ingest-job count for no benefit).
+
+    Rows: cms (d, cell) -> count; kmv (key, day-local rank) -> hash
+    (the rank is informational — `sketch_store_merge` re-derives
+    ranks from the merged hash set); hist (key, shift:prefix) ->
+    count."""
+    kmv_rn = F.row_number().over(Window.partitionBy("key").orderBy("h"))
+    return (
+        cms.select(
+            F.lit("cms").alias("family"),
+            F.col("d").cast("string").alias("k1"),
+            F.col("cell").cast("string").alias("k2"),
+            F.col("c").cast("bigint").alias("v"),
+        )
+        .unionByName(
+            kmv.withColumn("__rn", kmv_rn).select(
+                F.lit("kmv").alias("family"),
+                F.col("key").alias("k1"),
+                F.col("__rn").cast("string").alias("k2"),
+                F.col("h").cast("bigint").alias("v"),
+            )
+        )
+        .unionByName(
+            hist.select(
+                F.lit("hist").alias("family"),
+                F.col("key").alias("k1"),
+                F.concat_ws(
+                    ":",
+                    F.col("shift").cast("string"),
+                    F.col("prefix").cast("string"),
+                ).alias("k2"),
+                F.col("c").cast("bigint").alias("v"),
+            )
+        )
+    )
+
+
+def sketch_store_merge(spark, paths: list, k: int = 64) -> DataFrame:
+    """Merge-read a tall persisted sketch store (`sketch_store_pack`
+    dirs, one per split/day): ONE parquet read over every day, then
+    per-family merge semantics — cell-wise sum for cms/hist (the
+    N-way cms_merge / histogram_merge), distinct + k-smallest-per-key
+    re-rank for kmv (the N-way kmv_merge; day-local ranks in k2 are
+    discarded and recomputed over the merged hash set). Returns the
+    same tall schema, equal to packing sketches built over the
+    concatenated inputs. Merge reads kilobytes of sketch rows per day
+    regardless of corpus size."""
+    store = spark.read.parquet(*paths)
+    counts = (
+        store.filter(F.col("family") != "kmv")
+        .groupBy("family", "k1", "k2")
+        .agg(F.sum("v").alias("v"))
+    )
+    rn = F.row_number().over(Window.partitionBy("k1").orderBy("v"))
+    kmv = (
+        store.filter(F.col("family") == "kmv")
+        .select("family", "k1", "v")
+        .distinct()
+        .withColumn("__rn", rn)
+        .filter(F.col("__rn") <= k)
+        .select(
+            "family", "k1", F.col("__rn").cast("string").alias("k2"), "v"
+        )
+    )
+    return counts.unionByName(kmv)
+
+
 def histogram_quantiles(
     sketch: DataFrame,
     percentiles: tuple = (50, 90, 99),

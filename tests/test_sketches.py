@@ -380,6 +380,46 @@ def test_sketch_store_roundtrip_merge_equals_whole(spark, tmp_path):
         assert tall(sketches.histogram_store_merge(spark, paths["hist"])) == tall(whole_hist)
 
 
+def test_sketch_store_tall_pack_merge_equals_whole(spark, tmp_path):
+    """r13: the tall one-file-per-day store layout (sketch_store_pack /
+    sketch_store_merge) round-trips to exactly the pack of the
+    whole-input sketches — same guarantee as the per-family layout
+    with a third of the ingest write jobs. Split count must not
+    matter, and day-local kmv ranks in the store must be discarded
+    (merged ranks re-derived from the merged hash set)."""
+    from pyspark.sql import functions as F
+
+    from scio_sparql_spark.extras import sketches
+
+    rows = [(i, f"k{i % 3}", f"val-{i % 37}", (i * 7919) % 5000) for i in range(400)]
+    df = spark.createDataFrame(rows, "id bigint, key string, s string, v bigint")
+
+    def tall(d):
+        return sorted(tuple(r) for r in d.collect())
+
+    whole = sketches.sketch_store_pack(
+        sketches.cms_sketch(df.select(F.col("s").alias("w")), "w", depth=2, width=32),
+        sketches.kmv_sketch(df, "key", "s", k=8),
+        sketches.value_histogram_sketch(df, "key", "v"),
+    )
+    # whole-input pack's kmv ranks are already the merged ranks, so
+    # pack(whole) == merge(store of the packs) row-for-row
+    expect = tall(whole)
+    for n_splits in (2, 3):
+        paths = []
+        for i in range(n_splits):
+            sp = df.filter(F.col("id") % n_splits == i)
+            day = sketches.sketch_store_pack(
+                sketches.cms_sketch(sp.select(F.col("s").alias("w")), "w", depth=2, width=32),
+                sketches.kmv_sketch(sp, "key", "s", k=8),
+                sketches.value_histogram_sketch(sp, "key", "v"),
+            )
+            p = str(tmp_path / f"tall{n_splits}" / f"day{i}")
+            day.write.mode("overwrite").parquet(p)
+            paths.append(p)
+        assert tall(sketches.sketch_store_merge(spark, paths, k=8)) == expect
+
+
 def test_histogram_signed_and_bounds_vs_exact(spark):
     """r13 (VERDICT r12 missing #2): signed grids + the 'both' readout.
     On signed data the exact p-quantile must lie in [p_lb, p_ub] with
