@@ -975,8 +975,9 @@ def q_corpus_sketch_store(spark, sf_dir):
         f"scio_sketch_store_{os.path.abspath(sf_dir).strip('/').replace('/', '_')}_{app_id}",
     )
     atexit.register(shutil.rmtree, root, ignore_errors=True)
-    paths = []
-    for i in range(3):
+    from concurrent.futures import ThreadPoolExecutor
+
+    def write_day(i: int) -> str:
         split = docs.filter(F.col("doc_id") % 3 == i)
         toks = split.select(
             F.explode(dedup.token_ngrams(F.col("text"), 1)).alias("w")
@@ -988,7 +989,14 @@ def q_corpus_sketch_store(spark, sf_dir):
         )
         p = os.path.join(root, f"day{i}")
         day.write.mode("overwrite").parquet(p)
-        paths.append(p)
+        return p
+
+    # days are INDEPENDENT ingest jobs — submit them concurrently
+    # (Spark's scheduler interleaves the three write jobs' stages;
+    # driver-sequential writes serialized three barriers for no
+    # ordering reason)
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        paths = list(ex.map(write_day, range(3)))
     return sketches.sketch_store_merge(spark, paths, k=64)
 
 
