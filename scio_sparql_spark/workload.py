@@ -1875,7 +1875,18 @@ def q_stream_dedup_neardup(spark, sf_dir):
 
     path = f"{sf_dir}/documents.parquet"
     schema = spark.read.parquet(path).schema
-    stream = stream_parquet(spark, path, schema)
+    # The fixture replays as ONE file -> one source partition per
+    # micro-batch, serializing the per-row signature HOFs onto a
+    # single core (the streaming analogue of extras.util.spread; a
+    # real ingest has many source files and doesn't need this).
+    # The fence predicate keeps the size(__mh_base)>0 filter's
+    # derivation from being pushed below the rebalance Exchange
+    # (spread_pinned's measured pathology, streaming-legal form).
+    stream = (
+        stream_parquet(spark, path, schema)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .where(F.spark_partition_id() >= 0)
+    )
     out = run_bounded(
         streaming_minhash_neardup(stream, watermark=None),
         shuffle_partitions=8,
