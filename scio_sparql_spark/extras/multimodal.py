@@ -538,6 +538,65 @@ def wav_from_docs(
     )
 
 
+# Deterministic 256-entry palette for the GIF gate family: channel
+# values are closed-form in the index so an external engine can fold
+# palette lookup into arithmetic (r=i, g=7i mod 256, b=255-i).
+GIF_PALETTE = b"".join(bytes((i, (i * 7) % 256, 255 - i)) for i in range(256))
+
+
+def gif_from_docs(
+    docs: DataFrame,
+    width: int = 8,
+    height: int = 8,
+    n_frames: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic REAL animated-GIF media table from the documents
+    fixture: every frame's palette indices are md5-derived from the
+    text (tag ``gif:``) natively, then an Arrow stage runs the real
+    encoder (LZW compression, GCE per frame) over the index bytes.
+    DuckDB rebuilds identical indices from the same md5 hex and folds
+    the GIF_PALETTE formulas into arithmetic — real multi-frame decode
+    output, hash-gateable."""
+    n_bytes = width * height * n_frames
+    n_md5 = (n_bytes + 15) // 16
+    hexcat = F.concat(
+        *[
+            F.md5(F.concat(F.lit("gif:"), F.col(text_col), F.lit(f":{k}")))
+            for k in range(n_md5)
+        ]
+    )
+    base = docs.select(
+        F.col(id_col).alias("media_id"),
+        F.unhex(F.substring(hexcat, 1, 2 * n_bytes)).alias("__body"),
+    )
+    fsz = width * height
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for mid, body in zip(pdf["media_id"], pdf["__body"]):
+                if body is None or len(body) != n_bytes:
+                    continue
+                frames = [
+                    bytes(body[f * fsz : (f + 1) * fsz]) for f in range(n_frames)
+                ]
+                ids.append(mid)
+                payloads.append(encode_gif(width, height, frames, GIF_PALETTE))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": payloads,
+                    "mime": "image/gif",
+                    "width": pd.array([width] * len(ids), dtype="Int32"),
+                    "height": pd.array([height] * len(ids), dtype="Int32"),
+                }
+            )
+
+    return base.mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
 MEDIA_STATS_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -551,13 +610,18 @@ _IMAGE_STATS = ("width", "height", "r_sum", "g_sum", "b_sum")
 _AUDIO_STATS = ("n_samples", "sample_rate", "channels", "abs_sum", "peak")
 
 
-def extract_media_stats(media: DataFrame, id_col: str = "media_id") -> DataFrame:
+def extract_media_stats(
+    media: DataFrame, id_col: str = "media_id", gif_sample_k: int = 2
+) -> DataFrame:
     """Mixed-modality feature extraction: ONE tall
-    (media_id, family, stat, v) frame across image and audio payloads,
-    dispatched on mime inside the Arrow batch stage. Image rows
-    (ppm/png) carry integer per-channel pixel sums + dimensions; audio
-    rows (wav) carry exact int16 sample statistics (count, rate,
-    channels, sum of |sample|, peak |sample|). Exact integers only —
+    (media_id, family, stat, v) frame across image, audio and video
+    payloads, dispatched on mime inside the Arrow batch stage. Image
+    rows (ppm/png) carry integer per-channel pixel sums + dimensions;
+    audio rows (wav) carry exact int16 sample statistics (count, rate,
+    channels, sum of |sample|, peak |sample|); animated-GIF rows carry
+    n_frames plus per-channel palette-resolved pixel sums for
+    ``gif_sample_k`` evenly-sampled frames (frame f = n*j//k — real
+    frame sampling over real decoded frames). Exact integers only —
     means are a trailing division the caller can do — so every stat is
     engine-replicable. Malformed payloads and unknown mimes drop."""
 
@@ -573,7 +637,28 @@ def extract_media_stats(media: DataFrame, id_col: str = "media_id") -> DataFrame
                     vals.append(int(v))
 
             for mid, p, mime in zip(pdf[id_col], pdf["payload"], pdf["mime"]):
-                if mime == "image/x-portable-pixmap" or mime == "image/png":
+                if mime == "image/gif":
+                    gif = decode_gif(p)
+                    if gif is None:
+                        continue
+                    pal = (
+                        np.frombuffer(gif["palette"], dtype=np.uint8)
+                        .reshape(256, 3)
+                        .astype(np.int64)
+                    )
+                    nf = len(gif["frames"])
+                    emit(mid, "gif", ("n_frames",), (nf,))
+                    for j in range(min(gif_sample_k, nf)):
+                        f = nf * j // gif_sample_k
+                        idx = np.frombuffer(gif["frames"][f], dtype=np.uint8)
+                        sums = pal[idx].sum(axis=0)
+                        emit(
+                            mid,
+                            "gif",
+                            tuple(f"f{f}_{c}_sum" for c in "rgb"),
+                            sums,
+                        )
+                elif mime == "image/x-portable-pixmap" or mime == "image/png":
                     fam = "ppm" if mime.endswith("pixmap") else "png"
                     img = decode_ppm(p) if fam == "ppm" else decode_png(p)
                     if img is None:
@@ -598,6 +683,211 @@ def extract_media_stats(media: DataFrame, id_col: str = "media_id") -> DataFrame
             )
 
     return media.mapInPandas(batches, schema=MEDIA_STATS_SCHEMA)
+
+
+def _lzw_encode(data: bytes, min_code: int = 8) -> bytes:
+    """GIF-variant LZW (the public GIF89a spec, appendix F): variable
+    code width starting at min_code+1 growing to 12 bits, CLEAR/EOI
+    control codes, dictionary reset at 4096, codes packed LSB-first."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def fresh():
+        return {bytes([i]): i for i in range(1 << min_code)}
+
+    table, nxt, width = fresh(), eoi + 1, min_code + 1
+    emit(clear, width)
+    w = b""
+    for b in data:
+        wk = w + bytes([b])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], width)
+        table[wk] = nxt
+        nxt += 1
+        if nxt == (1 << width) and width < 12:
+            width += 1
+        if nxt == 4096:
+            emit(clear, width)
+            table, nxt, width = fresh(), eoi + 1, min_code + 1
+        w = bytes([b])
+    if w:
+        emit(table[w], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code: int, expect: int) -> bytes | None:
+    """Inverse of _lzw_encode; None for any malformed stream (code
+    beyond the table, missing data, wrong decoded length)."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    base = [bytes([i]) for i in range(1 << min_code)] + [b"", b""]
+    table, width = list(base), min_code + 1
+    out = bytearray()
+    prev: bytes | None = None
+    acc = nbits = pos = 0
+    while len(out) < expect:
+        while nbits < width:
+            if pos >= len(data):
+                return None
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table, width, prev = list(base), min_code + 1, None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(base) - 2:
+                return None
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table) and len(table) < 4096:
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            return None
+        out += entry
+        prev = entry
+        # "early change": the decoder's table lags the encoder's by one
+        # entry (the encoder assigns after emitting; the decoder
+        # reconstructs that entry only on the NEXT code), so the width
+        # bump fires at 2^width - 1 — the GIF-LZW convention
+        if len(table) == (1 << width) - 1 and width < 12:
+            width += 1
+    return bytes(out) if len(out) == expect else None
+
+
+def _gif_subblocks(data: bytes) -> bytes:
+    out = bytearray()
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
+def encode_gif(
+    width: int, height: int, frames: list, palette: bytes, delay_cs: int = 10
+) -> bytes:
+    """Index frames + 256-entry RGB palette -> animated GIF89a (global
+    color table, one full-frame image per frame, real LZW compression,
+    a Graphic Control Extension per frame carrying the delay)."""
+    if len(palette) != 768:
+        raise ValueError(f"palette is {len(palette)} bytes, want 256*3")
+    if not frames:
+        raise ValueError("need at least one frame")
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0xF7, 0, 0)  # 256-entry GCT
+    out += palette
+    for body in frames:
+        if len(body) != width * height:
+            raise ValueError(
+                f"frame is {len(body)} bytes, want {width * height} indices"
+            )
+        out += b"\x21\xf9" + bytes([4]) + struct.pack("<BHB", 0, delay_cs, 0) + b"\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        out += bytes([8]) + _gif_subblocks(_lzw_encode(body, 8))
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif(payload: bytes | None) -> dict | None:
+    """REAL GIF decode (public GIF89a spec), pure Python: header +
+    logical screen descriptor, 256-entry global color table required,
+    extension blocks skipped by sub-block walk, each image descriptor
+    LZW-decompressed (variable-width codes, dictionary growth, CLEAR /
+    EOI, 12-bit cap). The supported subset is full-frame non-interlaced
+    frames on the global palette (the shape encode_gif writes — local
+    color tables, interlace and partial-frame composites return None,
+    like decode_png's truecolor-only subset). Returns {"width",
+    "height", "palette" (768 bytes), "frames" (list of index
+    bytestrings)} or None for anything malformed — bad magic, missing
+    trailer, truncated block, LZW error, wrong frame length."""
+    if not payload or len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    w, h, packed, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    if w <= 0 or h <= 0 or not packed & 0x80 or (packed & 0x07) != 7:
+        return None
+    i = 13 + 768
+    palette = payload[13:i]
+    if len(palette) != 768:
+        return None
+    frames = []
+    n = len(payload)
+    while True:
+        if i >= n:
+            return None  # ran off the end without a trailer
+        b = payload[i]
+        i += 1
+        if b == 0x3B:
+            break
+        if b == 0x21:  # extension: label + sub-blocks
+            if i >= n:
+                return None
+            i += 1
+            while True:
+                if i >= n:
+                    return None
+                ln = payload[i]
+                i += 1 + ln
+                if ln == 0:
+                    break
+        elif b == 0x2C:
+            if i + 9 > n:
+                return None
+            left, top, fw, fh, fpacked = struct.unpack("<HHHHB", payload[i : i + 9])
+            i += 9
+            if left or top or fw != w or fh != h or fpacked & 0xC0:
+                return None  # partial/interlaced/local-table: unsupported
+            if i >= n:
+                return None
+            min_code = payload[i]
+            i += 1
+            if not 2 <= min_code <= 8:
+                return None
+            lzw = bytearray()
+            while True:
+                if i >= n:
+                    return None
+                ln = payload[i]
+                i += 1
+                if ln == 0:
+                    break
+                if i + ln > n:
+                    return None
+                lzw += payload[i : i + ln]
+                i += ln
+            body = _lzw_decode(bytes(lzw), min_code, w * h)
+            if body is None:
+                return None
+            frames.append(body)
+        else:
+            return None
+    if not frames:
+        return None
+    return {"width": w, "height": h, "palette": palette, "frames": frames}
 
 
 def decode_image_stub(payload: bytes) -> dict:

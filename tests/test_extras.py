@@ -272,6 +272,54 @@ def test_wav_codec_roundtrip_and_malformed_drop():
         mm.wav_header_bytes(3, 8000, 1)  # not whole frames
 
 
+def test_gif_lzw_and_codec_roundtrip_and_malformed_drop():
+    """r13: the GIF codec is REAL — the GIF-variant LZW round-trips
+    data that crosses every code-width boundary (the 'early change'
+    lag) and the 4096 dictionary reset; multi-frame encode -> decode
+    round-trips frames and palette; malformed shapes (bad magic,
+    missing trailer, truncated sub-blocks, corrupt LZW) decode to
+    None."""
+    import numpy as np
+
+    from scio_sparql_spark.extras import multimodal as mm
+
+    rng = np.random.RandomState(5)
+    for data in (
+        b"",
+        b"a",
+        b"aaaaaaa" * 100,                       # run-heavy (deep dict chains)
+        rng.randint(0, 256, 70000, dtype=np.uint8).tobytes(),  # 4096 resets
+        bytes(range(256)) * 40,                  # crosses 512/1024 boundaries
+    ):
+        assert mm._lzw_decode(mm._lzw_encode(data, 8), 8, len(data)) == data
+    small = rng.randint(0, 4, 10000, dtype=np.uint8).tobytes()
+    assert mm._lzw_decode(mm._lzw_encode(small, 2), 2, len(small)) == small
+
+    pal = mm.GIF_PALETTE
+    frames = [rng.randint(0, 256, 64, dtype=np.uint8).tobytes() for _ in range(4)]
+    gif = mm.encode_gif(8, 8, frames, pal)
+    d = mm.decode_gif(gif)
+    assert d["width"] == 8 and d["height"] == 8
+    assert d["palette"] == pal and d["frames"] == frames
+    for bad in (
+        None,
+        b"",
+        b"GIF89a",                               # header only
+        b"JIF89a" + gif[6:],                     # bad magic
+        gif[:-1],                                 # trailer missing
+        gif[:-30],                                # truncated frame data
+    ):
+        assert mm.decode_gif(bad) is None
+    corrupt = bytearray(gif)
+    corrupt[-20] ^= 0x40                          # bit-flip inside LZW data
+    r = mm.decode_gif(bytes(corrupt))
+    assert r is None or r["frames"] != frames
+    with pytest.raises(ValueError):
+        mm.encode_gif(8, 8, [bytes(63)], pal)     # wrong frame length
+    with pytest.raises(ValueError):
+        mm.encode_gif(8, 8, frames, pal[:-3])     # short palette
+
+
 def test_extract_media_stats_mixed_modalities(spark):
     """One tall stats frame across ppm/png/wav payloads, dispatched on
     mime inside the Arrow stage; malformed payloads and unknown mimes
@@ -282,12 +330,14 @@ def test_extract_media_stats_mixed_modalities(spark):
 
     body = bytes(range(12))  # 2x2 RGB
     pcm = np.array([3, -4, 5, -32768], dtype="<i2").tobytes()
+    gif = mm.encode_gif(2, 2, [bytes([1, 1, 2, 3]), bytes(4)], mm.GIF_PALETTE)
     rows = [
         (0, mm.encode_ppm(2, 2, body), "image/x-portable-pixmap"),
         (1, mm.encode_png(2, 2, body), "image/png"),
         (2, mm.encode_wav(pcm, 16000, 1), "audio/wav"),
         (3, b"garbage", "image/png"),            # malformed -> drop
         (4, mm.encode_ppm(2, 2, body), "video/mp4"),  # unknown mime -> drop
+        (5, gif, "image/gif"),
     ]
     media = spark.createDataFrame(
         rows, "media_id bigint, payload binary, mime string"
@@ -300,7 +350,7 @@ def test_extract_media_stats_mixed_modalities(spark):
         (r["media_id"], r["stat"]): (r["family"], r["v"])
         for r in mm.extract_media_stats(media).collect()
     }
-    assert {m for m, _ in got} == {0, 1, 2}
+    assert {m for m, _ in got} == {0, 1, 2, 5}
     assert got[(0, "r_sum")] == ("ppm", 18)
     assert got[(1, "r_sum")] == ("png", 18)
     assert got[(1, "width")] == ("png", 2)
@@ -308,6 +358,14 @@ def test_extract_media_stats_mixed_modalities(spark):
     assert got[(2, "peak")] == ("wav", 32768)
     assert got[(2, "n_samples")] == ("wav", 4)
     assert got[(2, "sample_rate")] == ("wav", 16000)
+    # gif: 2 frames, k=2 samples both (f = 2*j//2 = 0, 1); palette
+    # r=i, g=7i%256, b=255-i over indices [1,1,2,3] and [0,0,0,0]
+    assert got[(5, "n_frames")] == ("gif", 2)
+    assert got[(5, "f0_r_sum")] == ("gif", 1 + 1 + 2 + 3)
+    assert got[(5, "f0_g_sum")] == ("gif", 7 * (1 + 1 + 2 + 3))
+    assert got[(5, "f0_b_sum")] == ("gif", 4 * 255 - 7)
+    assert got[(5, "f1_r_sum")] == ("gif", 0)
+    assert got[(5, "f1_b_sum")] == ("gif", 4 * 255)
 
 
 def test_ppm_box_filter_resize(spark):
