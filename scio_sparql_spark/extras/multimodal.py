@@ -949,12 +949,50 @@ FRAME_SCHEMA = T.StructType(
 )
 
 
+def sample_gif_frames(media: DataFrame, k: int = 4) -> DataFrame:
+    """1:N mapInPandas frame sampling through the REAL GIF codec: each
+    animated payload decodes (LZW, chunk walk), ``k`` evenly-spaced
+    frames are kept (frame n*j//k — the same sampling rule
+    extract_media_stats gates), and each sampled frame re-encodes as a
+    standalone single-frame GIF on the source palette. Malformed
+    payloads drop. This is the real video keyframe-extraction shape —
+    swap decode_gif for pyav/ffmpeg for container formats; the
+    row-explosion, schema, and Arrow batching are identical."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, payloads = [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                gif = decode_gif(p)
+                if gif is None:
+                    continue
+                nf = len(gif["frames"])
+                for j in range(min(k, nf)):
+                    f = nf * j // k
+                    ids.append(mid)
+                    idxs.append(f)
+                    payloads.append(
+                        encode_gif(
+                            gif["width"],
+                            gif["height"],
+                            [gif["frames"][f]],
+                            gif["palette"],
+                        )
+                    )
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "payload": payloads}
+            )
+
+    return media.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
 def sample_frames(media: DataFrame, n_frames: int = 4, frame_bytes: int = 64) -> DataFrame:
-    """1:N mapInPandas frame sampling (the video path): each input row
-    fans out to up to n_frames rows. Stub 'decoder' chunks the payload at
-    evenly spaced offsets — deterministic, so tests pin exact output.
-    Swap for pyav/ffmpeg keyframe extraction; the row-explosion shape,
-    schema, and Arrow batching stay identical."""
+    """1:N mapInPandas frame sampling over OPAQUE payloads: each input
+    row fans out to up to n_frames rows by chunking at evenly spaced
+    offsets — deterministic, so tests pin exact output. This is the
+    stand-in for container formats whose codecs aren't in this
+    environment; ``sample_gif_frames`` above is the same shape through
+    a real decoder."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -320,6 +320,29 @@ def test_gif_lzw_and_codec_roundtrip_and_malformed_drop():
         mm.encode_gif(8, 8, frames, pal[:-3])     # short palette
 
 
+def test_sample_gif_frames_real_decode_explosion(spark):
+    """The 1:N frame-sampling stage through the REAL codec: a 5-frame
+    GIF sampled at k=2 keeps frames 0 and 2 (n*j//k), each re-encoded
+    as a standalone single-frame GIF that round-trips to the original
+    frame; malformed payloads drop."""
+    from scio_sparql_spark.extras import multimodal as mm
+
+    frames = [bytes([i] * 4) for i in range(5)]
+    gif = mm.encode_gif(2, 2, frames, mm.GIF_PALETTE)
+    media = spark.createDataFrame(
+        [(0, gif), (1, b"junk")], "media_id bigint, payload binary"
+    ).select(
+        "media_id", "payload", F.lit("image/gif").alias("mime"),
+        F.lit(2).alias("width"), F.lit(2).alias("height"),
+    )
+    out = mm.sample_gif_frames(media, k=2).collect()
+    got = {(r["media_id"], r["frame_idx"]): bytes(r["payload"]) for r in out}
+    assert set(got) == {(0, 0), (0, 2)}
+    for (_, f), payload in got.items():
+        d = mm.decode_gif(payload)
+        assert d["frames"] == [frames[f]] and d["palette"] == mm.GIF_PALETTE
+
+
 def test_extract_media_stats_mixed_modalities(spark):
     """One tall stats frame across ppm/png/wav payloads, dispatched on
     mime inside the Arrow stage; malformed payloads and unknown mimes
