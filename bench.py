@@ -175,10 +175,12 @@ BENCH_QUERIES = [
     "graph_triangles",
     "events_quantiles_histogram",
     # new in r13 (appended; prior-round common comparisons unchanged):
-    # streaming MinHash-band near-dup (first-claim-wins band-key state)
-    # and the persisted-sketch split-write/merge-read workflow
+    # streaming MinHash-band near-dup (first-claim-wins band-key state),
+    # the persisted-sketch split-write/merge-read workflow, and the
+    # four-codec media-stats pass (PPM/PNG/WAV/GIF real decodes)
     "stream_dedup_neardup",
     "corpus_sketch_store",
+    "multimodal_features",
 ]
 
 
