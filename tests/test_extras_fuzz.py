@@ -526,3 +526,102 @@ def test_fuzz_int8_rerank_full_prefilter_equals_exact(spark, vecs):
         for r in similarity.cosine_topk(df, qv, k=5).collect()
     ]
     assert got == want
+
+
+# ---- media codec fuzz (r13): pure-Python codecs, no Spark needed ----
+# The codecs feed hash-gated Arrow stages; these locks are the
+# encode->decode identity over hypothesis-random bodies (every PNG
+# filter type, LZW across code-width boundaries) plus prefix-truncation
+# always decoding to None (the malformed-drop contract).
+
+_png_dims = st.tuples(st.integers(1, 12), st.integers(1, 12))
+
+
+@given(
+    dims=_png_dims,
+    seed=st.integers(0, 2**31 - 1),
+    filt=st.sampled_from([None, (0,), (1,), (2,), (3,), (4,), (3, 4, 1)]),
+)
+@_settings
+def test_fuzz_png_roundtrip_and_truncation(dims, seed, filt):
+    import numpy as np
+
+    from scio_sparql_spark.extras import multimodal as mm
+
+    w, h = dims
+    body = np.random.RandomState(seed).randint(
+        0, 256, 3 * w * h, dtype=np.uint8
+    ).tobytes()
+    png = mm.encode_png(w, h, body, filt)
+    d = mm.decode_png(png)
+    assert d is not None and d["body"] == body
+    assert (d["width"], d["height"]) == (w, h)
+    # every strict prefix is malformed (missing IEND at minimum)
+    for cut in (len(png) // 3, len(png) - 1):
+        assert mm.decode_png(png[:cut]) is None
+
+
+@given(
+    n=st.integers(0, 600),
+    alphabet=st.integers(2, 256),
+    seed=st.integers(0, 2**31 - 1),
+)
+@_settings
+def test_fuzz_gif_lzw_roundtrip(n, alphabet, seed):
+    import numpy as np
+
+    from scio_sparql_spark.extras import multimodal as mm
+
+    min_code = max(2, (alphabet - 1).bit_length())
+    data = np.random.RandomState(seed).randint(
+        0, alphabet, n, dtype=np.uint8
+    ).tobytes()
+    assert mm._lzw_decode(mm._lzw_encode(data, min_code), min_code, n) == data
+
+
+@given(
+    dims=st.tuples(st.integers(1, 8), st.integers(1, 8)),
+    n_frames=st.integers(1, 5),
+    seed=st.integers(0, 2**31 - 1),
+)
+@_settings
+def test_fuzz_gif_multiframe_roundtrip(dims, n_frames, seed):
+    import numpy as np
+
+    from scio_sparql_spark.extras import multimodal as mm
+
+    w, h = dims
+    rng = np.random.RandomState(seed)
+    frames = [
+        rng.randint(0, 256, w * h, dtype=np.uint8).tobytes()
+        for _ in range(n_frames)
+    ]
+    gif = mm.encode_gif(w, h, frames, mm.GIF_PALETTE)
+    d = mm.decode_gif(gif)
+    assert d is not None and d["frames"] == frames
+    assert d["palette"] == mm.GIF_PALETTE
+    assert mm.decode_gif(gif[: len(gif) - 1]) is None
+
+
+@given(
+    n_samples=st.integers(0, 200),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    channels=st.integers(1, 2),
+    seed=st.integers(0, 2**31 - 1),
+)
+@_settings
+def test_fuzz_wav_roundtrip(n_samples, rate, channels, seed):
+    import numpy as np
+
+    from scio_sparql_spark.extras import multimodal as mm
+
+    body = np.random.RandomState(seed).randint(
+        -32768, 32768, n_samples * channels
+    ).astype("<i2").tobytes()
+    wav = mm.encode_wav(body, rate, channels)
+    d = mm.decode_wav(wav)
+    assert d is not None and d["sample_rate"] == rate
+    assert d["channels"] == channels
+    assert d["samples"].tobytes() == body
+    if len(wav) > 44:
+        assert mm.decode_wav(wav[:-1]) is None  # RIFF size mismatch
