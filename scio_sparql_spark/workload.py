@@ -1734,8 +1734,12 @@ def q_multimodal_features(spark, sf_dir):
     frames evenly; malformed rows drop) and emits exact-integer
     stats. The oracle rebuilds the identical pixel/sample values from
     the same md5 hex strings — so the hash gate passes only if each
-    decode inverts its real encoder."""
-    docs = _table(spark, sf_dir, "documents")
+    decode inverts its real encoder. spread(): the fixture is one
+    parquet file -> one partition, which would serialize the per-doc
+    Python codec work (GIF LZW especially) onto a single core."""
+    from .extras.util import spread
+
+    docs = spread(_table(spark, sf_dir, "documents"))
     ppm = multimodal.ppm_from_docs(docs)
     png = multimodal.transcode_ppm_to_png(
         multimodal.ppm_from_docs(docs, seed="png:")
