@@ -966,6 +966,11 @@ def q_corpus_sketch_store(spark, sf_dir):
     import shutil
     import tempfile
 
+    # no spread() here, measured r13: each of the 3 concurrent day
+    # jobs would re-evaluate the repartition, so the 3 extra full-text
+    # shuffles cost more than the parallelized tokenize saves
+    # (2.6s -> 4.4s at sf0.1); the concurrent day submission already
+    # overlaps the single-partition map work
     docs = _table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "text", F.col("n_chars").cast("bigint").alias("n_chars")
     )
