@@ -1,0 +1,203 @@
+"""WARC (Web ARChive, ISO 28500 — the public CommonCrawl container)
+source: the ingest format a 100-TB text pipeline actually reads.
+
+Pure-Python record parser + writer and a Spark reader built on the
+``binaryFile`` source + mapInPandas — one task per archive file, which
+is exactly how crawl corpora parallelize (CommonCrawl ships ~1 GB
+.warc.gz files by the hundred thousand; file-level parallelism
+saturates any cluster long before record-level splitting matters.
+Record-level splits inside ONE file would need an offset index because
+the standard .warc.gz is a chain of per-record gzip members with no
+sync markers — the CDX sidecar's job, out of scope here).
+
+Parsing is strict where corruption hides (version magic, exact
+Content-Length, the record-terminating CRLF CRLF) and lenient where
+the wild varies (unknown headers pass through; any WARC-Type is
+surfaced). Malformed records are DROPPED with the rest of the file
+kept — the crawl-bytes discipline the multimodal codecs follow
+(extras/multimodal.py): a bad record must not poison an archive.
+
+HTTP response records (``Content-Type: application/http``) are split
+into status + payload body at the first CRLF CRLF so callers get the
+document bytes directly — the step every C4-style pipeline does first.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+_CRLF2 = b"\r\n\r\n"
+
+WARC_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("record_id", T.StringType()),
+        T.StructField("warc_type", T.StringType()),
+        T.StructField("target_uri", T.StringType()),
+        T.StructField("content_type", T.StringType()),
+        T.StructField("http_status", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def gunzip_members(data: bytes) -> bytes | None:
+    """Decompress a chain of gzip members (the .warc.gz layout: one
+    member per record) into one byte string; None if any member is
+    corrupt."""
+    out, pos = bytearray(), 0
+    while pos < len(data):
+        d = zlib.decompressobj(wbits=31)
+        try:
+            out += d.decompress(data[pos:])
+        except zlib.error:
+            return None
+        if not d.eof:
+            return None  # truncated member
+        consumed = len(data) - pos - len(d.unused_data)
+        if consumed <= 0:
+            return None
+        pos += consumed
+    return bytes(out)
+
+
+def parse_warc(data: bytes) -> list[dict] | None:
+    """Concatenated WARC records -> list of
+    {"version", "headers" (dict, original case preserved; lookup via
+    lower-cased twin), "content" (bytes)}. None only when the stream
+    is unusable from the first record (wrong magic); a record that
+    goes bad mid-stream ends the parse with the good prefix kept
+    (truncated tail = the common corruption)."""
+    if not data.startswith(b"WARC/"):
+        return None
+    records, pos, n = [], 0, len(data)
+    while pos < n:
+        # skip inter-record blank lines
+        while pos < n and data[pos : pos + 2] == b"\r\n":
+            pos += 2
+        if pos >= n:
+            break
+        head_end = data.find(_CRLF2, pos)
+        if head_end < 0:
+            break
+        head = data[pos : head_end]
+        lines = head.split(b"\r\n")
+        if not lines[0].startswith(b"WARC/"):
+            break
+        version = lines[0].decode("ascii", "replace").strip()
+        headers: dict[str, str] = {}
+        ok = True
+        for ln in lines[1:]:
+            if b":" not in ln:
+                ok = False
+                break
+            k, v = ln.split(b":", 1)
+            headers[k.decode("ascii", "replace").strip()] = v.decode(
+                "utf-8", "replace"
+            ).strip()
+        lower = {k.lower(): v for k, v in headers.items()}
+        if not ok or "content-length" not in lower:
+            break
+        try:
+            clen = int(lower["content-length"])
+        except ValueError:
+            break
+        body_start = head_end + 4
+        body_end = body_start + clen
+        # the record block MUST end with CRLF CRLF (ISO 28500 §4)
+        if clen < 0 or data[body_end : body_end + 4] != _CRLF2:
+            break
+        records.append(
+            {
+                "version": version,
+                "headers": headers,
+                "content": data[body_start:body_end],
+            }
+        )
+        pos = body_end + 4
+    return records
+
+
+def write_warc(records: list[dict]) -> bytes:
+    """Records ({"headers": {...}, "content": bytes}) -> concatenated
+    WARC/1.1 bytes. Content-Length is computed; other headers pass
+    through verbatim."""
+    out = bytearray()
+    for r in records:
+        content = r["content"]
+        out += b"WARC/1.1\r\n"
+        for k, v in r["headers"].items():
+            if k.lower() == "content-length":
+                continue
+            out += f"{k}: {v}\r\n".encode()
+        out += f"Content-Length: {len(content)}\r\n".encode()
+        out += b"\r\n"
+        out += content
+        out += _CRLF2
+    return bytes(out)
+
+
+def split_http_response(content: bytes) -> tuple[int | None, bytes]:
+    """HTTP response block -> (status, body). A block without the
+    CRLF CRLF header terminator or a parsable status line comes back
+    as (None, whole block) — surfaced, not dropped, so callers can
+    count protocol oddities."""
+    head_end = content.find(_CRLF2)
+    if head_end < 0:
+        return None, content
+    first = content[:head_end].split(b"\r\n", 1)[0]
+    parts = first.split(b" ")
+    if len(parts) < 2 or not parts[0].startswith(b"HTTP/"):
+        return None, content
+    try:
+        status = int(parts[1])
+    except ValueError:
+        return None, content
+    return status, content[head_end + 4 :]
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Spark reader: binaryFile scan (one task per archive — the crawl
+    parallelism unit) -> mapInPandas parse -> one row per record.
+    ``.warc.gz`` member chains are decompressed worker-side; HTTP
+    response records surface (http_status, document body) directly.
+    Corrupt files/records drop row-wise, never failing the scan."""
+    files = spark.read.format("binaryFile").load(path)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k.name: [] for k in WARC_SCHEMA.fields}
+            for fpath, blob in zip(pdf["path"], pdf["content"]):
+                data = bytes(blob)
+                if data[:2] == b"\x1f\x8b":
+                    data = gunzip_members(data)
+                    if data is None:
+                        continue
+                recs = parse_warc(data)
+                if not recs:
+                    continue
+                for r in recs:
+                    lower = {k.lower(): v for k, v in r["headers"].items()}
+                    ctype = lower.get("content-type", "")
+                    status, payload = (None, r["content"])
+                    if ctype.startswith("application/http"):
+                        status, payload = split_http_response(r["content"])
+                    rows["path"].append(fpath)
+                    rows["record_id"].append(lower.get("warc-record-id"))
+                    rows["warc_type"].append(lower.get("warc-type"))
+                    rows["target_uri"].append(lower.get("warc-target-uri"))
+                    rows["content_type"].append(ctype or None)
+                    rows["http_status"].append(status)
+                    rows["payload"].append(payload)
+                    rows["n_bytes"].append(len(payload))
+            pdf_out = pd.DataFrame(rows)
+            pdf_out["http_status"] = pdf_out["http_status"].astype("Int32")
+            yield pdf_out
+
+    return files.mapInPandas(batches, schema=WARC_SCHEMA)

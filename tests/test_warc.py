@@ -1,0 +1,127 @@
+"""WARC source tests: pure-Python parser/writer roundtrip, the Spark
+reader over plain and per-record-gzip archives, malformed handling,
+and a DuckDB differential over the payload digests (the slot-dry
+discipline: the oracle lives IN the test when no driver slot is
+free)."""
+
+import gzip
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from scio_sparql_spark.sources import warc
+
+SF = "/root/testdata/sf0.001"
+
+
+def _response_record(uri: str, body: bytes, rec_id: str) -> dict:
+    http = b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n" + body
+    return {
+        "headers": {
+            "WARC-Type": "response",
+            "WARC-Record-ID": rec_id,
+            "WARC-Target-URI": uri,
+            "Content-Type": "application/http; msgtype=response",
+        },
+        "content": http,
+    }
+
+
+def test_warc_parse_write_roundtrip_and_strictness():
+    recs = [
+        _response_record("http://a", b"hello world", "<urn:uuid:1>"),
+        {
+            "headers": {"WARC-Type": "warcinfo", "Content-Type": "application/warc-fields"},
+            "content": b"software: test\r\n",
+        },
+        _response_record("http://b", b"\x00\xffbinary\r\n\r\nstuff", "<urn:uuid:2>"),
+    ]
+    data = warc.write_warc(recs)
+    back = warc.parse_warc(data)
+    assert len(back) == 3
+    assert back[0]["version"] == "WARC/1.1"
+    assert [r["content"] for r in back] == [r["content"] for r in recs]
+    assert back[2]["headers"]["WARC-Target-URI"] == "http://b"
+    # wrong magic -> unusable
+    assert warc.parse_warc(b"HTTP/1.1 200 OK\r\n\r\n") is None
+    # truncated tail: good prefix kept (missing final CRLF CRLF)
+    assert len(warc.parse_warc(data[:-2])) == 2
+    # corrupted Content-Length ends the parse at that record
+    import re
+
+    bad = re.sub(rb"Content-Length: \d+", b"Content-Length: 9999", data, count=1)
+    assert bad != data and len(warc.parse_warc(bad)) == 0
+
+
+def test_warc_http_split():
+    s, b = warc.split_http_response(b"HTTP/1.1 404 Not Found\r\nX: y\r\n\r\nnope")
+    assert (s, b) == (404, b"nope")
+    s, b = warc.split_http_response(b"not http at all")
+    assert s is None and b == b"not http at all"
+    s, b = warc.split_http_response(b"HTTP/1.1 banana\r\n\r\nx")
+    assert s is None
+
+
+def test_read_warc_plain_gz_and_corrupt_files(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(40).collect()
+    recs = [
+        _response_record(
+            f"http://corpus/{r['doc_id']}",
+            r["text"].encode(),
+            f"<urn:doc:{r['doc_id']}>",
+        )
+        for r in docs
+        if r["text"] is not None
+    ]
+    half = len(recs) // 2
+    d = tmp_path / "archives"
+    d.mkdir()
+    (d / "a.warc").write_bytes(warc.write_warc(recs[:half]))
+    # standard .warc.gz: one gzip MEMBER per record, concatenated
+    gz = b"".join(gzip.compress(warc.write_warc([r])) for r in recs[half:])
+    (d / "b.warc.gz").write_bytes(gz)
+    (d / "c.warc").write_bytes(b"garbage not a warc")          # dropped whole
+    (d / "d.warc.gz").write_bytes(b"\x1f\x8b\x08corrupt")      # dropped whole
+    out = warc.read_warc(spark, str(d)).filter(F.col("warc_type") == "response")
+    rows = out.collect()
+    assert len(rows) == len(recs)
+    assert {r["http_status"] for r in rows} == {200}
+    got = {r["target_uri"]: bytes(r["payload"]) for r in rows}
+    want = {
+        f"http://corpus/{r['doc_id']}": r["text"].encode()
+        for r in docs
+        if r["text"] is not None
+    }
+    assert got == want
+    # n_bytes is the PAYLOAD length (http headers stripped)
+    assert all(r["n_bytes"] == len(got[r["target_uri"]]) for r in rows)
+
+
+def test_read_warc_duckdb_differential(spark, tmp_path):
+    """Ingest differential: md5 digests of the payloads Spark read out
+    of the archive == DuckDB's digests of the source documents — the
+    whole write->archive->read path preserves every byte."""
+    docs_path = f"{SF}/documents.parquet"
+    docs = spark.read.parquet(docs_path).collect()
+    recs = [
+        _response_record(f"u{r['doc_id']}", r["text"].encode(), f"<{r['doc_id']}>")
+        for r in docs
+        if r["text"] is not None
+    ]
+    p = tmp_path / "x.warc"
+    p.write_bytes(warc.write_warc(recs))
+    got = sorted(
+        (r["target_uri"], r["digest"])
+        for r in warc.read_warc(spark, str(p))
+        .select("target_uri", F.md5("payload").alias("digest"))
+        .collect()
+    )
+    want = sorted(
+        (f"u{i}", h)
+        for i, h in duckdb.sql(
+            f"SELECT doc_id, md5(text) FROM read_parquet('{docs_path}') "
+            "WHERE text IS NOT NULL"
+        ).fetchall()
+    )
+    assert got == want
