@@ -354,6 +354,32 @@ class Union(Node):
 
 
 @dataclass(frozen=True)
+class Service(Node):
+    """SERVICE <iri> { P }: the federated sub-pattern, executed against
+    a REGISTERED local dataset (``execute_sparql(..., services={iri:
+    quads_df})``) — an upgrade over the reference, whose federation
+    resolver unconditionally throws (Interpreter.scala:40-42,
+    README.md:69-70); an UNREGISTERED endpoint reproduces that throw at
+    compile time unless SILENT, which degrades to the spec's single
+    empty solution (SPARQL 1.1 Federated Query §2.2)."""
+
+    iri: str
+    pattern: Node
+    silent: bool = False
+
+    @property
+    def vars(self):
+        return self.pattern.vars
+
+    @property
+    def assured(self):
+        # SILENT may degrade to one all-unbound solution, so nothing is
+        # assured; non-SILENT either executes (the pattern's assurances
+        # hold) or raises before producing rows
+        return frozenset() if self.silent else self.pattern.assured
+
+
+@dataclass(frozen=True)
 class Filter(Node):
     input: Node
     condition: object

@@ -73,7 +73,11 @@ def _contains_exists(e) -> bool:
 
 class Compiler:
     def __init__(
-        self, quads: DataFrame, strict_default: bool = False, star_catalog=None
+        self,
+        quads: DataFrame,
+        strict_default: bool = False,
+        star_catalog=None,
+        services: dict | None = None,
     ):
         self.quads = quads
         self.star_catalog = star_catalog
@@ -83,6 +87,9 @@ class Compiler:
         # instead of the union-default semantics used without a dataset
         # clause (reference: Interpreter.scala:215)
         self.strict_default = strict_default
+        # services: IRI -> quads DataFrame for SERVICE clauses (r13
+        # upgrade; the reference's resolver throws unconditionally)
+        self.services = services or {}
 
     # --- dispatch ---
     def compile(self, node: A.Node) -> DataFrame:
@@ -343,6 +350,37 @@ class Compiler:
         if graph_var:
             sel.append(F.col("__g").alias(graph_var))
         return df.select(*sel) if sel else df.select()
+
+    def _c_service(self, node: A.Service) -> DataFrame:
+        """SERVICE (r13 upgrade): compile the sub-pattern against the
+        REGISTERED dataset with a fresh Compiler — union-default-graph
+        semantics of THAT dataset, its own scans, the enclosing Join
+        handles the solution-compatibility join exactly as for any
+        group. The federation boundary is therefore free: the remote
+        pattern is just another DataFrame subtree Catalyst plans
+        globally (and broadcasts when small), which is the Spark-first
+        answer to federation when the endpoint's data is reachable as
+        a table. Unregistered + SILENT degrades to the spec's single
+        empty solution (Singleton — join-identity, vars stay unbound);
+        unregistered otherwise reproduces the reference's federation
+        throw (Interpreter.scala:40-42)."""
+        ds = self.services.get(node.iri)
+        if ds is None:
+            if node.silent:
+                # one solution with every service var present-but-
+                # unbound (NULL term): a bare 0-column Singleton would
+                # break the enclosing Join's compatibility condition,
+                # which references the service's vars by name
+                return self.spark.range(1).select(
+                    *[null_term().alias(v) for v in sorted(node.vars)]
+                )
+            raise NotImplementedError(
+                f"SERVICE endpoint not registered: <{node.iri}> — pass "
+                "services={iri: quads_df} to execute_sparql (the "
+                "reference's federation resolver throws here too)"
+            )
+        sub = Compiler(ds, strict_default=False, services=self.services)
+        return sub.compile(node.pattern)
 
     def _c_values(self, node: A.Values) -> DataFrame:
         # Arrow LocalRelation, not createDataFrame(rows, schema): the
@@ -901,5 +939,6 @@ def compile_query(
     node: A.Node,
     strict_default: bool = False,
     star_catalog=None,
+    services: dict | None = None,
 ) -> DataFrame:
-    return Compiler(quads, strict_default, star_catalog).compile(node)
+    return Compiler(quads, strict_default, star_catalog, services).compile(node)

@@ -37,6 +37,7 @@ def execute_sparql(
     single_valued: set | frozenset | None = None,
     star_tables=None,
     construct_reduced: bool = False,
+    services: dict | None = None,
 ) -> DataFrame:
     """Run a SPARQL 1.1 query over a quads DataFrame.
 
@@ -51,6 +52,11 @@ def execute_sparql(
     projected variables (the reference splices initial bindings into the
     query text pre-parse — Interpreter.scala:191-205; joining a one-row
     VALUES at the algebra level is the injection-safe equivalent).
+
+    ``services`` maps SERVICE endpoint IRIs to quads DataFrames: the
+    federated sub-pattern executes against the registered dataset
+    (upgrade — the reference's resolver throws, Interpreter.scala:40-42;
+    an unregistered non-SILENT endpoint reproduces that throw).
 
     ``star_tables`` is an optional ``star.StarCatalog`` (or list of
     ``star.PropertyTable``) consistent with ``quads``: subject-wide
@@ -106,7 +112,9 @@ def execute_sparql(
         root = _join_beneath_projection(root, values)
     if strict:
         quads = _apply_dataset(quads, frm, named)
-    df = compile_query(quads, root, strict_default=strict, star_catalog=catalog)
+    df = compile_query(
+        quads, root, strict_default=strict, star_catalog=catalog, services=services
+    )
     if q.form == "ask":
         # limit(1) stops the scan at the first solution; the count-agg is
         # over at most one row

@@ -158,6 +158,12 @@ def reorder_joins(node, star_catalog=None):
             node.s, node.o, reorder_joins(node.path, sv), node.start_var,
             node.end_var, node.min_length, node.graph_mode, node.graph,
         )
+    if isinstance(node, A.Service):
+        # the sub-pattern executes against the SERVICE's own dataset:
+        # reorder its joins, but drop the star catalog — property
+        # tables describe the OUTER dataset and must not fuse into a
+        # foreign one
+        return A.Service(node.iri, reorder_joins(node.pattern, None), node.silent)
     return node
 
 

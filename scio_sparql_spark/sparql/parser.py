@@ -638,9 +638,23 @@ class Parser:
                 self.next()
                 join(self.parse_values_body())
             elif self.at_kw("SERVICE"):
-                # parity: the reference's federation resolver throws
-                # (README.md:69-70, Interpreter.scala:40-42)
-                raise SyntaxError("SERVICE / federated queries are not supported")
+                # upgrade (r13): executes against a dataset registered
+                # via execute_sparql(services={iri: quads}); an
+                # unregistered endpoint reproduces the reference's
+                # federation throw (README.md:69-70,
+                # Interpreter.scala:40-42) at compile time
+                self.next()
+                silent = False
+                if self.at_kw("SILENT"):
+                    self.next()
+                    silent = True
+                if self.peek().kind == "VAR":
+                    raise SyntaxError(
+                        "SERVICE with a variable endpoint is not supported"
+                    )
+                endpoint = self.parse_iri()
+                inner = self.parse_ggp()
+                join(A.Service(endpoint.lex, inner, silent))
             elif self.at_op("{"):
                 inner = self.parse_ggp()
                 while self.at_kw("UNION"):
@@ -708,6 +722,7 @@ class Parser:
                 or (t2.kind == "KEYWORD" and t2.value.upper() in (
                     "OPTIONAL", "MINUS", "GRAPH", "FILTER", "BIND", "VALUES",
                     "UNION", "GROUP", "HAVING", "ORDER", "LIMIT", "OFFSET",
+                    "SERVICE",
                 ))
             )
             if stop or self.at_op("{"):

@@ -178,15 +178,59 @@ def test_construct_reduced_skips_dedup(spark):
     assert "Deduplicate" not in plan and "Aggregate" not in plan, plan
 
 
-def test_service_clear_parse_error(spark):
-    """SURVEY §2.13 parity: SERVICE is unsupported with a clear
-    parse-time error — the reference's federation resolver throws the
-    same way (Interpreter.scala:40-42, README.md:69-70)."""
+def test_service_unregistered_raises_like_reference(spark):
+    """SURVEY §2.13: an UNREGISTERED SERVICE endpoint reproduces the
+    reference's federation throw (Interpreter.scala:40-42,
+    README.md:69-70); a variable endpoint stays a parse error."""
     import pytest
 
     ttl = "@prefix : <urn:x:> . :a :p 1 ."
     quads = quads_df_from_list(spark, parse_turtle(ttl))
     q = """PREFIX : <urn:x:> SELECT ?v WHERE {
       SERVICE <http://example.org/sparql> { ?s :p ?v } }"""
-    with pytest.raises(SyntaxError, match="SERVICE"):
+    with pytest.raises(NotImplementedError, match="SERVICE endpoint not registered"):
         execute_sparql(quads, q)
+    with pytest.raises(SyntaxError, match="variable endpoint"):
+        execute_sparql(
+            quads,
+            "PREFIX : <urn:x:> SELECT ?v WHERE { SERVICE ?e { ?s :p ?v } }",
+        )
+
+
+def test_service_executes_against_registered_dataset(spark):
+    """SERVICE upgrade (r13): the sub-pattern runs against the
+    registered dataset and joins with the outer group on the shared
+    variable; SILENT + unregistered degrades to the single empty
+    solution (outer rows survive, service vars unbound)."""
+    import pytest
+
+    local = quads_df_from_list(
+        spark,
+        parse_turtle(
+            "@prefix : <urn:x:> . :a :name \"alice\" . :b :name \"bob\" ."
+        ),
+    )
+    remote = quads_df_from_list(
+        spark,
+        parse_turtle("@prefix : <urn:x:> . :a :age 30 . :c :age 99 ."),
+    )
+    q = """PREFIX : <urn:x:> SELECT ?n ?age WHERE {
+      ?s :name ?n .
+      SERVICE <urn:svc:people> { ?s :age ?age } }"""
+    rows = execute_sparql(
+        local, q, services={"urn:svc:people": remote}
+    ).collect()
+    got = {(r["n"]["lex"], r["age"]["lex"]) for r in rows}
+    assert got == {("alice", "30")}  # :b has no remote age; :c no local name
+
+    silent = """PREFIX : <urn:x:> SELECT ?n ?age WHERE {
+      ?s :name ?n .
+      SERVICE SILENT <urn:svc:missing> { ?s :age ?age } }"""
+    rows = execute_sparql(local, silent).collect()
+    assert {(r["n"]["lex"], r["age"]) for r in rows} == {
+        ("alice", None),
+        ("bob", None),
+    }
+    # non-SILENT missing endpoint still throws
+    with pytest.raises(NotImplementedError):
+        execute_sparql(local, silent.replace("SILENT ", ""))
