@@ -3935,6 +3935,12 @@ CATALOG_FRONT = [
     # re-gates now rather than riding the 2-round policy. 47 + 3 = 50,
     # nobody is displaced, and after this window every active entry's
     # evidence is r12 or r13.
+    # r14 NOTE: actives = 99, so next round's window is the 49 entries
+    # whose latest evidence is r12 plus ONE spare slot — earmarked for
+    # a sparql_service entry gating the r13 SERVICE upgrade (pytest-
+    # locked this round, tests/test_query_forms.py; adding it mid-r13
+    # would either displace a due entry past the 2-round policy or be
+    # born windowless).
     "stream_dedup_neardup",
     "corpus_sketch_store",
     "multimodal_features",
