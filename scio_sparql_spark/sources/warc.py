@@ -162,6 +162,37 @@ def split_http_response(content: bytes) -> tuple[int | None, bytes]:
     return status, content[head_end + 4 :]
 
 
+def _record_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        rows = {k.name: [] for k in WARC_SCHEMA.fields}
+        for fpath, blob in zip(pdf["path"], pdf["content"]):
+            data = bytes(blob)
+            if data[:2] == b"\x1f\x8b":
+                data = gunzip_members(data)
+                if data is None:
+                    continue
+            recs = parse_warc(data)
+            if not recs:
+                continue
+            for r in recs:
+                lower = {k.lower(): v for k, v in r["headers"].items()}
+                ctype = lower.get("content-type", "")
+                status, payload = (None, r["content"])
+                if ctype.startswith("application/http"):
+                    status, payload = split_http_response(r["content"])
+                rows["path"].append(fpath)
+                rows["record_id"].append(lower.get("warc-record-id"))
+                rows["warc_type"].append(lower.get("warc-type"))
+                rows["target_uri"].append(lower.get("warc-target-uri"))
+                rows["content_type"].append(ctype or None)
+                rows["http_status"].append(status)
+                rows["payload"].append(payload)
+                rows["n_bytes"].append(len(payload))
+        pdf_out = pd.DataFrame(rows)
+        pdf_out["http_status"] = pdf_out["http_status"].astype("Int32")
+        yield pdf_out
+
+
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
     """Spark reader: binaryFile scan (one task per archive — the crawl
     parallelism unit) -> mapInPandas parse -> one row per record.
@@ -169,35 +200,25 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     response records surface (http_status, document body) directly.
     Corrupt files/records drop row-wise, never failing the scan."""
     files = spark.read.format("binaryFile").load(path)
+    return files.mapInPandas(_record_batches, schema=WARC_SCHEMA)
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            rows = {k.name: [] for k in WARC_SCHEMA.fields}
-            for fpath, blob in zip(pdf["path"], pdf["content"]):
-                data = bytes(blob)
-                if data[:2] == b"\x1f\x8b":
-                    data = gunzip_members(data)
-                    if data is None:
-                        continue
-                recs = parse_warc(data)
-                if not recs:
-                    continue
-                for r in recs:
-                    lower = {k.lower(): v for k, v in r["headers"].items()}
-                    ctype = lower.get("content-type", "")
-                    status, payload = (None, r["content"])
-                    if ctype.startswith("application/http"):
-                        status, payload = split_http_response(r["content"])
-                    rows["path"].append(fpath)
-                    rows["record_id"].append(lower.get("warc-record-id"))
-                    rows["warc_type"].append(lower.get("warc-type"))
-                    rows["target_uri"].append(lower.get("warc-target-uri"))
-                    rows["content_type"].append(ctype or None)
-                    rows["http_status"].append(status)
-                    rows["payload"].append(payload)
-                    rows["n_bytes"].append(len(payload))
-            pdf_out = pd.DataFrame(rows)
-            pdf_out["http_status"] = pdf_out["http_status"].astype("Int32")
-            yield pdf_out
 
-    return files.mapInPandas(batches, schema=WARC_SCHEMA)
+def stream_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Structured Streaming twin of read_warc: the binaryFile FILE
+    SOURCE watches the directory, each newly-landed archive becomes
+    one task in the next micro-batch, and the identical Arrow parse
+    stage emits its records — continuous crawl ingest with exactly the
+    batch reader's semantics (streaming == batch over a bounded replay
+    is pytest-locked). Downstream composes the usual way: the
+    watermarked near-dup/exact dedup stages in streaming/dedup.py."""
+    files = (
+        spark.readStream.format("binaryFile")
+        # the binaryFile source schema is fixed; passing it explicitly
+        # is required by readStream
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .load(path)
+    )
+    return files.mapInPandas(_record_batches, schema=WARC_SCHEMA)

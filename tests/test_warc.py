@@ -98,6 +98,37 @@ def test_read_warc_plain_gz_and_corrupt_files(spark, tmp_path):
     assert all(r["n_bytes"] == len(got[r["target_uri"]]) for r in rows)
 
 
+def test_stream_warc_equals_batch(spark, tmp_path):
+    """Streaming == batch for crawl ingest: the bounded replay of the
+    archive directory through stream_warc yields exactly read_warc's
+    record rows."""
+    from scio_sparql_spark.sources.warc import read_warc, stream_warc
+    from scio_sparql_spark.streaming.bounded import run_bounded
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(30).collect()
+    recs = [
+        _response_record(f"u{r['doc_id']}", r["text"].encode(), f"<{r['doc_id']}>")
+        for r in docs
+        if r["text"] is not None
+    ]
+    d = tmp_path / "stream_archives"
+    d.mkdir()
+    (d / "a.warc").write_bytes(warc.write_warc(recs[:10]))
+    (d / "b.warc.gz").write_bytes(
+        b"".join(gzip.compress(warc.write_warc([r])) for r in recs[10:])
+    )
+
+    def rows(df):
+        return sorted(
+            (r["target_uri"], r["http_status"], bytes(r["payload"]))
+            for r in df.select("target_uri", "http_status", "payload").collect()
+        )
+
+    got = rows(run_bounded(stream_warc(spark, str(d)), shuffle_partitions=4))
+    assert got == rows(read_warc(spark, str(d)))
+    assert len(got) == len(recs)
+
+
 def test_read_warc_duckdb_differential(spark, tmp_path):
     """Ingest differential: md5 digests of the payloads Spark read out
     of the archive == DuckDB's digests of the source documents — the
