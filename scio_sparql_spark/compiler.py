@@ -263,6 +263,13 @@ class Compiler:
             edges = inner.select(*ecols).distinct().localCheckpoint()
             reach = edges
             frontier = edges
+            # new / old_reach / old_frontier are non-None only inside the
+            # windows where they hold a materialized checkpoint the named
+            # reach/frontier/edges vars do NOT — so the except handler can
+            # free them without double-releasing (ADVICE r13: a failure in
+            # new.isEmpty(), or between the superseding reach checkpoint
+            # and the old pair's release, used to leak those blocks)
+            new = old_reach = old_frontier = None
             try:
                 while True:
                 # left_anti instead of subtract: EXCEPT over checkpointed
@@ -290,6 +297,7 @@ class Compiler:
                         if frontier is not edges:
                             release_checkpoint(frontier)
                         release_checkpoint(new)
+                        new = None
                         break
                     old_reach, old_frontier = reach, frontier
                     reach = reach.unionByName(new).localCheckpoint()
@@ -302,7 +310,9 @@ class Compiler:
                         release_checkpoint(old_reach)
                     if old_frontier is not edges and old_frontier is not old_reach:
                         release_checkpoint(old_frontier)
+                    old_reach = old_frontier = None
                     frontier = new
+                    new = None
             except BaseException:
                 # mid-round failure or job cancel: free the fixpoint's
                 # pinned blocks so interrupted queries don't accumulate
@@ -312,6 +322,23 @@ class Compiler:
                     release_checkpoint(reach)
                 if frontier is not edges and frontier is not reach:
                     release_checkpoint(frontier)
+                if new is not None and new is not frontier:
+                    release_checkpoint(new)
+                if (
+                    old_reach is not None
+                    and old_reach is not edges
+                    and old_reach is not reach
+                    and old_reach is not frontier
+                ):
+                    release_checkpoint(old_reach)
+                if (
+                    old_frontier is not None
+                    and old_frontier is not edges
+                    and old_frontier is not reach
+                    and old_frontier is not frontier
+                    and old_frontier is not old_reach
+                ):
+                    release_checkpoint(old_frontier)
                 raise
         finally:
             self.spark.conf.set(conf_key, prev)

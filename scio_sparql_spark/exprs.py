@@ -101,10 +101,17 @@ def compile_bool(e, env: Env) -> Column:
             numr, _, _ = _numeric_parts_of(e.right, env)
             # Spark orders NaN greatest; XPath says every ordering
             # comparison involving NaN is FALSE (a real boolean, not a
-            # type error). NULL operands skip the when-branch (isnan of
-            # NULL is NULL) and keep NULL propagation via f().
+            # type error). The NaN branch must ALSO require both sides
+            # non-NULL: with one operand NULL (type error) and the other
+            # NaN, `isnan(NULL)|isnan(NaN)` is NULL|TRUE = TRUE in 3VL,
+            # which would return a real False where SPARQL propagates
+            # the error (and under negation would KEEP a row the spec
+            # drops) — ADVICE r13.
             return F.when(
-                F.isnan(numl) | F.isnan(numr), F.lit(False)
+                numl.isNotNull()
+                & numr.isNotNull()
+                & (F.isnan(numl) | F.isnan(numr)),
+                F.lit(False),
             ).otherwise(_OPS[e.op](numl, numr))
         return _compare(e.op, compile_value(e.left, env), compile_value(e.right, env))
     if isinstance(e, A.EIn):

@@ -313,8 +313,9 @@ def value_histogram_sketch(
       — loud, never silent data loss.
     - ``"signed"``: negatives land in MIRRORED buckets (the |v| bucket
       with a negated prefix), so one grid covers the full bigint line
-      minus LONG_MIN (|LONG_MIN| overflows; ANSI abs raises, which is
-      the correct loud behavior).
+      minus LONG_MIN (|LONG_MIN| overflows; an explicit raise_error
+      guard keeps that loud — non-ANSI ``abs(LONG_MIN)`` silently
+      returns LONG_MIN and would yield a garbage bucket, ADVICE r13).
     - ``"drop"``: the old explicit opt-in exclusion (kept for
       pipelines whose negative tail is deliberate noise; callers now
       SAY so)."""
@@ -333,9 +334,22 @@ def value_histogram_sketch(
             F.lit(False).alias("__neg"),
         )
     elif negatives == "signed":
+        # spark.sql.ansi.enabled defaults to false, where abs(LONG_MIN)
+        # silently returns LONG_MIN (negative) — guard it explicitly so
+        # the overflow stays loud regardless of the ANSI setting
+        vb = v.cast("bigint")
+        safe_abs = F.when(
+            vb == F.lit(-(2**63)).cast("bigint"),
+            F.raise_error(
+                F.lit(
+                    "value_histogram_sketch(negatives='signed'): "
+                    "|LONG_MIN| overflows bigint"
+                )
+            ).cast("bigint"),
+        ).otherwise(F.abs(vb))
         prepared = base.select(
             F.col(key_col).alias("key"),
-            F.abs(v.cast("bigint")).alias("__av"),
+            safe_abs.alias("__av"),
             (v < 0).alias("__neg"),
         )
     else:  # error: loud at execution time, zero cost on clean data

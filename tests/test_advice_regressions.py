@@ -386,3 +386,105 @@ def test_interrupted_fixpoint_releases_blocks_and_session_survives(
         for r in dedup.connected_components(edges).collect()
     }
     assert labels == {i: 0 for i in range(32)}
+
+
+def test_nan_ordering_fast_path_keeps_null_propagation(spark):
+    """ADVICE r13 item 1: the slim ordering lane's NaN branch must not
+    swallow NULL (type-error) propagation. With ?u unbound and the
+    other side the NaN constant, `isnan(NULL)|isnan(NaN)` is TRUE in
+    3VL, so the unguarded branch returned a real False — and under
+    negation KEPT a row SPARQL error semantics drop."""
+    from scio_sparql_spark import execute_sparql, parse_turtle, quads_df_from_list
+
+    quads = quads_df_from_list(
+        spark, parse_turtle("@prefix : <urn:x:> . :a :p 1 . :b :p 2 .")
+    )
+    pre = (
+        "PREFIX : <urn:x:> "
+        "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> "
+    )
+    # ?u never bound: error < NaN is an ERROR (drop), not False — so
+    # the negation must ALSO drop the row, not keep it
+    q = (
+        pre + "SELECT ?s WHERE { ?s :p ?v . OPTIONAL { ?s :q ?u } "
+        'FILTER(!(?u < "NaN"^^xsd:double)) }'
+    )
+    assert execute_sparql(quads, q).count() == 0
+    # bound numeric vs NaN: a real False, negation keeps both rows
+    q2 = (
+        pre + "SELECT ?s WHERE { ?s :p ?v . "
+        'FILTER(!(?v < "NaN"^^xsd:double)) }'
+    )
+    assert execute_sparql(quads, q2).count() == 2
+    # un-negated forms: both drop everything
+    q3 = (
+        pre + "SELECT ?s WHERE { ?s :p ?v . "
+        'FILTER(?v < "NaN"^^xsd:double) }'
+    )
+    assert execute_sparql(quads, q3).count() == 0
+    q4 = (
+        pre + "SELECT ?s WHERE { ?s :p ?v . OPTIONAL { ?s :q ?u } "
+        'FILTER(?u < "NaN"^^xsd:double) }'
+    )
+    assert execute_sparql(quads, q4).count() == 0
+
+
+def test_interrupted_path_fixpoint_releases_new_frontier(spark, monkeypatch):
+    """ADVICE r13 item 2: a failure surfacing in ``new.isEmpty()`` —
+    after the round's frontier checkpoint materialized but before any
+    named var holds it — must not strand that block. 5 interrupted
+    ``p+`` runs may not grow the pinned RDD count, and the session
+    still answers the query correctly afterwards."""
+    from scio_sparql_spark import execute_sparql, parse_turtle, quads_df_from_list
+
+    sc = spark.sparkContext
+
+    def pinned():
+        return len(sc._jsc.sc().getRDDStorageInfo())
+
+    quads = quads_df_from_list(
+        spark, parse_turtle("@prefix : <urn:x:> . :a :p :b . :b :p :c . :c :p :d .")
+    )
+    q = "PREFIX : <urn:x:> SELECT ?x WHERE { :a :p+ ?x }"
+    cls = type(quads)  # the concrete (classic) DataFrame class
+    orig = cls.isEmpty
+
+    def boom(self):
+        raise RuntimeError("injected isEmpty failure")
+
+    base = pinned()
+    monkeypatch.setattr(cls, "isEmpty", boom)
+    try:
+        counts = []
+        for _ in range(5):
+            with pytest.raises(RuntimeError, match="injected"):
+                execute_sparql(quads, q).collect()
+            counts.append(pinned())
+    finally:
+        monkeypatch.setattr(cls, "isEmpty", orig)
+    assert counts[-1] <= base + 2, (base, counts)
+    got = sorted(r["x"]["lex"] for r in execute_sparql(quads, q).collect())
+    assert got == ["urn:x:b", "urn:x:c", "urn:x:d"]
+
+
+def test_histogram_signed_long_min_raises(spark):
+    """ADVICE r13 item 3: non-ANSI abs(LONG_MIN) silently returns
+    LONG_MIN; the signed histogram must fail loud instead of emitting
+    a garbage bucket."""
+    from scio_sparql_spark.extras import sketches
+
+    df = spark.createDataFrame(
+        [("k", -(2**63)), ("k", 5)], "k string, v long"
+    )
+    sk = sketches.value_histogram_sketch(df, "k", "v", negatives="signed")
+    with pytest.raises(Exception, match="LONG_MIN"):
+        sk.collect()
+    # ordinary negatives still mirror cleanly
+    ok = spark.createDataFrame(
+        [("k", -6), ("k", 6), ("k", -(2**63) + 1)], "k string, v long"
+    )
+    rows = sketches.value_histogram_sketch(
+        ok, "k", "v", negatives="signed"
+    ).collect()
+    assert sum(r["c"] for r in rows) == 3
+    assert {r["prefix"] < 0 for r in rows} == {True, False}
