@@ -17,6 +17,14 @@ surfaced). Malformed records are DROPPED with the rest of the file
 kept — the crawl-bytes discipline the multimodal codecs follow
 (extras/multimodal.py): a bad record must not poison an archive.
 
+r14 adds the CDX sidecar the module docstring promised: the
+distributed writer (``write_warc_archives``) emits one
+(path, record_id, offset, length) row per record while it writes —
+offsets of the per-record gzip MEMBER for .warc.gz, raw byte ranges
+for plain .warc — and ``read_warc(cdx=...)`` turns those ranges into
+tasks, so a FEW FAT archives split record-wise instead of one task
+per file (CDX is exactly how CommonCrawl's own index solves this).
+
 HTTP response records (``Content-Type: application/http``) are split
 into status + payload body at the first CRLF CRLF so callers get the
 document bytes directly — the step every C4-style pipeline does first.
@@ -24,11 +32,13 @@ document bytes directly — the step every C4-style pipeline does first.
 
 from __future__ import annotations
 
+import os
 import zlib
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _CRLF2 = b"\r\n\r\n"
@@ -162,45 +172,191 @@ def split_http_response(content: bytes) -> tuple[int | None, bytes]:
     return status, content[head_end + 4 :]
 
 
+def _append_archive_rows(rows: dict, fpath: str, data: bytes) -> None:
+    """Parse one (possibly gzip-member-chained) archive byte string and
+    append its record rows to the WARC_SCHEMA column dict; corrupt
+    archives/records drop row-wise."""
+    if data[:2] == b"\x1f\x8b":
+        data = gunzip_members(data)
+        if data is None:
+            return
+    recs = parse_warc(data)
+    if not recs:
+        return
+    for r in recs:
+        lower = {k.lower(): v for k, v in r["headers"].items()}
+        ctype = lower.get("content-type", "")
+        status, payload = (None, r["content"])
+        if ctype.startswith("application/http"):
+            status, payload = split_http_response(r["content"])
+        rows["path"].append(fpath)
+        rows["record_id"].append(lower.get("warc-record-id"))
+        rows["warc_type"].append(lower.get("warc-type"))
+        rows["target_uri"].append(lower.get("warc-target-uri"))
+        rows["content_type"].append(ctype or None)
+        rows["http_status"].append(status)
+        rows["payload"].append(payload)
+        rows["n_bytes"].append(len(payload))
+
+
+def _finish_batch(rows: dict) -> pd.DataFrame:
+    pdf_out = pd.DataFrame(rows)
+    pdf_out["http_status"] = pdf_out["http_status"].astype("Int32")
+    return pdf_out
+
+
 def _record_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in it:
         rows = {k.name: [] for k in WARC_SCHEMA.fields}
         for fpath, blob in zip(pdf["path"], pdf["content"]):
-            data = bytes(blob)
-            if data[:2] == b"\x1f\x8b":
-                data = gunzip_members(data)
-                if data is None:
-                    continue
-            recs = parse_warc(data)
-            if not recs:
-                continue
-            for r in recs:
-                lower = {k.lower(): v for k, v in r["headers"].items()}
-                ctype = lower.get("content-type", "")
-                status, payload = (None, r["content"])
-                if ctype.startswith("application/http"):
-                    status, payload = split_http_response(r["content"])
-                rows["path"].append(fpath)
-                rows["record_id"].append(lower.get("warc-record-id"))
-                rows["warc_type"].append(lower.get("warc-type"))
-                rows["target_uri"].append(lower.get("warc-target-uri"))
-                rows["content_type"].append(ctype or None)
-                rows["http_status"].append(status)
-                rows["payload"].append(payload)
-                rows["n_bytes"].append(len(payload))
-        pdf_out = pd.DataFrame(rows)
-        pdf_out["http_status"] = pdf_out["http_status"].astype("Int32")
-        yield pdf_out
+            _append_archive_rows(rows, fpath, bytes(blob))
+        yield _finish_batch(rows)
 
 
-def read_warc(spark: SparkSession, path: str) -> DataFrame:
+CDX_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("record_id", T.StringType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("length", T.LongType()),
+    ]
+)
+
+
+def write_warc_archives(
+    df: DataFrame,
+    out_dir: str,
+    shards: int = 32,
+    compress: bool = True,
+    id_col: str = "record_id",
+    uri_col: str = "target_uri",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Distributed WARC egress: shard ``df`` (record_id, target_uri,
+    payload binary) into ``shards`` archive files under ``out_dir``,
+    each payload wrapped as an HTTP/1.1 200 response record (the
+    crawl-corpus shape). Returns the CDX sidecar as a DataFrame —
+    (path, record_id, offset, length) per record, produced by the SAME
+    tasks that write the bytes, so the index costs nothing extra:
+    offsets name the record's own gzip member for .warc.gz (the
+    CommonCrawl one-member-per-record layout) or its raw byte range
+    for plain .warc. Materializing the returned frame (e.g.
+    ``.write.parquet(sidecar)``) IS the write job.
+
+    Tasks write to an attempt-suffixed temp name and ``os.replace`` to
+    the deterministic per-shard name, so retries/speculation are
+    idempotent. Paths are driver-visible filesystem paths (local/NFS —
+    the test/bench environment); an object-store deployment would swap
+    the ``open`` for a pyarrow.fs stream, the offset arithmetic is
+    identical."""
+    os.makedirs(out_dir, exist_ok=True)
+    ext = ".warc.gz" if compress else ".warc"
+    # clear stale shard files so a re-run with fewer shards can't leave
+    # orphans behind (deterministic names make this a plain unlink)
+    for f in os.listdir(out_dir):
+        if f.startswith("part-") and (f.endswith(".warc") or f.endswith(".warc.gz")):
+            os.unlink(os.path.join(out_dir, f))
+    src = df.select(
+        F.col(id_col).alias("record_id"),
+        F.col(uri_col).alias("target_uri"),
+        F.col(payload_col).cast("binary").alias("payload"),
+    ).repartition(shards, "record_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        final = os.path.join(out_dir, f"part-{ctx.partitionId():05d}{ext}")
+        tmp = f"{final}.tmp-{ctx.taskAttemptId()}"
+        fh, off = None, 0
+        cdx = {"path": [], "record_id": [], "offset": [], "length": []}
+        try:
+            for pdf in batches:
+                for rid, uri, payload in zip(
+                    pdf["record_id"], pdf["target_uri"], pdf["payload"]
+                ):
+                    body = (
+                        b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
+                        + bytes(payload)
+                    )
+                    rec = write_warc(
+                        [
+                            {
+                                "headers": {
+                                    "WARC-Type": "response",
+                                    "WARC-Record-ID": str(rid),
+                                    "WARC-Target-URI": str(uri),
+                                    "Content-Type": "application/http; msgtype=response",
+                                },
+                                "content": body,
+                            }
+                        ]
+                    )
+                    if compress:
+                        c = zlib.compressobj(6, wbits=31)
+                        rec = c.compress(rec) + c.flush()
+                    if fh is None:
+                        fh = open(tmp, "wb")
+                    fh.write(rec)
+                    cdx["path"].append(final)
+                    cdx["record_id"].append(str(rid))
+                    cdx["offset"].append(off)
+                    cdx["length"].append(len(rec))
+                    off += len(rec)
+            if fh is not None:
+                fh.close()
+                fh = None
+                os.replace(tmp, final)
+        finally:
+            if fh is not None:
+                fh.close()
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
+        yield pd.DataFrame(cdx)
+
+    return src.mapInPandas(gen, schema=CDX_SCHEMA)
+
+
+def read_warc(spark: SparkSession, path: str, cdx: DataFrame | None = None) -> DataFrame:
     """Spark reader: binaryFile scan (one task per archive — the crawl
     parallelism unit) -> mapInPandas parse -> one row per record.
     ``.warc.gz`` member chains are decompressed worker-side; HTTP
     response records surface (http_status, document body) directly.
-    Corrupt files/records drop row-wise, never failing the scan."""
-    files = spark.read.format("binaryFile").load(path)
-    return files.mapInPandas(_record_batches, schema=WARC_SCHEMA)
+    Corrupt files/records drop row-wise, never failing the scan.
+
+    With ``cdx`` (a DataFrame of (path, offset, length) ranges — the
+    write_warc_archives sidecar or a parsed CommonCrawl CDX), the scan
+    is RANGE-SPLIT instead: ranges spread over defaultParallelism
+    tasks, each seek-reading only its records, so one fat archive no
+    longer binds to one task. Ranges must cover whole records (gzip
+    members for .warc.gz); each range is parsed with the identical
+    strict parser, so split read == whole read row-for-row."""
+    if cdx is None:
+        files = spark.read.format("binaryFile").load(path)
+        return files.mapInPandas(_record_batches, schema=WARC_SCHEMA)
+    slices = cdx.select("path", "offset", "length").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        handles: dict[str, object] = {}
+        try:
+            for pdf in batches:
+                rows = {k.name: [] for k in WARC_SCHEMA.fields}
+                # seek order: group by file, ascending offset
+                pdf = pdf.sort_values(["path", "offset"])
+                for p, o, ln in zip(pdf["path"], pdf["offset"], pdf["length"]):
+                    fh = handles.get(p)
+                    if fh is None:
+                        fh = handles[p] = open(p, "rb")
+                    fh.seek(int(o))
+                    _append_archive_rows(rows, p, fh.read(int(ln)))
+                yield _finish_batch(rows)
+        finally:
+            for fh in handles.values():
+                fh.close()
+
+    return slices.mapInPandas(gen, schema=WARC_SCHEMA)
 
 
 def stream_warc(spark: SparkSession, path: str) -> DataFrame:

@@ -2261,6 +2261,76 @@ def q_docs_jsonl_roundtrip(spark, sf_dir):
     )
 
 
+def q_docs_warc_ingest(spark, sf_dir):
+    """WARC crawl ingest, end-to-end (r14 driver gate — VERDICT r13
+    next #1b/#4): wrap every document as an HTTP-response record, write
+    a sharded .warc.gz archive set with the DISTRIBUTED writer (one
+    gzip member per record, the CommonCrawl layout), persist the CDX
+    offset sidecar the same tasks emit, then read the records back
+    through the RANGE-SPLIT path (read_warc(cdx=...)) — so the gate
+    hash-verifies the writer's member framing, the sidecar's offset
+    arithmetic AND the strict parser in one pass. The DuckDB oracle
+    rebuilds (uri, status, digest, n_bytes) from the source table
+    directly: the hash matches only if archive bytes round-trip
+    exactly. Reference has no crawl source at all (sources/warc.py
+    cites ISO 28500)."""
+    import os
+    import tempfile
+
+    from .sources import warc
+
+    docs = _table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    src = docs.select(
+        F.concat(F.lit("<urn:doc:"), "doc_id", F.lit(">")).alias("record_id"),
+        F.concat(F.lit("u"), "doc_id").alias("target_uri"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    app_id = spark.sparkContext.applicationId
+    tag = os.path.basename(os.path.abspath(sf_dir))
+    out = os.path.join(tempfile.gettempdir(), f"scio_warc_{app_id}_{tag}")
+    # materializing the sidecar IS the archive-write job (idempotent:
+    # deterministic shard names, temp-then-replace)
+    cdx_path = out + "_cdx"
+    warc.write_warc_archives(src, out, shards=16).write.mode(
+        "overwrite"
+    ).parquet(cdx_path)
+    read = warc.read_warc(spark, out, cdx=spark.read.parquet(cdx_path))
+    return read.filter(F.col("warc_type") == "response").select(
+        "target_uri",
+        F.col("http_status").cast("int").alias("http_status"),
+        F.md5("payload").alias("digest"),
+        "n_bytes",
+    )
+
+
+def q_sparql_service(spark, sf_dir):
+    """SERVICE federation gate (r14 — the earmarked slot, df29a66):
+    the outer BGP runs over the supplier+nation dataset; the SERVICE
+    block resolves against a SECOND registered dataset holding region.
+    Row IRIs are scheme-stable across bridged datasets
+    (urn:region:{key}), so the federation boundary is a plain
+    solution-compatibility join Catalyst plans globally — broadcast
+    here, since the remote side is 5 rows. The reference's federation
+    resolver throws unconditionally (Interpreter.scala:40-42); this
+    executes."""
+    quads, catalog = bridge_ctx(spark, sf_dir, ["supplier", "nation"])
+    remote, _ = bridge_ctx(spark, sf_dir, ["region"])
+    q = """SELECT ?s_name ?r_name WHERE {
+         ?s col:s_name ?s_name ; ref:s_nationkey ?n .
+         ?n ref:n_regionkey ?r .
+         SERVICE <urn:svc:geo> { ?r col:r_name ?r_name . } }"""
+    df = execute_sparql(
+        quads,
+        PREFIXES + q,
+        star_tables=catalog,
+        services={"urn:svc:geo": remote},
+    )
+    return df.select(
+        F.col("s_name")["lex"].alias("s_name"),
+        F.col("r_name")["lex"].alias("r_name"),
+    )
+
+
 def q_retrieval_bm25(spark, sf_dir):
     """BM25 top-10 for a 3-term probe query; query-term filter runs
     map-side before any shuffle."""
@@ -3386,6 +3456,23 @@ EXTRA_QUERIES = {
         q_docs_jsonl_roundtrip,
         "SELECT doc_id, lang, source, n_chars, md5(text) AS digest FROM documents",
     ),
+    # WARC write -> CDX sidecar -> range-split read: the oracle rebuilds
+    # every record's (uri, status, digest, byte length) from the source
+    # rows, so the hash passes only if the archive bytes round-trip
+    "docs_warc_ingest": (
+        q_docs_warc_ingest,
+        "SELECT 'u' || doc_id AS target_uri, 200 AS http_status, "
+        "md5(text) AS digest, octet_length(encode(text)) AS n_bytes "
+        "FROM documents WHERE text IS NOT NULL",
+    ),
+    # SERVICE over a second registered dataset == the plain two-dataset
+    # relational join
+    "sparql_service": (
+        q_sparql_service,
+        "SELECT s_name, r_name FROM supplier "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey",
+    ),
     "retrieval_bm25": (
         q_retrieval_bm25,
         # constants written as the same arithmetic the Spark side does
@@ -3916,82 +4003,84 @@ CATALOG_RETIRED = {
     # bounded entry exists to replace (its own docstring says so), not
     # machinery worth a driver slot. cms_merge stays pytest-locked.
     "corpus_heavy_hitters_cms": "corpus_heavy_hitters_cms_bounded (same build+probe)",
+    # r14 (active slot for docs_warc_ingest, alongside the earmarked
+    # spare slot going to sparql_service): FILTER-position EXISTS is
+    # covered twice over by in-window siblings — sparql_bind_exists's
+    # _rewrite_exists compiles BOTH polarities through the SAME
+    # compiler._exists semi/anti-join lowering (incl. the correlated-
+    # filter lifting), and sparql_not_exists (r13-green) drives the
+    # FILTER-position dispatch branch itself (_c_filter line 578) for
+    # the negated twin. The only code unique to sparql_exists was that
+    # two-line dispatch with negated=False.
+    "sparql_exists": "sparql_bind_exists (same _exists lowering, both polarities) + sparql_not_exists (same FILTER dispatch)",
 }
 
 CATALOG_FRONT = [
-    # --- r13 window (exactly 50 — the driver checks the FIRST 50) ------
-    # Rotation ledger (evidence age at the END of r12, from the
-    # CORRECTNESS_r{11,12}.json keys): 100 actives; the 50 in the r12
-    # window hold r12 rows, the other 50 hold r11 rows and are ALL due
-    # now. Three of the due 50 are retired this round with
-    # strict-superset-sibling arguments (see CATALOG_RETIRED r13 block:
-    # corpus_heavy_hitters_cms -> cms_bounded, sparql_bgp_join and
-    # sparql_agg_sum -> sparql_q3_shaped), so the due set is 47. Their
-    # three freed slots go to the two NEW r13 entries
-    # (stream_dedup_neardup, corpus_sketch_store) and to
-    # multimodal_features — r12-green but REWRITTEN this round (real
-    # PPM pixel stats replaced the byte-stat stub, new schema + oracle),
-    # so its r12 evidence describes code that no longer exists and it
-    # re-gates now rather than riding the 2-round policy. 47 + 3 = 50,
-    # nobody is displaced, and after this window every active entry's
-    # evidence is r12 or r13.
-    # r14 NOTE: actives = 99, so next round's window is the 49 entries
-    # whose latest evidence is r12 plus ONE spare slot — earmarked for
-    # a sparql_service entry gating the r13 SERVICE upgrade (pytest-
-    # locked this round, tests/test_query_forms.py; adding it mid-r13
-    # would either displace a due entry past the 2-round policy or be
-    # born windowless).
-    "stream_dedup_neardup",
-    "corpus_sketch_store",
-    "multimodal_features",
-    # --- the 47 due actives (last=r11) ---------------------------------
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    "ann_rerank_topk",
-    "corpus_cardinality_kmv",
-    "dedup_clusters",
-    "dedup_containment",
-    "dedup_cross_corpus",
-    "dedup_simhash_check",
-    "dedup_span_removal",
-    "doc_chunks",
-    "docs_topk_per_source",
-    "embed_kmeans",
-    "embed_perceptron",
-    "events_funnel",
-    "events_props",
-    "events_quantiles",
-    "rdf_egress_jsonld",
-    "sample_stratified",
-    "sparql_agg_avg",
-    "sparql_agg_minmax",
-    "sparql_ask",
-    "sparql_bind_exists",
-    "sparql_bindings",
-    "sparql_construct",
-    "sparql_custom_function",
-    "sparql_filter",
-    "sparql_from_graph",
-    "sparql_graph",
-    "sparql_group_by_expr",
-    "sparql_group_concat",
-    "sparql_having",
-    "sparql_minus",
-    "sparql_not_exists",
-    "sparql_optional",
-    "sparql_path_inv",
-    "sparql_path_negated",
-    "sparql_path_zero_or_one",
-    "sparql_property_table",
-    "sparql_quads_roundtrip",
-    "sparql_sample",
-    "sparql_subselect",
-    "sparql_union",
-    "sparql_union_default_graph",
-    "stream_interval_join",
-    "stream_windowed_counts",
-    "text_pii",
-    "text_pmi_bigrams",
+    # --- r14 window (exactly 50 — the driver checks the FIRST 50) ------
+    # Rotation ledger (evidence age at the END of r13, from the
+    # CORRECTNESS_r{12,13}.json keys): 99 actives; the 50 in the r13
+    # window hold r13 rows, the other 49 hold r12 rows and are ALL due
+    # now. One of the due 49 is retired this round with a strict-
+    # superset-sibling argument (CATALOG_RETIRED r14 block:
+    # sparql_exists -> sparql_bind_exists + sparql_not_exists), so the
+    # due set is 48. Its freed slot plus the spare slot the r13 ledger
+    # earmarked (df29a66) go to the two NEW r14 gates: sparql_service
+    # (the r13 SERVICE-execution upgrade, previously pytest-only) and
+    # docs_warc_ingest (the r13 WARC source + the r14 CDX range-split
+    # read, previously pytest-only). 48 + 2 = 50, nobody is displaced,
+    # actives = 100 (at cap), and after this window every active
+    # entry's evidence is r13 or r14.
+    "sparql_service",
+    "docs_warc_ingest",
+    # --- the 48 due actives (last=r12) ---------------------------------
+    "corpus_heavy_hitters_cms_bounded",
+    "corpus_top_ngrams",
+    "dedup_bloom_contamination",
+    "dedup_incremental",
+    "dedup_minhash_verified",
+    "dedup_normalized",
+    "docs_bucketed_join",
+    "docs_clean_pipeline",
+    "docs_filter_funnel",
+    "docs_gopher_filter",
+    "docs_jsonl_roundtrip",
+    "docs_pack_bpe",
+    "docs_pack_sequences",
+    "embed_gram",
+    "embed_random_projection",
+    "embed_semdedup",
+    "events_asof",
+    "events_pivot",
+    "events_quantiles_histogram",
+    "events_rollup",
+    "events_sessions",
+    "graph_pagerank",
+    "graph_triangles",
+    "rdf_egress_turtle",
+    "retrieval_bm25",
+    "retrieval_term_stats",
+    "sparql_agg_count",
+    "sparql_agg_expr",
+    "sparql_bind",
+    "sparql_distinct",
+    "sparql_offset_limit",
+    "sparql_path_alt",
+    "sparql_path_seq",
+    "sparql_path_star",
+    "sparql_q3_shaped",
+    "sparql_topk",
+    "sparql_update_roundtrip",
+    "sparql_values_undef",
+    "stream_dedup_exact",
+    "stream_session_windows",
+    "stream_sparql_select",
+    "stream_stateful_sessions",
+    "text_bpe_tokens_1k",
+    "text_classifier_score",
+    "text_langid",
+    "text_lm_score",
+    "text_quality",
+    "text_repetition",
 ]
 
 
