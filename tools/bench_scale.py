@@ -9,7 +9,10 @@ Writes BENCH_SCALE.json. Run on an otherwise-idle box — foreign_pct
 (co-tenant CPU share, bench.py's detector) is recorded per
 measurement so a contaminated ratio is visible in the artifact.
 
-Usage: python tools/bench_scale.py [out.json]
+Usage: python tools/bench_scale.py [out.json] [entry ...]
+       (with entry names, only those are measured and MERGED into an
+       existing out.json — the r14 additions ride alongside the r13
+       numbers instead of re-measuring everything)
 """
 
 from __future__ import annotations
@@ -44,11 +47,19 @@ PREDICTED = {
     "retrieval_bm25": "~10x: map-side term filter then linear stats",
     "stream_dedup_neardup": "~10x: per-row map-only signature; state one row per distinct band key",
     "corpus_sketch_store": "~10x: 3 per-split scans; merge pass reads kilobytes of sketch rows",
+    # r14 additions (VERDICT r13 next #5): the two heavyweights the r13
+    # artifact did not cover
+    "multimodal_features": "~10x: map-only Arrow stage, one real encode+decode per payload (the catalog's one deliberately interpreted hot loop); payload sizes fixed, count 10x",
+    "stream_interval_join": "~10x: per-event state insert/probe within the interval horizon; state-store maintenance fixed per micro-batch (shuffle_partitions scoped by run_bounded)",
 }
 
 
 def main():
     out_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_SCALE.json"
+    only = sys.argv[2:]
+    unknown = set(only) - set(PREDICTED)
+    if unknown:
+        raise SystemExit(f"no predicted bound for: {sorted(unknown)}")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
@@ -80,7 +91,10 @@ def main():
         return min(times), n, round(fpct, 2)
 
     results = {}
-    for name in PREDICTED:
+    if only and os.path.exists(out_path):
+        with open(out_path) as f:
+            results = json.load(f).get("entries", {})
+    for name in (only or PREDICTED):
         fn = qs[name]
         row = {}
         # warm-up at the small scale absorbs this entry's codegen/JIT
