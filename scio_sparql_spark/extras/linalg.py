@@ -239,37 +239,45 @@ def perceptron_train(
     # every epoch's map-side partial agg) use all cores, then
     # localCheckpoint truncates the lineage to the quantized (q, y)
     # rows — same pattern as kmeans_micro (clustering.py:68-71).
-    from .util import spread
+    from .util import release_checkpoint, spread
 
     base = spread(emb).select(q.alias("q"), y.alias("y")).localCheckpoint()
     w = [0] * dim
     zero = F.lit(0).cast("long")
-    for _ in range(epochs):
-        warr = F.array(*[F.lit(int(wi)).cast("long") for wi in w])
-        pred = F.aggregate(
-            F.zip_with(F.col("q"), warr, lambda a, b: a * b),
-            zero,
-            lambda acc, x: acc + x,
-        )
-        # update sums via posexplode + ONE groupBy(i) sum, not dim named
-        # aggregates: the 64-expression .agg() re-codegens per epoch
-        # (weight literals change) and planning dominated the epoch at
-        # small SF (2.8s -> 1.6s measured, identical weights). At scale
-        # the explode is map-local and the partial agg collapses it to
-        # dim rows per partition before the (dim-row) shuffle.
-        upd = (
-            base.filter(F.col("y") * pred <= 0)
-            .select(
-                F.posexplode(
-                    F.transform(F.col("q"), lambda qi: F.col("y") * qi)
-                ).alias("i", "v")
+    try:
+        for _ in range(epochs):
+            warr = F.array(*[F.lit(int(wi)).cast("long") for wi in w])
+            pred = F.aggregate(
+                F.zip_with(F.col("q"), warr, lambda a, b: a * b),
+                zero,
+                lambda acc, x: acc + x,
             )
-            .groupBy("i")
-            .agg(F.sum("v").alias("u"))
-            .collect()
-        )
-        um = {r["i"]: r["u"] for r in upd}
-        w = [wi + int(um.get(i, 0) or 0) for i, wi in enumerate(w)]
+            # update sums via posexplode + ONE groupBy(i) sum, not dim
+            # named aggregates: the 64-expression .agg() re-codegens per
+            # epoch (weight literals change) and planning dominated the
+            # epoch at small SF (2.8s -> 1.6s measured, identical
+            # weights). At scale the explode is map-local and the partial
+            # agg collapses it to dim rows per partition before the
+            # (dim-row) shuffle.
+            upd = (
+                base.filter(F.col("y") * pred <= 0)
+                .select(
+                    F.posexplode(
+                        F.transform(F.col("q"), lambda qi: F.col("y") * qi)
+                    ).alias("i", "v")
+                )
+                .groupBy("i")
+                .agg(F.sum("v").alias("u"))
+                .collect()
+            )
+            um = {r["i"]: r["u"] for r in upd}
+            w = [wi + int(um.get(i, 0) or 0) for i, wi in enumerate(w)]
+    finally:
+        # the returned weights no longer read base — free the quantized
+        # corpus NOW instead of pinning one copy per train call until GC
+        # (repeat calls in a bench/long session accumulated them; the
+        # connected_components release discipline, VERDICT r13 next #2)
+        release_checkpoint(base)
     spark = emb.sparkSession
     return spark.createDataFrame(
         [(i, int(wi)) for i, wi in enumerate(w)], "i int, w long"
