@@ -101,12 +101,41 @@ def compile_bool(e, env: Env) -> Column:
             numr, _, _ = _numeric_parts_of(e.right, env)
             # Spark orders NaN greatest; XPath says every ordering
             # comparison involving NaN is FALSE (a real boolean, not a
-            # type error). The NaN branch must ALSO require both sides
-            # non-NULL: with one operand NULL (type error) and the other
-            # NaN, `isnan(NULL)|isnan(NaN)` is NULL|TRUE = TRUE in 3VL,
-            # which would return a real False where SPARQL propagates
-            # the error (and under negation would KEEP a row the spec
-            # drops) — ADVICE r13.
+            # type error), while a NULL (type-error) operand must stay
+            # NULL — `isnan(NULL)|isnan(NaN)` is TRUE in 3VL, so the
+            # r13 guard returned a real False there (ADVICE r13).
+            #
+            # Reference-count discipline (the whole reason this lane
+            # exists): every extra operand reference is another copy of
+            # the operand's substituted definition tree — a BIND var
+            # inlines whole, and 1.5x growth pushed a shallow
+            # BIND+FILTER(?v >= 0) over janino's 64KB method cap
+            # (hard-OOMing the fuzz suite, r14). So specialize on the
+            # compile-time-known side, which every cliff-prone shape
+            # has (expr-vs-constant):
+            #   const side is NaN      -> when(other.isNotNull(), False)
+            #                             (1 ref; NULL stays NULL)
+            #   const side is a number -> NaN-guard only the expr side:
+            #                             isnan(NULL) = NULL falls to
+            #                             otherwise -> NULL op c = NULL,
+            #                             so 3VL is exact at r13's two
+            #                             references
+            #   both sides are exprs   -> full both-non-null guard
+            #                             (3 refs each; operands here
+            #                             are plain scan/CSE attributes
+            #                             or one EArith level over
+            #                             them, never a whole inlined
+            #                             BIND definition)
+            cl, cr = _const_num(e.left), _const_num(e.right)
+            if cl is not None and cl != cl:  # left const is NaN
+                return F.when(numr.isNotNull(), F.lit(False))
+            if cr is not None and cr != cr:  # right const is NaN
+                return F.when(numl.isNotNull(), F.lit(False))
+            if cl is not None or cr is not None:
+                var = numr if cl is not None else numl
+                return F.when(F.isnan(var), F.lit(False)).otherwise(
+                    _OPS[e.op](numl, numr)
+                )
             return F.when(
                 numl.isNotNull()
                 & numr.isNotNull()
@@ -138,6 +167,30 @@ _OPS = {
     ">": lambda a, b: a > b,
     ">=": lambda a, b: a >= b,
 }
+
+
+def _const_num(e) -> float | None:
+    """The compile-time float value of a numeric constant operand
+    (EConst / ENeg(EConst)), or None when the operand is not a
+    well-formed numeric constant. Lets the slim ordering lane decide
+    NaN handling at COMPILE time for the expr-vs-constant shape —
+    see the reference-count discipline note in compile_bool."""
+    if isinstance(e, A.ENeg):
+        v = _const_num(e.arg)
+        return None if v is None else -v
+    if isinstance(e, A.EConst):
+        from .terms import NUMERIC_DTS
+
+        if e.term.dt not in NUMERIC_DTS:
+            return None
+        lex = e.term.lex.strip()
+        # XSD non-finite spellings
+        mapped = {"INF": "inf", "+INF": "inf", "-INF": "-inf"}.get(lex, lex)
+        try:
+            return float(mapped)
+        except ValueError:
+            return None
+    return None
 
 
 def _certainly_numeric(e) -> bool:

@@ -245,6 +245,10 @@ def test_catalog_extras_plans_free_of_anti_patterns(spark):
     ARROW_OK = {
         "multimodal_features",
         "multimodal_frames",
+        # WARC parse is the documented Arrow ingest stage (r14): binary
+        # archive bytes -> records can't be a Column expression; the
+        # range-split CDX read keeps it one seek per record batch
+        "docs_warc_ingest",
         # sanctioned dense-linear-algebra Arrow users (r8): each is the
         # documented vectorized-matmul path where unrolled SQL either
         # exceeds janino's 64KB method cap (LSH signature — the codegen
