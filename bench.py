@@ -181,6 +181,11 @@ BENCH_QUERIES = [
     "stream_dedup_neardup",
     "corpus_sketch_store",
     "multimodal_features",
+    # new in r14 (appended; prior-round common comparisons unchanged):
+    # SERVICE federation over a second registered dataset, and the
+    # WARC write -> CDX sidecar -> range-split read ingest pass
+    "sparql_service",
+    "docs_warc_ingest",
 ]
 
 
