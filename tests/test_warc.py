@@ -222,3 +222,85 @@ def test_write_warc_archives_and_cdx_split_read(spark, tmp_path):
     assert rows(warc.read_warc(spark, str(d))) == rows(
         warc.read_warc(spark, str(d), cdx=spark.createDataFrame(again, warc.CDX_SCHEMA))
     )
+
+
+# --- hypothesis fuzz (pure-Python layer: no Spark session) -----------------
+
+from hypothesis import given, settings, strategies as st
+
+_content = st.binary(min_size=0, max_size=300)
+_uri = st.text(
+    alphabet=st.characters(min_codepoint=33, max_codepoint=126, exclude_characters=":"),
+    min_size=1,
+    max_size=20,
+)
+
+
+@st.composite
+def _records(draw):
+    n = draw(st.integers(min_value=1, max_value=6))
+    recs = []
+    for i in range(n):
+        body = draw(_content)
+        kind = draw(st.sampled_from(["response", "request", "warcinfo", "metadata"]))
+        headers = {
+            "WARC-Type": kind,
+            "WARC-Record-ID": f"<urn:uuid:{i}>",
+        }
+        if draw(st.booleans()):
+            headers["WARC-Target-URI"] = "http://x/" + draw(_uri)
+        if kind == "response" and draw(st.booleans()):
+            status = draw(st.integers(min_value=100, max_value=599))
+            headers["Content-Type"] = "application/http; msgtype=response"
+            body = b"HTTP/1.1 %d X\r\nH: v\r\n\r\n" % status + body
+        recs.append({"headers": headers, "content": body})
+    return recs
+
+
+@given(recs=_records())
+@settings(max_examples=60, deadline=None)
+def test_fuzz_warc_write_parse_roundtrip(recs):
+    """write -> parse is the identity on headers+content for ARBITRARY
+    binary bodies (including bodies containing CRLFCRLF and WARC/
+    magic), and the record count survives a gzip member chain."""
+    data = warc.write_warc(recs)
+    back = warc.parse_warc(data)
+    assert len(back) == len(recs)
+    for want, got in zip(recs, back):
+        assert got["content"] == want["content"]
+        for k, v in want["headers"].items():
+            assert got["headers"][k] == str(v)
+    # per-record gzip members (the .warc.gz layout) decompress to the
+    # same concatenation
+    members = b"".join(
+        gzip.compress(warc.write_warc([r])) for r in recs
+    )
+    assert warc.gunzip_members(members) == data
+    # offsets tile exactly: parsing any single record's slice yields
+    # that record alone (the CDX contract at the byte level)
+    off = 0
+    for r in recs:
+        piece = warc.write_warc([r])
+        one = warc.parse_warc(data[off : off + len(piece)])
+        assert len(one) == 1 and one[0]["content"] == r["content"]
+        off += len(piece)
+    assert off == len(data)
+
+
+@given(recs=_records(), cut=st.integers(min_value=1, max_value=10**6))
+@settings(max_examples=40, deadline=None)
+def test_fuzz_warc_truncation_keeps_prefix(recs, cut):
+    """Truncating the stream anywhere never crashes and never yields
+    MORE records than survive intact — the crawl-corruption contract
+    (truncated tail = the common corruption)."""
+    data = warc.write_warc(recs)
+    cut = cut % len(data)
+    got = warc.parse_warc(data[:cut])
+    if cut < 5:  # magic gone
+        assert got is None or got == []
+        return
+    assert got is not None
+    assert len(got) <= len(recs)
+    # every surviving record is bit-exact, in order
+    for want, g in zip(recs, got):
+        assert g["content"] == want["content"]
