@@ -1,0 +1,173 @@
+"""DSIR-style importance weighting for training-data selection.
+
+Public method: "Data Selection for Language Models via Importance
+Resampling" (Xie et al., 2023) — score every document by the
+log-likelihood ratio of its HASHED N-GRAM bag between a model of the
+TARGET distribution (the high-quality subset you want more of) and a
+model of the RAW corpus, then keep the highest-ratio documents. This
+module implements the deterministic top-k selection form; the paper's
+Gumbel-noise resampling is the same ranking over seeded perturbed
+scores and composes on top (perturb ``score_micro`` with a seeded hash
+before the top-k).
+
+Exactness (the driver-hash discipline):
+- Features are unigrams + word bigrams hashed into ``buckets`` cells
+  by the 60-bit md5-prefix recipe (sketches.cms_cell) — replicable in
+  DuckDB as ``('0x' || substr(md5('0:' || f), 1, 15))::BIGINT % B``.
+- Per-bucket weights are the DIFFERENCE of two integer-micro-nat
+  log-probs, each ``ROUND(ln((c+1)/(N+B)) * 1e6)`` — the lm.py
+  load-bearing recipe (ln of identical double inputs rounds
+  identically across JVM/libm; tests/test_properties locks it), so a
+  document score is an ORDER-FREE integer sum.
+
+Scale (100 TB):
+- Feature hashing bounds model state at ``buckets`` rows regardless of
+  vocabulary — the weights table is a broadcast-size constant.
+- Two shuffles total over the token stream: one groupBy(bucket) builds
+  BOTH models in a single pass (conditional aggregation, no second
+  scan of the corpus), one groupBy(doc) sums the weights. The join
+  between them is broadcast.
+- Selection is ORDER BY + LIMIT -> TakeOrderedAndProject (per-partition
+  heaps), never a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .dedup import token_ngrams
+from .sketches import cms_cell
+from .textstats import _tokens
+from .util import spread
+
+
+def dsir_scores(
+    docs: DataFrame,
+    target: Column,
+    buckets: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_feats, score_micro) for EVERY document: the hashed-ngram
+    importance score in integer micro-nats. ``target`` is a boolean
+    Column over ``docs``'s columns selecting the target-distribution
+    subset (e.g. ``F.col("source") == "wiki"``); target documents are
+    scored too (they are part of the raw corpus by construction).
+    Documents with no features (empty text) are absent from the
+    output, matching the SQL twin."""
+    base = spread(docs).select(
+        F.col(id_col),
+        F.col(text_col),
+        F.coalesce(target, F.lit(False)).alias("__t"),
+    )
+    feats = base.select(
+        F.col(id_col),
+        F.col("__t"),
+        F.explode(
+            F.concat(_tokens(F.col(text_col)), token_ngrams(F.col(text_col), 2))
+        ).alias("f"),
+    ).select(
+        F.col(id_col), F.col("__t"), cms_cell(F.col("f"), 0, buckets).alias("b")
+    )
+    # ONE shuffle over the token stream builds a per-doc bucket
+    # histogram; both the model counts AND the per-doc score read it —
+    # identical canonical subtrees, so ReuseExchange materializes the
+    # tokenize+hash+shuffle once. Downstream rows are bounded by
+    # docs x min(features, buckets), far below the raw token stream.
+    hist = feats.groupBy(id_col, "__t", "b").agg(F.count(F.lit(1)).alias("c"))
+    counts = hist.groupBy("b").agg(
+        F.sum("c").alias("c_raw"),
+        F.sum(F.when(F.col("__t"), F.col("c")).otherwise(0)).alias("c_t"),
+    )
+    totals = counts.agg(
+        F.sum("c_raw").alias("n_raw"), F.sum("c_t").alias("n_t")
+    )
+    lp = lambda c, n: F.round(  # noqa: E731 — the lm.py micro-nat recipe
+        F.log((c + 1).cast("double") / (n + buckets).cast("double")) * 1000000
+    ).cast("bigint")
+    weights = counts.crossJoin(F.broadcast(totals)).select(
+        "b",
+        (lp(F.col("c_t"), F.col("n_t")) - lp(F.col("c_raw"), F.col("n_raw"))).alias(
+            "lw"
+        ),
+    )
+    return (
+        hist.join(F.broadcast(weights), on="b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_feats"),
+            F.sum(F.col("c") * F.col("lw")).alias("score_micro"),
+        )
+    )
+
+
+def dsir_topk(
+    docs: DataFrame,
+    target: Column,
+    k: int = 50,
+    buckets: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The selection: top-``k`` documents by importance score
+    (descending, id-ascending tie-break — deterministic)."""
+    return (
+        dsir_scores(docs, target, buckets, text_col, id_col)
+        .orderBy(F.col("score_micro").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def dsir_topk_oracle_sql(
+    target_sql: str,
+    k: int = 50,
+    buckets: int = 1024,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """Standalone DuckDB replica of dsir_topk. ``target_sql`` is the
+    boolean SQL twin of the ``target`` Column (e.g.
+    ``source = 'wiki'``)."""
+    toks = (
+        f"list_filter(string_split_regex(trim(lower({text_col})), '\\s+'),"
+        " t -> t <> '')"
+    )
+    return f"""WITH base AS (
+          SELECT {id_col} AS id,
+                 COALESCE(({target_sql}), FALSE) AS t,
+                 {toks} AS toks
+          FROM {table}),
+        f AS (
+          SELECT id, t, unnest(list_concat(
+                   toks,
+                   CASE WHEN len(toks) >= 2
+                        THEN list_transform(generate_series(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i + 1])
+                        ELSE [] END)) AS f
+          FROM base),
+        fb AS (
+          SELECT id, t,
+                 ('0x' || substr(md5('0:' || f), 1, 15))::BIGINT % {buckets}
+                   AS b
+          FROM f),
+        c AS (
+          SELECT b, COUNT(*) AS c_raw,
+                 SUM(CASE WHEN t THEN 1 ELSE 0 END) AS c_t
+          FROM fb GROUP BY b),
+        tot AS (SELECT SUM(c_raw) AS n_raw, SUM(c_t) AS n_t FROM c),
+        w AS (
+          SELECT b,
+                 CAST(ROUND(ln(CAST(c_t + 1 AS DOUBLE)
+                               / CAST(n_t + {buckets} AS DOUBLE)) * 1000000, 0)
+                      AS BIGINT)
+                 - CAST(ROUND(ln(CAST(c_raw + 1 AS DOUBLE)
+                               / CAST(n_raw + {buckets} AS DOUBLE)) * 1000000, 0)
+                      AS BIGINT) AS lw
+          FROM c, tot),
+        s AS (
+          SELECT id, COUNT(*) AS n_feats, SUM(lw) AS score
+          FROM fb JOIN w USING (b) GROUP BY id)
+       SELECT id AS {id_col}, CAST(n_feats AS BIGINT) AS n_feats,
+              CAST(score AS BIGINT) AS score_micro
+       FROM s ORDER BY score DESC, id LIMIT {k}"""

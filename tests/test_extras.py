@@ -2441,3 +2441,60 @@ def test_pq_encode_codes_and_train_determinism(spark):
             if bd is None or d < bd:
                 best, bd = c, d
         assert codes[0][f"c{j}"] == best, (j, codes[0][f"c{j}"], best)
+
+
+def test_dsir_topk_matches_duckdb_oracle(spark):
+    """r14 DSIR importance selection: Spark's hashed-ngram
+    log-likelihood-ratio top-k equals the standalone DuckDB replica
+    bit-for-bit (ids, feature counts AND micro-nat scores) — the
+    slot-dry in-test differential."""
+    import duckdb
+
+    from scio_sparql_spark.extras import dsir
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    docs = spark.read.parquet(path)
+    target = F.col("source").isin("src1", "src2", "src3")
+    got = [
+        (r["doc_id"], r["n_feats"], r["score_micro"])
+        for r in dsir.dsir_topk(docs, target, k=25, buckets=256).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')")
+    want = con.execute(
+        dsir.dsir_topk_oracle_sql(
+            "source IN ('src1', 'src2', 'src3')", k=25, buckets=256
+        )
+    ).fetchall()
+    assert got == [(int(a), int(b), int(c)) for a, b, c in want], (
+        got[:3],
+        want[:3],
+    )
+    assert len(got) == 25
+
+
+def test_dsir_prefers_target_like_documents(spark):
+    """Semantics sanity: documents sharing the target subset's
+    vocabulary outscore unrelated ones — a synthetic corpus where the
+    target topic is unambiguous."""
+    from scio_sparql_spark.extras import dsir
+
+    rows = (
+        # target docs: cooking vocabulary
+        [(i, "recipe flour sugar oven bake recipe flour", "t") for i in range(4)]
+        # raw-only docs that LOOK like the target
+        + [(10 + i, "bake sugar flour recipe", "r") for i in range(2)]
+        # raw-only docs about something else
+        + [(20 + i, "carburetor gasket torque piston exhaust", "r") for i in range(2)]
+    )
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "grp"])
+    scores = {
+        r["doc_id"]: r["score_micro"]
+        for r in dsir.dsir_scores(
+            docs, F.col("grp") == "t", buckets=512
+        ).collect()
+    }
+    assert len(scores) == 8
+    cook = min(scores[10], scores[11])
+    cars = max(scores[20], scores[21])
+    assert cook > cars, scores
