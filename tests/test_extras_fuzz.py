@@ -625,3 +625,89 @@ def test_fuzz_wav_roundtrip(n_samples, rate, channels, seed):
     assert d["samples"].tobytes() == body
     if len(wav) > 44:
         assert mm.decode_wav(wav[:-1]) is None  # RIFF size mismatch
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(
+                min_value=-2.0, max_value=2.0, allow_nan=False, width=32
+            ),
+            min_size=8,
+            max_size=8,
+        ),
+        min_size=4,
+        max_size=14,
+    ),
+    k_codes=st.sampled_from([2, 3]),
+)
+@_settings
+def test_fuzz_pq_topk_matches_duckdb(spark, vecs, k_codes):
+    """r14 PQ: random tiny embedding sets (negative coordinates, ties,
+    clusters that go empty) through the full train -> encode -> ADC
+    pipeline equal the standalone DuckDB replica bit-for-bit — locks
+    the trunc-div update (negative sums!), the lowest-code tie-break
+    and the 2^20-shift quantization across engines."""
+    import duckdb
+
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id bigint, embedding array<float>",
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    got = [
+        (r["vec_id"], r["adc"])
+        for r in similarity.pq_topk(
+            emb, list(qv), k=5, m=2, k_codes=k_codes, iters=2, dim=8,
+            max_train=8,
+        ).collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE embeddings (vec_id BIGINT, embedding FLOAT[])")
+    con.executemany(
+        "INSERT INTO embeddings VALUES (?, ?)",
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+    )
+    want = con.execute(
+        similarity.pq_topk_oracle_sql(
+            query_id=0, k=5, m=2, k_codes=k_codes, iters=2, dim=8,
+            max_train=8,
+        )
+    ).fetchall()
+    assert got == [(int(a), int(b)) for a, b in want], (got, want)
+
+
+@given(texts=_corpus)
+@_settings
+def test_fuzz_dsir_matches_duckdb(spark, texts):
+    """r14 DSIR: random corpora (empty docs, single tokens, duplicate
+    features, tiny target subsets) through the hashed-ngram importance
+    scorer equal the DuckDB replica bit-for-bit — locks the feature
+    construction (unigrams + bigrams, empty under 2 tokens), md5
+    bucketing and the micro-nat ln difference across engines."""
+    import duckdb
+
+    from scio_sparql_spark.extras import dsir
+
+    rows = [
+        (i, t, "src%d" % (i % 3)) for i, t in enumerate(texts)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    got = sorted(
+        (r["doc_id"], r["n_feats"], r["score_micro"])
+        for r in dsir.dsir_scores(
+            docs, F.col("source") == "src0", buckets=64
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR, source VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?)", rows)
+    want = sorted(
+        (int(a), int(b), int(c))
+        for a, b, c in con.execute(
+            dsir.dsir_topk_oracle_sql(
+                "source = 'src0'", k=10**6, buckets=64
+            )
+        ).fetchall()
+    )
+    assert got == want, (got[:4], want[:4])
