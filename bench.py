@@ -186,6 +186,14 @@ BENCH_QUERIES = [
     # WARC write -> CDX sidecar -> range-split read ingest pass
     "sparql_service",
     "docs_warc_ingest",
+    # r14 second batch: two-stage PQ retrieval (ADC code-lookup
+    # prefilter + exact cosine rerank; cost is dominated by the one-off
+    # janino compile of the unrolled encode/LUT expressions — the same
+    # deliberate codegen-literal tradeoff embed_kmeans documents above)
+    # and DSIR importance selection (one token-stream shuffle builds
+    # both hashed-ngram models, broadcast weights, top-k select)
+    "ann_pq_rerank",
+    "sample_dsir",
 ]
 
 

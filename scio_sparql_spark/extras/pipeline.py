@@ -391,7 +391,11 @@ def clean_corpus(
 
     Beyond-reference surface: the composition entry — each stage exists
     standalone in textstats/dedup, this is the "run the whole cleaning
-    pass" operator a pipeline user actually calls.
+    pass" operator a pipeline user actually calls. The lang-ID vote and
+    the whitespace token count are the SAME shared expressions the
+    standalone operators project (textstats.lang_pred_expr / _tokens),
+    so this entry's driver hash gates them too — the r14 rotation
+    ledger retires text_langid against this embedding.
 
     Scale design (100 TB): lang-ID, token count and the digest are
     map-side Column expressions evaluated BEFORE the shuffle, so the
@@ -402,16 +406,10 @@ def clean_corpus(
     spent only on kept rows.
 
     Output: (id, source, lang_pred, n_tokens, clean_text)."""
-    from .textstats import EN_STOPWORDS, ES_STOPWORDS, PII_EMAIL
+    from .textstats import PII_EMAIL, _tokens, lang_pred_expr
 
-    toks = F.filter(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda t: t != "")
-    en = F.size(F.filter(toks, lambda t: t.isin(EN_STOPWORDS)))
-    es = F.size(F.filter(toks, lambda t: t.isin(ES_STOPWORDS)))
-    lang_pred = (
-        F.when(en > es, F.lit("en"))
-        .when(es > en, F.lit("es"))
-        .otherwise(F.lit("unknown"))
-    )
+    toks = _tokens(F.col(text_col))
+    lang_pred = lang_pred_expr(toks)
     staged = docs.select(
         F.col(id_col),
         F.col("source"),

@@ -937,6 +937,31 @@ def pq_topk_oracle_sql(
     encode, and the ADC sum against the query row — standalone SQL
     deriving EVERYTHING from the table, so the differential proves
     train, encode and serve all at once."""
+    parts, joins, adc_expr = _pq_oracle_chain(
+        table, query_id, m, k_codes, iters, dim, id_col, vec_col, max_train
+    )
+    final = (
+        f"SELECT id AS {id_col}, {adc_expr} AS adc FROM {joins}"
+        f" ORDER BY adc, id LIMIT {k}"
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + final
+
+
+def _pq_oracle_chain(
+    table: str,
+    query_id: int,
+    m: int,
+    k_codes: int,
+    iters: int,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+    max_train: int,
+) -> tuple[list[str], str, str]:
+    """The shared CTE chain behind the PQ oracles: quantize -> train
+    sample -> per-subspace Lloyd -> corpus encode -> query row.
+    Returns (cte_parts, encoded_joins, adc_expr) so pq_topk_oracle_sql
+    and pq_rerank_oracle_sql order/cut the SAME ADC scores."""
     if dim % m:
         raise ValueError(f"m={m} must divide dim={dim}")
     sub = dim // m
@@ -1008,9 +1033,55 @@ def pq_topk_oracle_sql(
     joins = " JOIN ".join(
         ["e0"] + [f"e{j} USING (id)" for j in range(1, m)]
     )
+    adc_expr = f"CAST({' + '.join(adc_terms)} AS BIGINT)"
+    return parts, joins, adc_expr
+
+
+def pq_rerank_oracle_sql(
+    table: str = "embeddings",
+    query_id: int = 0,
+    k: int = 10,
+    prefilter: int = 100,
+    m: int = 8,
+    k_codes: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_train: int = 512,
+) -> str:
+    """Standalone DuckDB replica of pq_rerank_topk: the full PQ chain
+    (train -> encode -> ADC) cut at ``prefilter`` as stage 1, then the
+    exact float-cosine rerank of just those candidates — the
+    _ann_rerank_oracle_sql rerank shape over the PQ cut, so the driver
+    hash gates BOTH stages at once."""
+    parts, joins, adc_expr = _pq_oracle_chain(
+        table, query_id, m, k_codes, iters, dim, id_col, vec_col, max_train
+    )
+    parts.append(
+        f"s1 AS (SELECT id FROM (SELECT id, {adc_expr} AS adc FROM {joins}"
+        f" ORDER BY adc, id LIMIT {prefilter}))"
+    )
+    parts.append(
+        f"qf AS (SELECT unnest({vec_col}) AS qf,"
+        f" generate_subscripts({vec_col}, 1) AS i"
+        f" FROM {table} WHERE {id_col} = {query_id})"
+    )
+    parts.append(
+        f"er AS (SELECT {id_col}, unnest({vec_col}) AS ev,"
+        f" generate_subscripts({vec_col}, 1) AS i"
+        f" FROM {table} JOIN s1 ON {id_col} = s1.id)"
+    )
+    parts.append(
+        f"dr AS (SELECT {id_col},"
+        " SUM(CAST(ev AS DOUBLE) * CAST(qf AS DOUBLE)) AS dot,"
+        " SUM(CAST(ev AS DOUBLE) * CAST(ev AS DOUBLE)) AS ne,"
+        " SUM(CAST(qf AS DOUBLE) * CAST(qf AS DOUBLE)) AS nq"
+        f" FROM er JOIN qf USING (i) GROUP BY {id_col})"
+    )
     final = (
-        f"SELECT id AS {id_col}, CAST({' + '.join(adc_terms)} AS BIGINT)"
-        f" AS adc FROM {joins} ORDER BY adc, id LIMIT {k}"
+        f"SELECT {id_col}, ROUND(dot / (sqrt(ne) * sqrt(nq)), 6) AS score"
+        f" FROM dr ORDER BY score DESC, {id_col} LIMIT {k}"
     )
     return "WITH " + ",\n".join(parts) + "\n" + final
 

@@ -320,20 +320,27 @@ def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     )
 
 
+def lang_pred_expr(toks) -> Column:
+    """The en/es stopword-vote language heuristic as a Column over a
+    token array: per-doc stopword hit counts, argmax, tie -> unknown.
+    THE shared lang-ID expression — ``lang_id`` projects it standalone
+    and ``pipeline.clean_corpus`` drives it hash-gated inside its
+    lang_pred column, so the two can never drift."""
+    en = _stopword_hits(toks, EN_STOPWORDS)
+    es = _stopword_hits(toks, ES_STOPWORDS)
+    return (
+        F.when(en > es, F.lit("en"))
+        .when(es > en, F.lit("es"))
+        .otherwise(F.lit("unknown"))
+    )
+
+
 def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Stopword-vote language heuristic (en/es/unknown). A real system
     plugs a fastText-style model in via mapInPandas; the surrounding
     plumbing (per-doc score, argmax, tie -> unknown) is identical."""
     toks = _tokens(F.col(text_col))
-    en = _stopword_hits(toks, EN_STOPWORDS)
-    es = _stopword_hits(toks, ES_STOPWORDS)
-    return docs.select(
-        F.col(id_col),
-        F.when(en > es, F.lit("en"))
-        .when(es > en, F.lit("es"))
-        .otherwise(F.lit("unknown"))
-        .alias("lang_pred"),
-    )
+    return docs.select(F.col(id_col), lang_pred_expr(toks).alias("lang_pred"))
 
 
 def repetition_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -21,6 +21,7 @@ from .engine import execute_sparql
 from .extras import (
     clustering,
     dedup,
+    dsir,
     multimodal,
     pipeline,
     retrieval,
@@ -639,13 +640,14 @@ def q_text_pii(spark, sf_dir):
 
 def q_docs_pack_sequences(spark, sf_dir):
     """GPT-style packed-pretraining layout: whitespace token counts ->
-    fixed 512-token contexts; every output an exact BIGINT."""
+    fixed 512-token contexts; every output an exact BIGINT. Retired
+    from the driver window in r14: the count is textstats._tokens'
+    size (the expression docs_clean_pipeline gates as n_tokens) and
+    the prefix-sum core is the one docs_pack_bpe gates."""
     docs = _table(spark, sf_dir, "documents")
     counted = docs.select(
         "doc_id",
-        F.size(
-            F.filter(F.split(F.trim(F.lower("text")), r"\s+"), lambda t: t != "")
-        ).cast("bigint").alias("n_tokens"),
+        F.size(textstats._tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
     )
     return pipeline.pack_sequences(counted, seq_len=512)
 
@@ -2172,6 +2174,31 @@ def _ann_rerank_oracle_sql(k: int = 10, prefilter: int = 100) -> str:
         FROM d ORDER BY score DESC, vec_id LIMIT {k}"""
 
 
+def q_ann_pq_rerank(spark, sf_dir):
+    """Two-stage PQ retrieval (r14): asymmetric-distance code-lookup
+    prefilter to 100 candidates (reads only the m-byte codes — ~32x
+    less than the float vectors), exact float-cosine rerank to top-10.
+    Hash-gated with the ENTIRE pipeline replicated in DuckDB — the
+    deterministic sample, per-subspace integer Lloyd training, corpus
+    encode, ADC cut AND the cosine rerank (pq_rerank_oracle_sql), so
+    the driver hash proves train/encode/serve in one gate."""
+    emb = _table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return similarity.pq_rerank_topk(emb, list(qv), k=10, prefilter=100)
+
+
+def q_sample_dsir(spark, sf_dir):
+    """DSIR-style importance selection (r14; Xie et al. 2023): score
+    every document by the log-likelihood ratio of its hashed unigram+
+    bigram bag between a target-subset model and the raw-corpus model
+    (integer micro-nats, one token-stream shuffle builds both models),
+    keep the top-50. Target = three sources standing in for the
+    'high-quality subset' (extras/dsir.py)."""
+    docs = _table(spark, sf_dir, "documents")
+    target = F.col("source").isin("src1", "src2", "src3")
+    return dsir.dsir_topk(docs, target, k=50)
+
+
 def q_dedup_bloom_contamination(spark, sf_dir):
     """Bloom-prefiltered contamination (the 100-TB scale path: 128KB
     constant-size broadcast + k integer probes per shingle, exact
@@ -3167,6 +3194,17 @@ EXTRA_QUERIES = {
     "corpus_sketch_store": (q_corpus_sketch_store, _sketch_store_oracle_sql()),
     "dedup_containment": (q_dedup_containment, _containment_oracle_sql()),
     "ann_rerank_topk": (q_ann_rerank_topk, _ann_rerank_oracle_sql()),
+    # r14: the two slot-dry in-test differentials promoted to driver
+    # gates (their window slots freed by the text_langid /
+    # docs_pack_sequences retirements — see CATALOG_RETIRED r14 block)
+    "ann_pq_rerank": (
+        q_ann_pq_rerank,
+        similarity.pq_rerank_oracle_sql(query_id=0, k=10, prefilter=100),
+    ),
+    "sample_dsir": (
+        q_sample_dsir,
+        dsir.dsir_topk_oracle_sql("source IN ('src1', 'src2', 'src3')", k=50),
+    ),
     "text_pmi_bigrams": (q_text_pmi_bigrams, _pmi_oracle_sql()),
     # both ANN variants hash-gated since r8 (VERDICT r7 item 3): LSH
     # against a full in-SQL replica of the approximate semantics; IVF
@@ -4013,6 +4051,23 @@ CATALOG_RETIRED = {
     # the negated twin. The only code unique to sparql_exists was that
     # two-line dispatch with negated=False.
     "sparql_exists": "sparql_bind_exists (same _exists lowering, both polarities) + sparql_not_exists (same FILTER dispatch)",
+    # r14 late block (window slots for ann_pq_rerank and sample_dsir):
+    # text_langid projects textstats.lang_pred_expr standalone — the
+    # IDENTICAL shared Column (refactored this round so neither side
+    # can drift) that docs_clean_pipeline drives hash-gated as its
+    # lang_pred output column (clean_corpus filters on it AND emits
+    # it, so a wrong vote changes the gated hash). The standalone
+    # projection stays pytest-locked (test_extras lang_id coverage).
+    "text_langid": "docs_clean_pipeline (same lang_pred_expr, gated in lang_pred)",
+    # docs_pack_sequences drives pipeline.pack_sequences on whitespace
+    # counts; docs_pack_bpe drives the SAME pack_sequences prefix-sum
+    # core (n_tokens_col-parameterized, identical offset/seq columns,
+    # in-window r14) and the whitespace token-count expression is
+    # textstats._tokens' size — the identical expression
+    # docs_clean_pipeline emits hash-gated as n_tokens. The
+    # whitespace-fed packing form stays pytest-locked
+    # (tests/test_extras pack coverage) and benched in bench.py.
+    "docs_pack_sequences": "docs_pack_bpe (same pack_sequences core) + docs_clean_pipeline (same _tokens count, gated as n_tokens)",
 }
 
 CATALOG_FRONT = [
@@ -4027,11 +4082,19 @@ CATALOG_FRONT = [
     # earmarked (df29a66) go to the two NEW r14 gates: sparql_service
     # (the r13 SERVICE-execution upgrade, previously pytest-only) and
     # docs_warc_ingest (the r13 WARC source + the r14 CDX range-split
-    # read, previously pytest-only). 48 + 2 = 50, nobody is displaced,
-    # actives = 100 (at cap), and after this window every active
-    # entry's evidence is r13 or r14.
+    # read, previously pytest-only). Late-r14: two MORE due entries
+    # retire against in-window strict supersets (text_langid ->
+    # docs_clean_pipeline's shared lang_pred_expr; docs_pack_sequences
+    # -> docs_pack_bpe's identical pack_sequences core + clean
+    # pipeline's identical whitespace count), freeing their slots for
+    # the two slot-dry in-test differentials built earlier this round:
+    # ann_pq_rerank and sample_dsir. Still 50 in-window, nobody
+    # displaced, actives = 100 (at cap), and after this window every
+    # active entry's evidence is r13 or r14.
     "sparql_service",
     "docs_warc_ingest",
+    "ann_pq_rerank",
+    "sample_dsir",
     # --- the 48 due actives (last=r12) ---------------------------------
     "corpus_heavy_hitters_cms_bounded",
     "corpus_top_ngrams",
@@ -4045,7 +4108,6 @@ CATALOG_FRONT = [
     "docs_gopher_filter",
     "docs_jsonl_roundtrip",
     "docs_pack_bpe",
-    "docs_pack_sequences",
     "embed_gram",
     "embed_random_projection",
     "embed_semdedup",
@@ -4077,7 +4139,6 @@ CATALOG_FRONT = [
     "stream_stateful_sessions",
     "text_bpe_tokens_1k",
     "text_classifier_score",
-    "text_langid",
     "text_lm_score",
     "text_quality",
     "text_repetition",

@@ -2450,6 +2450,38 @@ def test_pq_encode_codes_and_train_determinism(spark):
         assert codes[0][f"c{j}"] == best, (j, codes[0][f"c{j}"], best)
 
 
+def test_pq_rerank_matches_duckdb_oracle(spark):
+    """r14 two-stage PQ retrieval as gated by the driver: ADC
+    prefilter cut + exact cosine rerank both replicated in
+    pq_rerank_oracle_sql — Spark must equal the standalone replica
+    bit-for-bit (ids AND rounded scores). Locks the catalog entry's
+    oracle generator itself, not a hand-copied SQL twin."""
+    import duckdb
+
+    from scio_sparql_spark.extras import similarity as sim
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    emb = spark.read.parquet(path)
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    got = [
+        (r["vec_id"], float(r["score"]))
+        for r in sim.pq_rerank_topk(
+            emb, list(qv), k=10, prefilter=50, max_train=256
+        ).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{path}')"
+    )
+    want = con.execute(
+        sim.pq_rerank_oracle_sql(query_id=0, k=10, prefilter=50, max_train=256)
+    ).fetchall()
+    assert got == [(int(a), float(b)) for a, b in want], (got[:3], want[:3])
+    assert len(got) == 10
+    # the query's own vector survives the ADC cut and reranks to 1.0
+    assert got[0] == (0, 1.0)
+
+
 def test_dsir_topk_matches_duckdb_oracle(spark):
     """r14 DSIR importance selection: Spark's hashed-ngram
     log-likelihood-ratio top-k equals the standalone DuckDB replica
