@@ -4091,6 +4091,14 @@ CATALOG_FRONT = [
     # ann_pq_rerank and sample_dsir. Still 50 in-window, nobody
     # displaced, actives = 100 (at cap), and after this window every
     # active entry's evidence is r13 or r14.
+    # r15 earmark (the WARC/SERVICE precedent): extras/html.py
+    # docs_html_extract (HTML -> text boilerplate strip + structural
+    # signals, pytest + 500-doc in-test DuckDB differential in
+    # tests/test_html.py) needs a window slot next round; candidate
+    # retirement to fund it: corpus_top_ngrams -> text_pmi_bigrams
+    # (same tokenize/window/explode/count/TakeOrdered machinery with
+    # c_xy hash-gated) IF the shared-expression refactor lands first —
+    # otherwise find a stricter sibling.
     "sparql_service",
     "docs_warc_ingest",
     "ann_pq_rerank",
