@@ -1454,3 +1454,112 @@ def normalized_dedup(
             F.min(id_col).alias("keep_id"),
         )
     )
+
+
+def line_dedup(
+    docs: DataFrame,
+    min_docs: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Line-level boilerplate removal across the corpus (the RefinedWeb
+    §3.1 / CCNet paragraph-dedup pass): a line whose trimmed content
+    appears in >= ``min_docs`` DISTINCT documents is chrome (nav bars,
+    cookie banners, footers) and is removed from EVERY document; the
+    surviving lines are rejoined in order. The natural stage after
+    extras/html.html_extract (whose block-close -> newline rule exists
+    precisely so this pass sees real lines).
+
+    Semantics (deterministic, engine-replicable):
+    - line key = md5(trim(line)); whitespace-only lines are never
+      counted and never removed (they are already collapsed upstream);
+    - a repeated line within ONE doc counts once toward min_docs, but
+      removal strips all its occurrences;
+    - output: (id, text, n_lines, n_removed) — text may become ''.
+
+    Scale design (100 TB):
+    - Two shuffles: the (key -> distinct-doc count) aggregation — keys
+      are 32-hex digests, the text itself never shuffles with them —
+      and the per-doc reassembly groupBy. The boilerplate-key join is
+      df-filtered to the >= min_docs sliver, which is tiny relative to
+      the line universe (AQE broadcasts it), so the reassembly join
+      adds no third shuffle of substance.
+    - Reassembly order rides a (pos, line) struct sort inside
+      collect_list -> deterministic without a window function.
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).select(
+        id_col,
+        "pos",
+        "line",
+        F.when(F.trim("line") != "", F.md5(F.trim("line"))).alias("key"),
+    )
+    bl = (
+        lines.filter(F.col("key").isNotNull())
+        .groupBy("key")
+        .agg(F.count_distinct(id_col).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("key")
+    )
+    kept_or_removed = lines.join(
+        F.broadcast(bl.withColumn("__bl", F.lit(1))), on="key", how="left"
+    )
+    return (
+        kept_or_removed.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__bl").isNull(),
+                                F.struct(F.col("pos"), F.col("line")),
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias(text_col),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(F.when(F.col("__bl").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_removed"),
+        )
+    )
+
+
+def line_dedup_oracle_sql(
+    min_docs: int = 5,
+    table: str = "docs",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of line_dedup over ``table`` (id, text)."""
+    return f"""WITH l AS (
+          SELECT {id_col}, pos, line,
+                 CASE WHEN trim(line) <> '' THEN md5(trim(line)) END AS key
+          FROM (
+            SELECT {id_col},
+                   generate_subscripts(ls, 1) AS pos, unnest(ls) AS line
+            FROM (SELECT {id_col}, string_split({text_col}, chr(10)) AS ls
+                  FROM {table}))),
+        bl AS (
+          SELECT key FROM (
+            SELECT key, COUNT(DISTINCT {id_col}) AS n_docs
+            FROM l WHERE key IS NOT NULL GROUP BY key)
+          WHERE n_docs >= {min_docs}),
+        m AS (
+          SELECT l.{id_col}, l.pos, l.line,
+                 (bl.key IS NOT NULL) AS removed
+          FROM l LEFT JOIN bl ON l.key = bl.key)
+        SELECT {id_col},
+               COALESCE(array_to_string(
+                 list(line ORDER BY pos) FILTER (WHERE NOT removed), chr(10)),
+                 '') AS {text_col},
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_removed
+        FROM m GROUP BY {id_col}"""

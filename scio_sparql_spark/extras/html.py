@@ -196,6 +196,7 @@ def html_extract_oracle_sql(
     table: str = "documents",
     text_col: str = "text",
     id_col: str = "doc_id",
+    project_text: bool = False,
 ) -> str:
     """Standalone DuckDB replica of wrap_documents_html ∘ html_extract
     (digest form): rebuilds the same HTML, replays the same regexp
@@ -276,10 +277,11 @@ def html_extract_oracle_sql(
     ):
         rep_sql = "chr(10)" if rep == "\n" else f"'{rep}'"
         c = f"regexp_replace({c}, '{pat}', {rep_sql}, 'g')"
+    first = "text" if project_text else "md5(text) AS text_digest"
     return f"""WITH w AS ({wrap}),
         x AS (SELECT {id_col}, html, {c} AS text FROM w)
         SELECT {id_col},
-               md5(text) AS text_digest,
+               {first},
                CAST(len(regexp_extract_all(html, '(?i)<a[ >]')) AS BIGINT) AS n_links,
                CAST(len(regexp_extract_all(html, '(?s)</?[A-Za-z][^>]*>')) AS BIGINT) AS n_tags,
                CAST(length(html) AS BIGINT) AS n_html_chars,

@@ -1,0 +1,233 @@
+"""URL canonicalization + URL-level dedup for crawl pipelines.
+
+The FIRST dedup pass of a web-corpus build (CCNet, RefinedWeb §3.1):
+before any content hashing, collapse re-crawls of the same resource by
+canonical URL — cheap (string ops on a short column, no text shuffled)
+and it removes the bulk of exact re-fetch duplicates. Also the URL
+quality surface: per-host/domain counts feed domain caps and blocklist
+joins.
+
+Canonical form (documented here = implemented in BOTH engines):
+- absolute http(s) URLs only; anything else -> NULL (callers keep or
+  drop via ``canonical IS NULL``)
+- scheme and host lowercased; a single leading ``www.`` label and a
+  trailing dot stripped from the host
+- default ports dropped (``:80`` http, ``:443`` https); explicit
+  non-default ports kept
+- fragment dropped
+- tracking params dropped (``utm_*``, ``gclid``, ``fbclid``, ``ref``),
+  remaining query params SORTED (param order is transport noise), an
+  emptied query dropped entirely
+- empty path -> ``/``; a trailing slash on a non-root path stripped
+
+Scale design (100 TB):
+- Everything is native Column string/array expressions (regexp
+  extract/replace, split, array_sort, filter, concat) — map-only,
+  zero shuffle, whole-stage codegen; the dedup itself shuffles ONLY
+  the canonical-url string (the short key discipline of
+  dedup.exact_dedup).
+- Engine parity: every regex is RE2-safe (no backreferences/
+  lookaround), array_sort and list_sort agree on ASCII binary order,
+  so the DuckDB twin replays the chain bit-for-bit — fuzz/differential
+  locked in tests/test_urls.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# one regex splits the URL; RE2-safe (plain groups, no lookaround).
+# group 1 scheme, 2 host, 3 port (with colon), 4 path, 5 query (with
+# ?), 6 fragment (with #). Host chars stop at : / ? #.
+_URL_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://([^:/?#]+)(:[0-9]+)?([^?#]*)(\?[^#]*)?(#.*)?$"
+
+_TRACKING_RE = r"^(utm_[^=]*|gclid|fbclid|ref)(=.*)?$"
+
+
+def _part(url: Column, group: int) -> Column:
+    return F.regexp_extract(url, _URL_RE, group)
+
+
+def canonical_url_expr(url: Column) -> Column:
+    """The canonical form as a single Column expression (NULL for
+    non-http(s)/relative/malformed input)."""
+    scheme = F.lower(_part(url, 1))
+    host = F.regexp_replace(
+        F.regexp_replace(F.lower(_part(url, 2)), r"^www\.", ""), r"\.$", ""
+    )
+    port = _part(url, 3)
+    port = F.when(
+        ((scheme == "http") & (port == ":80"))
+        | ((scheme == "https") & (port == ":443")),
+        F.lit(""),
+    ).otherwise(port)
+    path = _part(url, 4)
+    path = F.when(path == "", F.lit("/")).otherwise(
+        F.regexp_replace(path, r"/$", "")
+    )
+    # ...but the root path itself stays "/" (the replace above turns a
+    # lone "/" into "", so re-floor it)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    q = _part(url, 5)
+    kept = F.array_sort(
+        F.filter(
+            F.split(F.regexp_replace(q, r"^\?", ""), "&"),
+            lambda p: (p != "") & ~p.rlike(_TRACKING_RE),
+        )
+    )
+    query = F.when(F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))).otherwise(
+        F.lit("")
+    )
+    return F.when(
+        scheme.isin("http", "https") & (_part(url, 2) != ""),
+        F.concat(scheme, F.lit("://"), host, port, path, query),
+    )
+
+
+def canonical_url_sql(url: str) -> str:
+    """The DuckDB twin of canonical_url_expr over SQL expression
+    ``url`` — the same split regex, the same chain, list_sort's binary
+    order matching array_sort."""
+    part = lambda g: f"regexp_extract({url}, '{_URL_RE}', {g})"  # noqa: E731
+    scheme = f"lower({part(1)})"
+    host = (
+        f"regexp_replace(regexp_replace(lower({part(2)}), '^www\\.', ''),"
+        " '\\.$', '')"
+    )
+    port = (
+        f"CASE WHEN ({scheme} = 'http' AND {part(3)} = ':80')"
+        f" OR ({scheme} = 'https' AND {part(3)} = ':443')"
+        f" THEN '' ELSE {part(3)} END"
+    )
+    path0 = f"CASE WHEN {part(4)} = '' THEN '/' ELSE regexp_replace({part(4)}, '/$', '') END"
+    path = f"CASE WHEN ({path0}) = '' THEN '/' ELSE ({path0}) END"
+    kept = (
+        f"list_sort(list_filter(string_split(regexp_replace({part(5)}, '^\\?', ''), '&'),"
+        f" p -> p <> '' AND NOT regexp_matches(p, '{_TRACKING_RE}')))"
+    )
+    query = (
+        f"CASE WHEN len({kept}) > 0"
+        f" THEN '?' || array_to_string({kept}, '&') ELSE '' END"
+    )
+    return (
+        f"CASE WHEN {scheme} IN ('http', 'https') AND {part(2)} <> ''"
+        f" THEN {scheme} || '://' || {host} || {port} || {path} || {query}"
+        f" ELSE NULL END"
+    )
+
+
+def url_canonicalize(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, url, canonical, host) — canonical NULL for non-web URLs.
+    host is the canonical host (post www-strip), the join key for
+    domain caps/blocklists."""
+    url = F.col(url_col)
+    canonical = canonical_url_expr(url)
+    return df.select(
+        F.col(id_col),
+        url.alias(url_col),
+        canonical.alias("canonical"),
+        F.regexp_extract(canonical, r"^https?://([^:/?]+)", 1).alias("host"),
+    )
+
+
+def url_dedup(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """One survivor (lowest id) per canonical URL — the re-crawl
+    collapse. Rows whose URL does not canonicalize are kept (no key to
+    collapse on). Only (canonical, id) shuffles; the dedup is one
+    partial-aggregated groupBy, the exact_dedup discipline."""
+    c = url_canonicalize(df, url_col, id_col)
+    web = (
+        c.filter(F.col("canonical").isNotNull())
+        .groupBy("canonical")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col, "canonical")
+    )
+    other = c.filter(F.col("canonical").isNull()).select(
+        id_col, F.col("canonical")
+    )
+    return web.unionByName(other)
+
+
+def host_counts(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-host page counts over canonicalized URLs — the domain-cap /
+    crawl-audit aggregate. One short-string groupBy."""
+    return (
+        url_canonicalize(df, url_col, id_col)
+        .filter(F.col("canonical").isNotNull())
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+    )
+
+
+def synth_urls(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic URL synthesis from the documents table (the
+    wrap_documents_html discipline): md5-derived scheme/host-case/www/
+    port/path-depth/params/fragment variation covering every branch of
+    the canonicalizer, engine-replicable bit-for-bit. Every 5th doc
+    gets a non-web URL (ftp/relative) to exercise the NULL branch, and
+    ids 0/1 within each md5 bucket collide post-canonicalization so
+    url_dedup has real work."""
+    d = F.conv(F.substring(F.md5(F.col(text_col)), 1, 4), 16, 10).cast("bigint")
+    i = F.col(id_col)
+    host = F.concat(
+        F.when(d % 2 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("site-"),
+        (d % 50).cast("string"),
+        F.lit(".Example.COM"),
+    )
+    port = (
+        F.when(d % 7 == 0, F.lit(":80"))
+        .when(d % 7 == 1, F.lit(":443"))
+        .when(d % 7 == 2, F.lit(":8080"))
+        .otherwise(F.lit(""))
+    )
+    scheme = F.when(d % 3 == 0, F.lit("HTTPS")).otherwise(F.lit("http"))
+    path = F.concat(
+        F.lit("/p/"),
+        (d % 97).cast("string"),
+        F.when(d % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+    )
+    query = (
+        F.when(d % 5 == 0, F.lit("?b=2&utm_source=x&a=1"))
+        .when(d % 5 == 1, F.lit("?utm_campaign=y&gclid=z"))
+        .when(d % 5 == 2, F.lit("?z=9&a=1"))
+        .otherwise(F.lit(""))
+    )
+    frag = F.when(d % 6 == 0, F.lit("#sec2")).otherwise(F.lit(""))
+    web = F.concat(scheme, F.lit("://"), host, port, path, query, frag)
+    url = F.when(i % 5 == 4, F.concat(F.lit("ftp://files.example.com/f/"), i.cast("string"))).otherwise(web)
+    return docs.select(i, url.alias("url"))
+
+
+def synth_urls_sql(table: str = "documents", text_col: str = "text", id_col: str = "doc_id") -> str:
+    """DuckDB twin of synth_urls (SELECT id, url FROM ...)."""
+    d = f"('0x' || substr(md5({text_col}), 1, 4))::BIGINT"
+    return f"""
+        SELECT {id_col},
+               CASE WHEN {id_col} % 5 = 4
+                    THEN 'ftp://files.example.com/f/' || CAST({id_col} AS VARCHAR)
+                    ELSE (CASE WHEN {d} % 3 = 0 THEN 'HTTPS' ELSE 'http' END)
+                         || '://'
+                         || (CASE WHEN {d} % 2 = 0 THEN 'WWW.' ELSE '' END)
+                         || 'site-' || CAST({d} % 50 AS VARCHAR) || '.Example.COM'
+                         || (CASE WHEN {d} % 7 = 0 THEN ':80'
+                                  WHEN {d} % 7 = 1 THEN ':443'
+                                  WHEN {d} % 7 = 2 THEN ':8080'
+                                  ELSE '' END)
+                         || '/p/' || CAST({d} % 97 AS VARCHAR)
+                         || (CASE WHEN {d} % 4 = 0 THEN '/' ELSE '' END)
+                         || (CASE WHEN {d} % 5 = 0 THEN '?b=2&utm_source=x&a=1'
+                                  WHEN {d} % 5 = 1 THEN '?utm_campaign=y&gclid=z'
+                                  WHEN {d} % 5 = 2 THEN '?z=9&a=1'
+                                  ELSE '' END)
+                         || (CASE WHEN {d} % 6 = 0 THEN '#sec2' ELSE '' END)
+               END AS url
+        FROM {table}"""

@@ -4098,7 +4098,10 @@ CATALOG_FRONT = [
     # retirement to fund it: corpus_top_ngrams -> text_pmi_bigrams
     # (same tokenize/window/explode/count/TakeOrdered machinery with
     # c_xy hash-gated) IF the shared-expression refactor lands first —
-    # otherwise find a stricter sibling.
+    # otherwise find a stricter sibling. Two more r15 gate candidates
+    # built + differential-locked this round: extras/urls.py
+    # url_canonicalize/url_dedup (tests/test_urls.py) and
+    # extras/dedup.py line_dedup (tests/test_line_dedup.py).
     "sparql_service",
     "docs_warc_ingest",
     "ann_pq_rerank",

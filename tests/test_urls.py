@@ -1,0 +1,158 @@
+"""URL canonicalization (extras/urls.py): unit branch coverage, the
+synth∘canonicalize DuckDB differential, dedup semantics, and a
+Hypothesis fuzz over adversarial URL shapes."""
+
+from __future__ import annotations
+
+import duckdb
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from scio_sparql_spark.extras import urls as U
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+def _canon(spark, *url_list):
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(url_list)], "doc_id int, url string"
+    )
+    rows = U.url_canonicalize(df).orderBy("doc_id").collect()
+    return [r["canonical"] for r in rows]
+
+
+def test_canonical_branches(spark):
+    got = _canon(
+        spark,
+        "HTTP://WWW.Example.COM:80/a/b/?utm_source=x&b=2&a=1#frag",
+        "https://example.com:443/",
+        "https://example.com:8443/x",
+        "http://example.com",
+        "http://example.com/p?gclid=1&fbclid=2&ref=3&utm_campaign=c",
+        "ftp://example.com/file",
+        "not a url",
+        "/relative/path",
+    )
+    assert got == [
+        "http://example.com/a/b?a=1&b=2",
+        "https://example.com/",
+        "https://example.com:8443/x",
+        "http://example.com/",
+        "http://example.com/p",
+        None,
+        None,
+        None,
+    ]
+
+
+def test_host_trailing_dot_and_case(spark):
+    got = _canon(spark, "http://Site.ORG./q", "http://www.site.org/q")
+    assert got == ["http://site.org/q", "http://site.org/q"]
+
+
+def test_query_sort_is_binary_order(spark):
+    got = _canon(spark, "http://h.co/p?b=1&A=2&a=3")
+    # ASCII binary: 'A' < 'a' < 'b'
+    assert got == ["http://h.co/p?A=2&a=3&b=1"]
+
+
+def test_url_dedup_collapses_recrawls(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "http://www.a.com/x?utm_source=feed"),
+            (2, "HTTP://A.COM:80/x"),
+            (3, "http://a.com/y"),
+            (4, "mailto:x@a.com"),
+        ],
+        "doc_id int, url string",
+    )
+    rows = {r["doc_id"]: r["canonical"] for r in U.url_dedup(df).collect()}
+    # 1 and 2 collapse to the lowest id; 3 survives; 4 kept with NULL
+    assert set(rows) == {1, 3, 4}
+    assert rows[1] == "http://a.com/x" and rows[4] is None
+
+
+def test_synth_canonicalize_matches_duckdb(spark):
+    """The r14 slot-dry differential: md5-derived URL synthesis +
+    canonicalization replayed in DuckDB, bit-for-bit over 500 docs
+    (all branches: scheme/host case, www, default/explicit ports,
+    trailing slash, tracking params, sort, fragment, non-web NULLs)."""
+    docs = spark.read.parquet(DOCS)
+    got = sorted(
+        (r["doc_id"], r["url"], r["canonical"], r["host"])
+        for r in U.url_canonicalize(U.synth_urls(docs)).collect()
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{DOCS}')")
+    canon = U.canonical_url_sql("url")
+    want = sorted(
+        (int(r[0]), r[1], r[2], r[3])
+        for r in con.execute(
+            f"""WITH u AS ({U.synth_urls_sql()})
+                SELECT doc_id, url, {canon} AS canonical,
+                       COALESCE(regexp_extract({canon}, '^https?://([^:/?]+)', 1), '') AS host
+                FROM u"""
+        ).fetchall()
+    )
+    # Spark regexp_extract on NULL input gives NULL -> host NULL; align
+    got = [(a, b, c, h if c is not None else None) for a, b, c, h in got]
+    want = [(a, b, c, h if c is not None else None) for a, b, c, h in want]
+    assert len(got) == 500
+    assert got == want
+
+
+def test_host_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "http://a.com/1"),
+            (2, "http://www.a.com/2"),
+            (3, "https://b.com/1"),
+            (4, "bogus"),
+        ],
+        "doc_id int, url string",
+    )
+    got = {r["host"]: r["n_pages"] for r in U.host_counts(df).collect()}
+    assert got == {"a.com": 2, "b.com": 1}
+
+
+_URL_CHARS = st.text(
+    alphabet=st.sampled_from(
+        list("abcXYZ09-._~%/?#&=:+@!$'()*,;[]") + ["é", " "]
+    ),
+    max_size=24,
+)
+
+
+@given(parts=st.lists(_URL_CHARS, min_size=1, max_size=8))
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+def test_fuzz_canonical_matches_duckdb(spark, parts):
+    """Adversarial shapes (junk chars, %-escapes, empty segments,
+    unicode, spaces) through BOTH engines: canonicalization either
+    NULLs identically or produces identical strings."""
+    urls = [
+        "http://h.co/" + "".join(parts),
+        "https://" + "".join(parts),
+        "".join(parts),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "doc_id int, url string"
+    )
+    got = [
+        r["canonical"]
+        for r in U.url_canonicalize(df).orderBy("doc_id").collect()
+    ]
+    con = duckdb.connect()
+    canon = U.canonical_url_sql("url")
+    want = [
+        con.execute(
+            f"SELECT {canon} FROM (SELECT ? AS url)", [u]
+        ).fetchone()[0]
+        for u in urls
+    ]
+    assert got == want, (urls, got, want)
