@@ -52,7 +52,7 @@ PREDICTED = {
     "multimodal_features": "~10x: map-only Arrow stage, one real encode+decode per payload (the catalog's one deliberately interpreted hot loop); payload sizes fixed, count 10x",
     "stream_interval_join": "~10x: per-event state insert/probe within the interval horizon; state-store maintenance fixed per micro-batch (shuffle_partitions scoped by run_bounded)",
     # r14 late additions: the two new driver gates
-    "ann_pq_rerank": "sublinear wall-clock at this scale: the one-off janino compile of the unrolled encode/LUT expressions dominates (fixed cost, amortizes at 100 TB); per-row ADC is m element_at lookups so the scan term is linear; stage-2 rescan fixed at prefilter=100 rows",
+    "ann_pq_rerank": "sublinear wall-clock at this scale: the one-off codegen compile of the ADC/rerank plans dominates (fixed, amortizes at 100 TB); encode is an Arrow int64 matmul per batch (linear, vectorized — the r14 re-measure after BENCH_SCALE caught the ORIGINAL unrolled-literal encode running interpreted: 253s sf1, ratio 11.4; Arrow rewrite: 2.4s warm sf1); stage-2 rescan fixed at prefilter=100 rows",
     "sample_dsir": "~10x: one token-stream shuffle into the (doc,bucket) histogram, reused by ReuseExchange for both the model counts and the doc scores; weights table constant (buckets fixed); TakeOrdered top-k",
 }
 
