@@ -227,3 +227,36 @@ def streaming_dedup_from_path(
 
     stream = stream_parquet(spark, path, schema)
     return streaming_exact_dedup(stream, watermark, ts_col, text_col)
+
+
+def streaming_url_dedup(
+    pages: DataFrame,
+    watermark: str | None = "10 minutes",
+    ts_col: str = "ts",
+    url_col: str = "url",
+) -> DataFrame:
+    """Streaming re-crawl collapse: keep the FIRST page per canonical
+    URL (extras.urls.canonical_url_expr — the identical map-side
+    expression the batch url_dedup drives, so streaming==batch on a
+    replay). Pages whose URL does not canonicalize (non-http(s),
+    malformed) pass through undeduped — they have no key to collapse
+    on, same as the batch form.
+
+    State discipline (100 TB crawl stream): only the canonical-url
+    STRING enters the state store (never payload bytes);
+    dropDuplicatesWithinWatermark bounds it to the watermark horizon —
+    a re-crawl later than the horizon passes through (at-least-once
+    dedup), squeezed by the periodic batch pass, the
+    streaming_exact_dedup tradeoff."""
+    from ..extras.urls import canonical_url_expr
+
+    keyed = pages.withColumn("__cu", canonical_url_expr(F.col(url_col)))
+    web = keyed.filter(F.col("__cu").isNotNull())
+    other = keyed.filter(F.col("__cu").isNull())
+    if watermark is not None:
+        web = web.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            ["__cu"]
+        )
+    else:
+        web = web.dropDuplicates(["__cu"])
+    return web.unionByName(other).drop("__cu")

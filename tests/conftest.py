@@ -18,6 +18,12 @@ def spark():
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # One session serves the whole ~520-test suite; at the default
+        # 1g heap the accumulated codegen/plan state OOMs the JVM
+        # around the fuzz files (r14: test_sparql_fuzz died and every
+        # later test cascaded as Py4JJavaError) — each file passes
+        # alone, so it is cumulative session wear, not a test bug.
+        .config("spark.driver.memory", "8g")
         .getOrCreate()
     )
     s.sparkContext.setLogLevel("ERROR")

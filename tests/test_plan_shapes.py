@@ -240,6 +240,10 @@ def test_catalog_extras_plans_free_of_anti_patterns(spark):
         "corpus_heavy_hitters_cms",
         "corpus_heavy_hitters_cms_bounded",
         "text_pmi_bigrams",
+        # r14: DSIR cross-joins the ONE-row (n_raw, n_t) totals into
+        # the broadcast weights projection — the same scalar-broadcast
+        # shape as bm25/lm_score above
+        "sample_dsir",
     }
     SORT_AGG_OK = {"dedup_keep_best"}
     ARROW_OK = {
@@ -259,6 +263,13 @@ def test_catalog_extras_plans_free_of_anti_patterns(spark):
         "ann_lsh_topk",
         "embed_gram",
         "dedup_bloom_contamination",
+        # r14: PQ encode is the same janino-cliff class as the LSH
+        # signature above, MEASURED — the unrolled m x k_codes x sub
+        # literal argmin blew the JIT method limit and ran interpreted
+        # (BENCH_SCALE: 253s/ratio-11.4 at sf1); the Arrow int64
+        # matmul replacement is 2.4s warm at sf1 (similarity.pq_encode
+        # docstring carries the numbers)
+        "ann_pq_rerank",
         # grouped-Arrow users: within-cluster matmul (SemDeDup's own
         # quadratic contract) and the custom stateful session operator
         "embed_semdedup",

@@ -156,3 +156,37 @@ def test_fuzz_canonical_matches_duckdb(spark, parts):
         for u in urls
     ]
     assert got == want, (urls, got, want)
+
+
+def test_streaming_url_dedup_equals_batch_on_replay(spark, tmp_path):
+    """streaming==batch evidence for the canonical-URL collapse: the
+    availableNow replay of streaming_url_dedup keeps exactly one page
+    per canonical URL — the SAME survivor count as batch url_dedup —
+    and passes non-canonicalizable URLs through undeduped."""
+    from pyspark.sql import functions as F
+
+    from scio_sparql_spark.streaming.bounded import (
+        run_bounded_to_parquet,
+        stream_parquet,
+    )
+    from scio_sparql_spark.streaming.dedup import streaming_url_dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pages = U.synth_urls(docs).withColumn(
+        "ts", F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id"))
+    )
+    src = str(tmp_path / "src")
+    pages.coalesce(1).write.parquet(src)
+
+    stream = stream_parquet(spark, src, pages.schema)
+    out = streaming_url_dedup(stream, watermark=None)
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    run_bounded_to_parquet(out, sink, ckpt)
+    got = spark.read.parquet(sink)
+
+    batch = U.url_dedup(pages)
+    assert got.count() == batch.count()
+    # every canonical key appears exactly once in the stream output
+    keyed = got.select(U.canonical_url_expr(F.col("url")).alias("c"))
+    web = keyed.filter(F.col("c").isNotNull())
+    assert web.count() == web.distinct().count()
