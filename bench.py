@@ -317,7 +317,7 @@ def main():
     error_detail = {}
     total = 0.0
 
-    def timed(fn):
+    def timed(fn, skip_cold=0):
         # Three runs, report the min: steady-state timing (this host's
         # CPU shares are noisy — r3 recorded 4.6s for a query that
         # measures 0.9s under the same config; first run also absorbs
@@ -334,10 +334,19 @@ def main():
         reps, n = [], 0
         t_a, s_a, w_a, b_a = _cpu_stat()
         tree_a = _tree_cpu_jiffies()
-        for _ in range(3):
+        for _ in range(3 + skip_cold):
             t0 = time.time()
             n = fn()
             reps.append(time.time() - t0)
+        if skip_cold:
+            # remeasure pass runs in a FRESH session, so rep 0 pays the
+            # whole session's codegen cold-start by construction — it
+            # would read as a 3-5x spread on every re-timed entry and
+            # re-trip the very dirty predicate the remeasure exists to
+            # clear (observed: run f flagged 9 sub-second entries dirty
+            # purely on fresh-session rep-0 cost). Drop it from BOTH
+            # the min and the spread; three warm reps remain.
+            reps = reps[1:]
         t_b, s_b, w_b, b_b = _cpu_stat()
         tree_b = _tree_cpu_jiffies()
         dtot = max(1, t_b - t_a)
@@ -506,7 +515,7 @@ def main():
         else:
             fn = lambda: qs[name](spark, sf_dir).count()
         try:
-            dt, _, pct, sp, fp, la = timed(fn)
+            dt, _, pct, sp, fp, la = timed(fn, skip_cold=1)
         except Exception as e:  # noqa: BLE001
             print(f"# remeasure {name}: ERROR {type(e).__name__}",
                   file=sys.stderr)
