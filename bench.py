@@ -334,10 +334,17 @@ def main():
         reps, n = [], 0
         t_a, s_a, w_a, b_a = _cpu_stat()
         tree_a = _tree_cpu_jiffies()
-        for _ in range(3 + skip_cold):
+        for i in range(3 + skip_cold):
             t0 = time.time()
             n = fn()
             reps.append(time.time() - t0)
+            if skip_cold and i == skip_cold - 1:
+                # re-snapshot AFTER the discarded cold rep(s) so the
+                # steal/foreign percentages cover exactly the interval
+                # of the reps they annotate (r15, ADVICE r14: the old
+                # window spanned all 4 reps while min/spread used 3)
+                t_a, s_a, w_a, b_a = _cpu_stat()
+                tree_a = _tree_cpu_jiffies()
         if skip_cold:
             # remeasure pass runs in a FRESH session, so rep 0 pays the
             # whole session's codegen cold-start by construction — it
@@ -346,7 +353,7 @@ def main():
             # clear (observed: run f flagged 9 sub-second entries dirty
             # purely on fresh-session rep-0 cost). Drop it from BOTH
             # the min and the spread; three warm reps remain.
-            reps = reps[1:]
+            reps = reps[skip_cold:]
         t_b, s_b, w_b, b_b = _cpu_stat()
         tree_b = _tree_cpu_jiffies()
         dtot = max(1, t_b - t_a)
@@ -500,10 +507,9 @@ def main():
             .config("spark.sql.shuffle.partitions", cpus)
             .config("spark.sql.adaptive.enabled", "true")
             .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-            .config(
-                "spark.driver.memory",
-                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
-            )
+            # no spark.driver.memory here: stop() recycles the same
+            # JVM, so the setting cannot take effect on the rebuilt
+            # session (the first session's 48g heap is what runs)
             .config("spark.ui.enabled", "false")
             .config("spark.sql.session.timeZone", "UTC")
             .getOrCreate()

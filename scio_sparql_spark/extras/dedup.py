@@ -1481,9 +1481,12 @@ def line_dedup(
     - Two shuffles: the (key -> distinct-doc count) aggregation — keys
       are 32-hex digests, the text itself never shuffles with them —
       and the per-doc reassembly groupBy. The boilerplate-key join is
-      df-filtered to the >= min_docs sliver, which is tiny relative to
-      the line universe (AQE broadcasts it), so the reassembly join
-      adds no third shuffle of substance.
+      df-filtered to the >= min_docs sliver; deliberately NO broadcast
+      hint (r15, ADVICE r14): the sliver is tiny at test scale and AQE
+      broadcasts it there (plan-locked), but at 100 TB with a small
+      min_docs the >= min_docs key set is bounded only by
+      line-universe/min_docs — a forced broadcast would OOM exactly
+      where a plain join lets AQE fall back to shuffle.
     - Reassembly order rides a (pos, line) struct sort inside
       collect_list -> deterministic without a window function.
     """
@@ -1504,7 +1507,7 @@ def line_dedup(
         .select("key")
     )
     kept_or_removed = lines.join(
-        F.broadcast(bl.withColumn("__bl", F.lit(1))), on="key", how="left"
+        bl.withColumn("__bl", F.lit(1)), on="key", how="left"
     )
     return (
         kept_or_removed.groupBy(id_col)

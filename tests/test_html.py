@@ -75,6 +75,13 @@ def test_signals_counts(spark):
     assert 0 < r["density_micro"] < 1_000_000
 
 
+def test_n_links_counts_multiline_and_selfclosing_anchors(spark):
+    """r15 (ADVICE r14): anchors written as '<a\\nhref=...>' or '<a/>'
+    count toward link density like plain '<a href=...>' does."""
+    r = _extract_one(spark, '<p><a\nhref="/x">one</a> and <a/> and <a href="/y">t</a></p>')
+    assert r["n_links"] == 3
+
+
 def test_wrap_extract_matches_duckdb_oracle(spark):
     """The r14 slot-dry differential: deterministic HTML wrap + the
     full extraction chain replayed in DuckDB — digests of the FULL

@@ -541,6 +541,28 @@ def test_cms_estimate_broadcasts_the_grid(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
 
 
+def test_line_dedup_aqe_broadcasts_boilerplate_sliver(spark):
+    """r15 (ADVICE r14 medium): line_dedup carries NO F.broadcast hint —
+    at 100 TB the >= min_docs key set is bounded only by
+    line-universe/min_docs and a forced broadcast would OOM where a
+    plain join lets AQE decide. This lock proves the test-scale
+    behavior is unchanged: AQE still picks a broadcast join for the
+    tiny sliver at runtime (the final adaptive plan, after execution)."""
+    from scio_sparql_spark.extras import dedup
+
+    chrome = "accept cookies"
+    df = spark.createDataFrame(
+        [(i, f"body {i}\n{chrome}") for i in range(40)],
+        "doc_id int, text string",
+    )
+    out = dedup.line_dedup(df, min_docs=5)
+    out.collect()  # AQE finalizes join strategy at runtime
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    # and the lowering itself must not force it
+    assert "broadcast" not in dedup.line_dedup.__code__.co_names
+
+
 def test_cms_bounded_probe_no_vocabulary_shuffle(spark):
     """The r12 bounded-candidate CMS entry's plan contract (VERDICT r11
     missing #3): the only token-keyed Exchange on the PROBE side reads
