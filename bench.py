@@ -194,6 +194,15 @@ BENCH_QUERIES = [
     # both hashed-ngram models, broadcast weights, top-k select)
     "ann_pq_rerank",
     "sample_dsir",
+    # new in r15 (appended; prior-round common comparisons unchanged):
+    # the crawl-pipeline text trio (HTML -> text extraction, line-level
+    # boilerplate removal over extracted lines, canonical-URL dedup)
+    # and the composed WARC -> extract -> line-dedup -> URL-dedup
+    # crawl-to-clean-text flagship
+    "docs_html_extract",
+    "dedup_lines",
+    "dedup_url",
+    "docs_crawl_pipeline",
 ]
 
 

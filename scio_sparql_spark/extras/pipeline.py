@@ -391,11 +391,13 @@ def clean_corpus(
 
     Beyond-reference surface: the composition entry — each stage exists
     standalone in textstats/dedup, this is the "run the whole cleaning
-    pass" operator a pipeline user actually calls. The lang-ID vote and
-    the whitespace token count are the SAME shared expressions the
-    standalone operators project (textstats.lang_pred_expr / _tokens),
-    so this entry's driver hash gates them too — the r14 rotation
-    ledger retires text_langid against this embedding.
+    pass" operator a pipeline user actually calls. The lang-ID vote,
+    the whitespace token count AND the email redaction are the SAME
+    shared expressions the standalone operators project
+    (textstats.lang_pred_expr / _tokens / redact_email_expr), so this
+    entry's driver hash gates them too — the r14 rotation ledger
+    retires text_langid and the r15 ledger retires text_pii against
+    these embeddings.
 
     Scale design (100 TB): lang-ID, token count and the digest are
     map-side Column expressions evaluated BEFORE the shuffle, so the
@@ -406,7 +408,7 @@ def clean_corpus(
     spent only on kept rows.
 
     Output: (id, source, lang_pred, n_tokens, clean_text)."""
-    from .textstats import PII_EMAIL, _tokens, lang_pred_expr
+    from .textstats import _tokens, lang_pred_expr, redact_email_expr
 
     toks = _tokens(F.col(text_col))
     lang_pred = lang_pred_expr(toks)
@@ -428,9 +430,7 @@ def clean_corpus(
             F.col("source"),
             F.col("lang_pred"),
             F.col("n_tokens"),
-            F.regexp_replace(F.col(text_col), PII_EMAIL, "<EMAIL>").alias(
-                "clean_text"
-            ),
+            redact_email_expr(F.col(text_col)).alias("clean_text"),
         )
     )
 

@@ -427,6 +427,15 @@ PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 PII_PHONE = r"\+?\d[\d\- ]{7,}\d"
 
 
+def redact_email_expr(text) -> "F.Column":
+    """Email redaction as ONE shared Column expression — projected by
+    pii_stats below and gated driver-hash inside docs_clean_pipeline's
+    clean_text output (pipeline.clean_corpus), so neither site can
+    drift (r15; the lang_pred_expr sharing discipline). The r15
+    rotation ledger retires text_pii against that embedding."""
+    return F.regexp_replace(text, PII_EMAIL, "<EMAIL>")
+
+
 def pii_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """PII pre-filter signals: counts of email / IPv4 / phone-shaped
     spans, plus the text with emails redacted. Pure regexp Columns
@@ -439,7 +448,7 @@ def pii_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL), F.lit(0))).alias("n_emails"),
         F.size(F.regexp_extract_all(text, F.lit(PII_IPV4), F.lit(0))).alias("n_ipv4"),
         F.size(F.regexp_extract_all(text, F.lit(PII_PHONE), F.lit(0))).alias("n_phones"),
-        F.regexp_replace(text, PII_EMAIL, "<EMAIL>").alias("redacted_text"),
+        redact_email_expr(text).alias("redacted_text"),
     )
 
 

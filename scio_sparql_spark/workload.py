@@ -22,12 +22,14 @@ from .extras import (
     clustering,
     dedup,
     dsir,
+    html,
     multimodal,
     pipeline,
     retrieval,
     similarity,
     sketches,
     textstats,
+    urls,
 )
 from .sources.bridge import (
     bridge_ctx,
@@ -2358,6 +2360,121 @@ def q_sparql_service(spark, sf_dir):
     )
 
 
+def q_docs_html_extract(spark, sf_dir):
+    """HTML -> text extraction gate (r15 — the r14 earmark): wrap every
+    document in deterministic, branch-covering HTML (title/nav/script/
+    comment/entity/unclosed-tag chrome, md5-derived structure) and run
+    the REAL extraction chain — one map-only regexp_replace chain,
+    zero shuffle, whole-stage codegen (extras/html.py). The oracle
+    rebuilds the same HTML and replays the identical RE2-safe chain,
+    so the hash gates the full text (as a digest) AND the boilerplate
+    signals (n_links/n_tags/density_micro) bit-for-bit."""
+    docs = _table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    ex = html.html_extract(html.wrap_documents_html(docs))
+    return ex.select(
+        "doc_id",
+        F.md5("text").alias("text_digest"),
+        "n_links",
+        "n_tags",
+        "n_html_chars",
+        "n_text_chars",
+        "density_micro",
+    )
+
+
+def q_dedup_url(spark, sf_dir):
+    """URL-level dedup gate (r15 — the r14 earmark): the CCNet/
+    RefinedWeb FIRST dedup pass. Deterministic branch-covering URL
+    synthesis (case/www/ports/params/fragments/userinfo/IPv6/slash
+    runs/non-web NULLs) -> canonicalize -> one survivor (lowest id)
+    per canonical URL. Map-only canonicalization; ONLY the canonical
+    string shuffles (extras/urls.py). The oracle replays the identical
+    split regex + canonical chain and the min-id groupBy."""
+    docs = _table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return urls.url_dedup(urls.synth_urls(docs))
+
+
+def q_dedup_lines(spark, sf_dir):
+    """Line-level boilerplate removal gate (r15 — the r14 earmark),
+    composed the way a crawl pipeline runs it: html_extract's
+    block-close -> newline output feeds line_dedup (RefinedWeb §3.1
+    paragraph dedup — lines in >= 5 distinct docs removed from every
+    doc, order-preserving rejoin). Two 32-hex-key shuffles; the
+    boilerplate sliver joins WITHOUT a forced broadcast (AQE decides —
+    r15, ADVICE r14). The oracle rebuilds the whole wrap -> extract ->
+    line-dedup chain and hashes the cleaned text digests."""
+    docs = _table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    ex = html.html_extract(html.wrap_documents_html(docs))
+    out = dedup.line_dedup(ex, min_docs=5)
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("text_digest"),
+        "n_lines",
+        "n_removed",
+    )
+
+
+def q_docs_crawl_pipeline(spark, sf_dir):
+    """THE composed crawl-to-clean-text flagship (r15 — VERDICT r14
+    next #2): documents -> deterministic HTML wrap + URL synthesis ->
+    DISTRIBUTED WARC archive write (per-record gzip members) -> CDX
+    offset sidecar -> RANGE-SPLIT WARC read -> html_extract ->
+    line_dedup -> url_dedup survivors, in ONE plan chain. Each stage
+    is separately gated (docs_warc_ingest, docs_html_extract,
+    dedup_lines, dedup_url); THIS entry gates their compositions —
+    where schema/encoding mismatches hide. The DuckDB oracle rebuilds
+    the entire chain from the source table (the WARC hop is identity
+    iff the archive bytes round-trip exactly, the docs_warc_ingest
+    argument), so one hash covers wrap == payload -> extract ->
+    boilerplate removal -> canonical-URL collapse end to end.
+
+    100-TB shape: this is CommonCrawl-to-training-text — file-level
+    WARC parallelism with record-level CDX splits, one map-only
+    regexp extraction, two short-key dedup shuffles, one survivor
+    join. No stage shuffles document text except the per-doc line
+    reassembly."""
+    import os
+    import tempfile
+
+    from .sources import warc
+
+    docs = _table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    pages = html.wrap_documents_html(docs)
+    page_urls = urls.synth_urls(docs)
+    src = pages.join(page_urls, "doc_id").select(
+        F.concat(F.lit("<urn:doc:"), "doc_id", F.lit(">")).alias("record_id"),
+        F.col("url").alias("target_uri"),
+        F.encode("html", "UTF-8").alias("payload"),
+    )
+    app_id = spark.sparkContext.applicationId
+    tag = os.path.basename(os.path.abspath(sf_dir))
+    out = os.path.join(tempfile.gettempdir(), f"scio_crawl_{app_id}_{tag}")
+    cdx_path = out + "_cdx"
+    warc.write_warc_archives(src, out, shards=16).write.mode(
+        "overwrite"
+    ).parquet(cdx_path)
+    rec = (
+        warc.read_warc(spark, out, cdx=spark.read.parquet(cdx_path))
+        .filter(F.col("warc_type") == "response")
+        .select(
+            F.regexp_extract("record_id", r"<urn:doc:([0-9]+)>", 1)
+            .cast("bigint")
+            .alias("doc_id"),
+            F.col("target_uri").alias("url"),
+            F.decode("payload", "UTF-8").alias("html"),
+        )
+    )
+    cleaned = dedup.line_dedup(html.html_extract(rec), min_docs=5)
+    survivors = urls.url_dedup(rec.select("doc_id", "url"))
+    return survivors.join(cleaned, "doc_id").select(
+        "doc_id",
+        "canonical",
+        F.md5("text").alias("text_digest"),
+        "n_lines",
+        "n_removed",
+    )
+
+
 def q_retrieval_bm25(spark, sf_dir):
     """BM25 top-10 for a 3-term probe query; query-term filter runs
     map-side before any shuffle."""
@@ -2697,6 +2814,22 @@ def q_sparql_describe(spark, sf_dir):
         F.col("o")["lex"].alias("o"),
     )
 
+
+# --- r15 crawl-pipeline oracle building blocks ------------------------
+# Every stage of the crawl chain has a standalone SQL twin (the r14
+# differentials); the gates below compose them. _DOCS_NN mirrors the
+# Spark-side text-IS-NOT-NULL guard (docs_warc_ingest precedent).
+_DOCS_NN = "(SELECT * FROM documents WHERE text IS NOT NULL)"
+_CRAWL_CANON = urls.canonical_url_sql("url")
+_CRAWL_URL_CTES = f"""u AS ({urls.synth_urls_sql(table=_DOCS_NN)}),
+  c AS (SELECT doc_id, {_CRAWL_CANON} AS canonical FROM u),
+  surv AS (SELECT MIN(doc_id) AS doc_id, canonical FROM c
+           WHERE canonical IS NOT NULL GROUP BY canonical
+           UNION ALL
+           SELECT doc_id, canonical FROM c WHERE canonical IS NULL)"""
+# line_dedup's twin over the extracted text (its WITH nests inside a
+# CTE/derived table — DuckDB scopes the outer `ext` into it)
+_CRAWL_LINE_SQL = dedup.line_dedup_oracle_sql(min_docs=5, table="ext")
 
 EXTRA_QUERIES = {
     # §2.13 upgrades: ASK / CONSTRUCT / DESCRIBE query forms
@@ -3503,6 +3636,38 @@ EXTRA_QUERIES = {
         "md5(text) AS digest, octet_length(encode(text)) AS n_bytes "
         "FROM documents WHERE text IS NOT NULL",
     ),
+    # HTML -> text extraction: deterministic wrap + the real regexp
+    # chain, replayed verbatim in RE2 (full-text digests + signals)
+    "docs_html_extract": (
+        q_docs_html_extract,
+        html.html_extract_oracle_sql(table=_DOCS_NN),
+    ),
+    # canonical-URL dedup: the identical split regex + canonical chain
+    # + min-id collapse in both engines; NULL-canonical rows pass through
+    "dedup_url": (
+        q_dedup_url,
+        f"""WITH {_CRAWL_URL_CTES}
+            SELECT doc_id, canonical FROM surv""",
+    ),
+    # html_extract -> line_dedup composition (the RefinedWeb §3.1 pass
+    # over real extracted lines)
+    "dedup_lines": (
+        q_dedup_lines,
+        f"""WITH ext AS ({html.html_extract_oracle_sql(table=_DOCS_NN, project_text=True)})
+            SELECT doc_id, md5(text) AS text_digest, n_lines, n_removed
+            FROM ({_CRAWL_LINE_SQL}) ld""",
+    ),
+    # the composed crawl-to-clean-text flagship: wrap -> WARC round-trip
+    # (identity iff bytes survive) -> extract -> line dedup -> URL dedup
+    "docs_crawl_pipeline": (
+        q_docs_crawl_pipeline,
+        f"""WITH ext AS ({html.html_extract_oracle_sql(table=_DOCS_NN, project_text=True)}),
+            ld AS ({_CRAWL_LINE_SQL}),
+            {_CRAWL_URL_CTES}
+            SELECT s.doc_id, s.canonical, md5(ld.text) AS text_digest,
+                   ld.n_lines, ld.n_removed
+            FROM surv s JOIN ld ON s.doc_id = ld.doc_id""",
+    ),
     # SERVICE over a second registered dataset == the plain two-dataset
     # relational join
     "sparql_service": (
@@ -3922,7 +4087,7 @@ CATALOG_RETIRED = {
     "corpus_stats": "docs_filter_funnel (same corpus aggregates)",
     "dedup_keep_best": "dedup_exact (same digest groupBy)",
     "doc_pack_shards": "docs_pack_sequences (same packing core)",
-    "docs_domain_cap": "docs_topk_per_source (same per-group rank path)",
+    "docs_domain_cap": "docs_clean_pipeline (same keyed row_number rank path; via docs_topk_per_source, itself retired r15 against the same sibling)",
     "sample_quality_weighted": "text_classifier_score + sample_hash",
     "docs_blocklist": "docs_clean_pipeline (blocklist stage included)",
     "sparql_results_json": "rdf_egress_jsonld + serializer pytest",
@@ -4068,91 +4233,109 @@ CATALOG_RETIRED = {
     # whitespace-fed packing form stays pytest-locked
     # (tests/test_extras pack coverage) and benched in bench.py.
     "docs_pack_sequences": "docs_pack_bpe (same pack_sequences core) + docs_clean_pipeline (same _tokens count, gated as n_tokens)",
+    # r15 (window slots for the four new crawl-pipeline gates —
+    # docs_html_extract, dedup_url, dedup_lines, docs_crawl_pipeline):
+    # text_pii's redaction is textstats.redact_email_expr — the
+    # IDENTICAL shared Column (refactored this round, the text_langid
+    # discipline) docs_clean_pipeline gates as its clean_text output;
+    # the three count projections (n_emails/n_ipv4/n_phones) are
+    # same-shape one-line regexp_extract_all sizes and stay
+    # pytest-locked (test_extras pii coverage).
+    "text_pii": "docs_clean_pipeline (same redact_email_expr, gated in clean_text)",
+    # SAMPLE's only unique code is the one-line SAMPLE ->
+    # F.first(ignorenulls) mapping inside the shared §2.4 single-.agg()
+    # lowering that sparql_agg_count / sparql_agg_minmax /
+    # sparql_agg_expr drive hash-gated (the sparql_exists two-line-
+    # dispatch precedent); the mapping stays pytest-locked
+    # (test_aggregates test_sample).
+    "sparql_sample": "sparql_agg_count + sparql_agg_expr (same single-.agg lowering; the F.first mapping pytest-locked)",
+    # corpus_sketch_store drives the SAME kmv_sketch build (identical
+    # function, lang/text keys) AND its lossless merge hash-gated
+    # (merged == whole-corpus DuckDB construction — the harder
+    # property); the standalone entry's only unique code is the
+    # closed-form (k-1)*2^60/h_k estimator expression, pytest-locked
+    # against the pure-Python hashlib reference (test_sketches).
+    "corpus_cardinality_kmv": "corpus_sketch_store (same kmv_sketch build + gated merge; estimator pytest-locked)",
+    # the per-group rank path — Window.partitionBy(key).orderBy(...) +
+    # row_number + rank filter — is the identical lowering
+    # docs_clean_pipeline drives hash-gated (rk == 1 over the digest
+    # partition); the general k > 1 threshold is a literal change,
+    # pytest-locked (test_extras topk_per_group coverage). The retired
+    # docs_domain_cap chain continues through the same sibling.
+    "docs_topk_per_source": "docs_clean_pipeline (same keyed row_number rank lowering, gated at rk==1)",
 }
 
 CATALOG_FRONT = [
-    # --- r14 window (exactly 50 — the driver checks the FIRST 50) ------
-    # Rotation ledger (evidence age at the END of r13, from the
-    # CORRECTNESS_r{12,13}.json keys): 99 actives; the 50 in the r13
-    # window hold r13 rows, the other 49 hold r12 rows and are ALL due
-    # now. One of the due 49 is retired this round with a strict-
-    # superset-sibling argument (CATALOG_RETIRED r14 block:
-    # sparql_exists -> sparql_bind_exists + sparql_not_exists), so the
-    # due set is 48. Its freed slot plus the spare slot the r13 ledger
-    # earmarked (df29a66) go to the two NEW r14 gates: sparql_service
-    # (the r13 SERVICE-execution upgrade, previously pytest-only) and
-    # docs_warc_ingest (the r13 WARC source + the r14 CDX range-split
-    # read, previously pytest-only). Late-r14: two MORE due entries
-    # retire against in-window strict supersets (text_langid ->
-    # docs_clean_pipeline's shared lang_pred_expr; docs_pack_sequences
-    # -> docs_pack_bpe's identical pack_sequences core + clean
-    # pipeline's identical whitespace count), freeing their slots for
-    # the two slot-dry in-test differentials built earlier this round:
-    # ann_pq_rerank and sample_dsir. Still 50 in-window, nobody
-    # displaced, actives = 100 (at cap), and after this window every
-    # active entry's evidence is r13 or r14.
-    # r15 earmark (the WARC/SERVICE precedent): extras/html.py
-    # docs_html_extract (HTML -> text boilerplate strip + structural
-    # signals, pytest + 500-doc in-test DuckDB differential in
-    # tests/test_html.py) needs a window slot next round; candidate
-    # retirement to fund it: corpus_top_ngrams -> text_pmi_bigrams
-    # (same tokenize/window/explode/count/TakeOrdered machinery with
-    # c_xy hash-gated) IF the shared-expression refactor lands first —
-    # otherwise find a stricter sibling. Two more r15 gate candidates
-    # built + differential-locked this round: extras/urls.py
-    # url_canonicalize/url_dedup (tests/test_urls.py) and
-    # extras/dedup.py line_dedup (tests/test_line_dedup.py).
-    "sparql_service",
-    "docs_warc_ingest",
-    "ann_pq_rerank",
-    "sample_dsir",
-    # --- the 48 due actives (last=r12) ---------------------------------
-    "corpus_heavy_hitters_cms_bounded",
-    "corpus_top_ngrams",
-    "dedup_bloom_contamination",
-    "dedup_incremental",
-    "dedup_minhash_verified",
-    "dedup_normalized",
-    "docs_bucketed_join",
-    "docs_clean_pipeline",
-    "docs_filter_funnel",
-    "docs_gopher_filter",
-    "docs_jsonl_roundtrip",
-    "docs_pack_bpe",
-    "embed_gram",
-    "embed_random_projection",
-    "embed_semdedup",
-    "events_asof",
-    "events_pivot",
-    "events_quantiles_histogram",
-    "events_rollup",
-    "events_sessions",
-    "graph_pagerank",
-    "graph_triangles",
-    "rdf_egress_turtle",
-    "retrieval_bm25",
-    "retrieval_term_stats",
-    "sparql_agg_count",
-    "sparql_agg_expr",
-    "sparql_bind",
-    "sparql_distinct",
-    "sparql_offset_limit",
-    "sparql_path_alt",
-    "sparql_path_seq",
-    "sparql_path_star",
-    "sparql_q3_shaped",
-    "sparql_topk",
-    "sparql_update_roundtrip",
-    "sparql_values_undef",
-    "stream_dedup_exact",
-    "stream_session_windows",
-    "stream_sparql_select",
-    "stream_stateful_sessions",
-    "text_bpe_tokens_1k",
-    "text_classifier_score",
-    "text_lm_score",
-    "text_quality",
-    "text_repetition",
+    # --- r15 window (exactly 50 — the driver checks the FIRST 50) ------
+    # Rotation ledger (evidence age at the END of r14, from the
+    # CORRECTNESS_r{13,14}.json keys): 100 actives at cap; the 50 in
+    # the r14 window hold r14 rows, the other 50 hold r13 rows and are
+    # ALL due now. Four of the due 50 retire this round with
+    # strict-superset-sibling arguments (CATALOG_RETIRED r15 block:
+    # text_pii -> docs_clean_pipeline's shared redact_email_expr;
+    # sparql_sample -> the gated single-.agg lowering;
+    # corpus_cardinality_kmv -> corpus_sketch_store's gated kmv build
+    # + merge; docs_topk_per_source -> docs_clean_pipeline's gated
+    # keyed row_number rank), so the due set is 46. Their freed slots
+    # go to the four NEW r15 gates the r14 ledger earmarked: the
+    # crawl-pipeline text trio — docs_html_extract (extras/html.py),
+    # dedup_url (extras/urls.py), dedup_lines (extras/dedup.py
+    # line_dedup over extracted lines) — and docs_crawl_pipeline, the
+    # composed WARC -> extract -> line-dedup -> URL-dedup flagship
+    # (VERDICT r14 next #1/#2). Still 50 in-window, nobody displaced,
+    # actives = 100 (at cap), and after this window every active
+    # entry's evidence is r14 or r15.
+    "docs_html_extract",
+    "dedup_url",
+    "dedup_lines",
+    "docs_crawl_pipeline",
+    # --- the 46 due actives (last=r13) ---------------------------------
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "ann_rerank_topk",
+    "corpus_sketch_store",
+    "dedup_clusters",
+    "dedup_containment",
+    "dedup_cross_corpus",
+    "dedup_simhash_check",
+    "dedup_span_removal",
+    "doc_chunks",
+    "embed_kmeans",
+    "embed_perceptron",
+    "events_funnel",
+    "events_props",
+    "events_quantiles",
+    "multimodal_features",
+    "rdf_egress_jsonld",
+    "sample_stratified",
+    "sparql_agg_avg",
+    "sparql_agg_minmax",
+    "sparql_ask",
+    "sparql_bind_exists",
+    "sparql_bindings",
+    "sparql_construct",
+    "sparql_custom_function",
+    "sparql_filter",
+    "sparql_from_graph",
+    "sparql_graph",
+    "sparql_group_by_expr",
+    "sparql_group_concat",
+    "sparql_having",
+    "sparql_minus",
+    "sparql_not_exists",
+    "sparql_optional",
+    "sparql_path_inv",
+    "sparql_path_negated",
+    "sparql_path_zero_or_one",
+    "sparql_property_table",
+    "sparql_quads_roundtrip",
+    "sparql_subselect",
+    "sparql_union",
+    "sparql_union_default_graph",
+    "stream_dedup_neardup",
+    "stream_interval_join",
+    "stream_windowed_counts",
+    "text_pmi_bigrams",
 ]
 
 

@@ -253,6 +253,11 @@ def test_catalog_extras_plans_free_of_anti_patterns(spark):
         # archive bytes -> records can't be a Column expression; the
         # range-split CDX read keeps it one seek per record batch
         "docs_warc_ingest",
+        # r15: the composed crawl pipeline INGESTS through the same
+        # WARC Arrow stage; every post-ingest stage (html_extract,
+        # line_dedup, url_dedup) is native Columns — the standalone
+        # trio entries prove that, swept un-allowlisted
+        "docs_crawl_pipeline",
         # sanctioned dense-linear-algebra Arrow users (r8): each is the
         # documented vectorized-matmul path where unrolled SQL either
         # exceeds janino's 64KB method cap (LSH signature — the codegen
