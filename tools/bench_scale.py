@@ -54,6 +54,12 @@ PREDICTED = {
     # r14 late additions: the two new driver gates
     "ann_pq_rerank": "sublinear wall-clock at this scale: the one-off codegen compile of the ADC/rerank plans dominates (fixed, amortizes at 100 TB); encode is an Arrow int64 matmul per batch (linear, vectorized — the r14 re-measure after BENCH_SCALE caught the ORIGINAL unrolled-literal encode running interpreted: 253s sf1, ratio 11.4; Arrow rewrite: 2.4s warm sf1); stage-2 rescan fixed at prefilter=100 rows",
     "sample_dsir": "~10x: one token-stream shuffle into the (doc,bucket) histogram, reused by ReuseExchange for both the model counts and the doc scores; weights table constant (buckets fixed); TakeOrdered top-k",
+    # r15 additions (VERDICT r14 next #6): the crawl-pipeline text trio
+    # + the composed flagship
+    "docs_html_extract": "~10x: ONE map-only regexp_replace chain, zero shuffle, whole-stage codegen; per-row cost fixed by the shape-preserved doc-length distribution, row count 10x",
+    "dedup_url": "~10x: map-only canonicalization (regexp/array Columns); only the canonical short string shuffles into a partial-agg min-id groupBy",
+    "dedup_lines": "~10x: two 32-hex-key shuffles (line-key counts, then per-doc reassembly); collect_list state bounded by ONE doc's line count (shape-preserved); the >=min_docs sliver join is AQE-planned (no forced broadcast)",
+    "docs_crawl_pipeline": "~10x: WARC write+read linear in archive bytes (16 shards -> CDX range splits over defaultParallelism); extract map-only; both dedups short-key; survivor join keyed on doc_id",
 }
 
 
