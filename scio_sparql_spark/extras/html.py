@@ -94,9 +94,13 @@ def html_extract(
     docs: DataFrame,
     html_col: str = "html",
     id_col: str = "doc_id",
+    passthrough: tuple = (),
 ) -> DataFrame:
     """Extract text + structural boilerplate signals from an HTML
-    column, one map-only pass:
+    column, one map-only pass. ``passthrough`` names extra input
+    columns to carry into the output unchanged (r15 — e.g. the page
+    URL riding next to its extracted text, so composers never
+    self-join the crawl to reunite per-row columns):
 
     - ``text``             extracted text (html_to_text_expr)
     - ``n_links``          count of <a ...> opens (link density's
@@ -111,6 +115,7 @@ def html_extract(
     html = F.col(html_col)
     staged = docs.select(
         F.col(id_col),
+        *[F.col(c) for c in passthrough],
         html_to_text_expr(html).alias("text"),
         # (?is)<a[\s>/]: counts whitespace-split ("<a\nhref=...") and
         # self-closing ("<a/>") anchors too (r15, ADVICE r14 — the
@@ -128,6 +133,7 @@ def html_extract(
     # same BIGINTs — no double rounding in the gate column)
     return staged.select(
         id_col,
+        *passthrough,
         "text",
         "n_links",
         "n_tags",
@@ -155,7 +161,18 @@ def wrap_documents_html(
     space after the md5-derived cut point, a nav block of links, a
     script, a comment, entities, and an unclosed tag in half the docs
     (the truncated-crawl case)."""
-    text = F.col(text_col)
+    return docs.select(
+        F.col(id_col),
+        html_wrap_expr(F.col(text_col), F.col(id_col)).alias("html"),
+    )
+
+
+def html_wrap_expr(text: Column, doc_id: Column) -> Column:
+    """The wrap as a bare Column expression (r15) — so composers
+    (workload.q_docs_crawl_pipeline) can project the HTML NEXT TO other
+    per-doc columns in one select instead of self-joining two
+    single-column frames back together on doc_id (a full-corpus
+    shuffle at scale, for columns that are pure functions of the row)."""
     d = F.conv(F.substring(F.md5(text), 1, 4), 16, 10).cast("bigint")
     # split the text at the first space AT/after position (d % 40)+1;
     # instr on the suffix finds it in both engines (0 -> no split)
@@ -166,7 +183,7 @@ def wrap_documents_html(
         sp > 0, F.concat(text.substr(F.lit(1), cut - 1), tail.substr(F.lit(1), sp - 1))
     ).otherwise(text)
     rest = F.when(sp > 0, tail.substr(sp + 1, F.lit(0x7FFFFFFF))).otherwise(F.lit(""))
-    ids = F.col(id_col).cast("string")
+    ids = doc_id.cast("string")
     nav = F.concat(
         F.lit('<ul class="nav">'),
         F.lit('<li><a href="/home">Home</a></li>'),
@@ -174,7 +191,7 @@ def wrap_documents_html(
         F.when(d % 3 == 0, F.lit('<li><a href="/more">More &gt;</a></li>')).otherwise(F.lit("")),
         F.lit("</ul>"),
     )
-    html = F.concat(
+    return F.concat(
         F.lit("<!DOCTYPE html>\n<html><head><title>Doc "),
         ids,
         F.lit("</title><style>body { margin: 0; }\n.nav{color:#333}</style>"),
@@ -192,7 +209,6 @@ def wrap_documents_html(
         ),
         F.lit("</body></html>"),
     )
-    return docs.select(F.col(id_col), html.alias("html"))
 
 
 def html_extract_oracle_sql(

@@ -215,8 +215,19 @@ def synth_urls(
     gets a non-web URL (ftp/relative) to exercise the NULL branch, and
     ids 0/1 within each md5 bucket collide post-canonicalization so
     url_dedup has real work."""
-    d = F.conv(F.substring(F.md5(F.col(text_col)), 1, 4), 16, 10).cast("bigint")
-    i = F.col(id_col)
+    return docs.select(
+        F.col(id_col),
+        synth_url_expr(F.col(text_col), F.col(id_col)).alias("url"),
+    )
+
+
+def synth_url_expr(text: Column, doc_id: Column) -> Column:
+    """The synthesis as a bare Column expression (r15) — composers
+    project it next to other per-doc columns in one select (the
+    html_wrap_expr rationale: no self-join to reunite pure functions
+    of the same row)."""
+    d = F.conv(F.substring(F.md5(text), 1, 4), 16, 10).cast("bigint")
+    i = doc_id
     host = F.when(d % 13 == 0, F.lit("[2001:DB8::1]")).otherwise(
         F.concat(
             F.when(d % 2 == 0, F.lit("WWW.")).otherwise(F.lit("")),
@@ -248,8 +259,10 @@ def synth_urls(
     )
     frag = F.when(d % 6 == 0, F.lit("#sec2")).otherwise(F.lit(""))
     web = F.concat(scheme, F.lit("://"), userinfo, host, port, path, query, frag)
-    url = F.when(i % 5 == 4, F.concat(F.lit("ftp://files.example.com/f/"), i.cast("string"))).otherwise(web)
-    return docs.select(i, url.alias("url"))
+    return F.when(
+        i % 5 == 4,
+        F.concat(F.lit("ftp://files.example.com/f/"), i.cast("string")),
+    ).otherwise(web)
 
 
 def synth_urls_sql(table: str = "documents", text_col: str = "text", id_col: str = "doc_id") -> str:

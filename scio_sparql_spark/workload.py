@@ -2439,12 +2439,14 @@ def q_docs_crawl_pipeline(spark, sf_dir):
     from .sources import warc
 
     docs = _table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    pages = html.wrap_documents_html(docs)
-    page_urls = urls.synth_urls(docs)
-    src = pages.join(page_urls, "doc_id").select(
+    # html + url are pure Column functions of the row — ONE projection,
+    # never a self-join to reunite them (a full-corpus shuffle at scale)
+    src = docs.select(
         F.concat(F.lit("<urn:doc:"), "doc_id", F.lit(">")).alias("record_id"),
-        F.col("url").alias("target_uri"),
-        F.encode("html", "UTF-8").alias("payload"),
+        urls.synth_url_expr(F.col("text"), F.col("doc_id")).alias("target_uri"),
+        F.encode(
+            html.html_wrap_expr(F.col("text"), F.col("doc_id")), "UTF-8"
+        ).alias("payload"),
     )
     app_id = spark.sparkContext.applicationId
     tag = os.path.basename(os.path.abspath(sf_dir))
@@ -2464,8 +2466,18 @@ def q_docs_crawl_pipeline(spark, sf_dir):
             F.decode("payload", "UTF-8").alias("html"),
         )
     )
-    cleaned = dedup.line_dedup(html.html_extract(rec), min_docs=5)
-    survivors = urls.url_dedup(rec.select("doc_id", "url"))
+    # ONE archive parse + extraction pass, materialized as a stage
+    # boundary (the production pipeline's extracted-text artifact) —
+    # both dedup branches read the NARROW frame instead of re-running
+    # the WARC parse + regexp chain per consumer (extraction fuses
+    # into the parse stage; url rides through as a passthrough column)
+    ext_path = out + "_ext"
+    html.html_extract(rec, passthrough=("url",)).write.mode(
+        "overwrite"
+    ).parquet(ext_path)
+    ext = spark.read.parquet(ext_path)
+    cleaned = dedup.line_dedup(ext, min_docs=5)
+    survivors = urls.url_dedup(ext.select("doc_id", "url"))
     return survivors.join(cleaned, "doc_id").select(
         "doc_id",
         "canonical",
@@ -4285,6 +4297,15 @@ CATALOG_FRONT = [
     # (VERDICT r14 next #1/#2). Still 50 in-window, nobody displaced,
     # actives = 100 (at cap), and after this window every active
     # entry's evidence is r14 or r15.
+    # r16 earmark (the established precedent): dsir_sample (extras/
+    # dsir.py, r15 — Gumbel-top-k importance resampling with the
+    # dsir_sample_oracle_sql twin, differential-locked in
+    # tests/test_extras.py) is gate-ready and deserves a slot;
+    # candidate funding: sample_dsir -> dsir_sample is NOT a valid
+    # retirement (the sampler is a superset of the top-k, so retire
+    # sample_dsir INTO a dsir_sample gate that drives scores + top-k +
+    # perturbation in one entry). host_counts (extras/urls.py) is the
+    # other differential-locked, gate-ready candidate.
     "docs_html_extract",
     "dedup_url",
     "dedup_lines",
