@@ -1471,8 +1471,12 @@ def line_dedup(
     precisely so this pass sees real lines).
 
     Semantics (deterministic, engine-replicable):
-    - line key = md5(trim(line)); whitespace-only lines are never
-      counted and never removed (they are already collapsed upstream);
+    - line key = md5(trim(line)) where trim strips ASCII SPACES only
+      (the SQL-standard trim both engines share — r15, found by the
+      model fuzz): a space-only line is never counted/removed, but a
+      tab-only line is an ordinary line. html_extract's whitespace
+      normalization collapses tabs/CRs upstream, so crawl-pipeline
+      input never hits the distinction;
     - a repeated line within ONE doc counts once toward min_docs, but
       removal strips all its occurrences;
     - output: (id, text, n_lines, n_removed) — text may become ''.

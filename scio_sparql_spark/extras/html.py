@@ -211,6 +211,50 @@ def html_wrap_expr(text: Column, doc_id: Column) -> Column:
     )
 
 
+def html_to_text_sql(col: str) -> str:
+    """DuckDB twin of html_to_text_expr over SQL expression ``col`` —
+    the identical RE2-safe chain, innermost-first (split out in r15 so
+    the adversarial fuzz can differential the bare chain, not just the
+    deterministic wrap shapes)."""
+    c = col
+    for pat, rep in (
+        (r"(?s)<!--.*?-->", " "),
+        (r"(?i)<!DOCTYPE[^>]*>", " "),
+        (r"(?is)<script\b[^>]*>.*?</script\s*>", " "),
+        (r"(?is)<style\b[^>]*>.*?</style\s*>", " "),
+        (r"(?is)<noscript\b[^>]*>.*?</noscript\s*>", " "),
+        (r"(?i)<br\s*/?\s*>", "\n"),
+        (
+            r"(?i)</(?:p|div|li|ul|ol|h1|h2|h3|h4|h5|h6|tr|table|blockquote|"
+            r"pre|section|article|header|footer|td|th)\s*>",
+            "\n",
+        ),
+        (r"(?s)</?[A-Za-z][^>]*>", " "),
+    ):
+        pat_sql = pat.replace("'", "''")
+        rep_sql = "chr(10)" if rep == "\n" else f"'{rep}'"
+        c = f"regexp_replace({c}, '{pat_sql}', {rep_sql}, 'g')"
+    for ent, rep in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "''"),
+        ("&apos;", "''"),
+        ("&nbsp;", " "),
+        ("&amp;", "&"),
+    ):
+        c = f"replace({c}, '{ent}', '{rep}')"
+    for pat, rep in (
+        (r"[ \t\f\r]+", " "),
+        (r" ?\n ?", "\n"),
+        (r"\n+", "\n"),
+        (r"^[ \n]+|[ \n]+$", ""),
+    ):
+        rep_sql = "chr(10)" if rep == "\n" else f"'{rep}'"
+        c = f"regexp_replace({c}, '{pat}', {rep_sql}, 'g')"
+    return c
+
+
 def html_extract_oracle_sql(
     table: str = "documents",
     text_col: str = "text",
@@ -260,42 +304,7 @@ def html_extract_oracle_sql(
                           CAST(('0x' || substr(md5({text_col}), 1, 4))::BIGINT % 40 + 1 AS INTEGER)) AS tail
             FROM {table}))"""
     # the regexp chain, innermost-first (same order as html_to_text_expr)
-    c = "html"
-    for pat, rep in (
-        (r"(?s)<!--.*?-->", " "),
-        (r"(?i)<!DOCTYPE[^>]*>", " "),
-        (r"(?is)<script\b[^>]*>.*?</script\s*>", " "),
-        (r"(?is)<style\b[^>]*>.*?</style\s*>", " "),
-        (r"(?is)<noscript\b[^>]*>.*?</noscript\s*>", " "),
-        (r"(?i)<br\s*/?\s*>", "\n"),
-        (
-            r"(?i)</(?:p|div|li|ul|ol|h1|h2|h3|h4|h5|h6|tr|table|blockquote|"
-            r"pre|section|article|header|footer|td|th)\s*>",
-            "\n",
-        ),
-        (r"(?s)</?[A-Za-z][^>]*>", " "),
-    ):
-        pat_sql = pat.replace("'", "''")
-        rep_sql = "chr(10)" if rep == "\n" else f"'{rep}'"
-        c = f"regexp_replace({c}, '{pat_sql}', {rep_sql}, 'g')"
-    for ent, rep in (
-        ("&lt;", "<"),
-        ("&gt;", ">"),
-        ("&quot;", '"'),
-        ("&#39;", "''"),
-        ("&apos;", "''"),
-        ("&nbsp;", " "),
-        ("&amp;", "&"),
-    ):
-        c = f"replace({c}, '{ent}', '{rep}')"
-    for pat, rep in (
-        (r"[ \t\f\r]+", " "),
-        (r" ?\n ?", "\n"),
-        (r"\n+", "\n"),
-        (r"^[ \n]+|[ \n]+$", ""),
-    ):
-        rep_sql = "chr(10)" if rep == "\n" else f"'{rep}'"
-        c = f"regexp_replace({c}, '{pat}', {rep_sql}, 'g')"
+    c = html_to_text_sql("html")
     first = "text" if project_text else "md5(text) AS text_digest"
     return f"""WITH w AS ({wrap}),
         x AS (SELECT {id_col}, html, {c} AS text FROM w)

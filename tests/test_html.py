@@ -75,6 +75,54 @@ def test_signals_counts(spark):
     assert 0 < r["density_micro"] < 1_000_000
 
 
+def test_fuzz_extraction_chain_matches_duckdb(spark):
+    """r15 adversarial differential: the bare extraction chain
+    (html_to_text_expr vs html_to_text_sql) over pathological markup —
+    nested/unclosed containers, split tags, entity-in-entity, junk
+    brackets — must produce identical strings in both engines. The
+    500-doc differential covers the deterministic wrap shapes; THIS
+    covers the shapes a real crawl throws (RE2 vs Java regex parity is
+    exactly where silent divergence would live)."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    pieces = st.lists(
+        st.sampled_from(
+            [
+                "<p>", "</p>", "<div >", "</div>", "<br/>", "<br >",
+                "<script>", "</script>", "<script src='x'>", "<style>",
+                "</style>", "<!--", "-->", "<!DOCTYPE html>", "<a\nhref='x'>",
+                "</a>", "<a/>", "&amp;lt;", "&amp;", "&lt;", "&nbsp;",
+                "&#39;", "<3", "a < b", ">", "x y", "\tz", "\r\n", "\n",
+                "word", "<SCRIPT>var x;</SCRIPT>", "<unclosed", "<i",
+                "<table><tr><td>c</td></tr></table>", "é¿", " ",
+            ]
+        ),
+        min_size=1,
+        max_size=12,
+    )
+
+    @given(parts=pieces)
+    @settings(
+        max_examples=25,
+        deadline=None,
+        suppress_health_check=[
+            HealthCheck.too_slow,
+            HealthCheck.function_scoped_fixture,
+        ],
+    )
+    def check(parts):
+        doc = "".join(parts)
+        df = spark.createDataFrame([(doc,)], "html string")
+        got = df.select(H.html_to_text_expr(F.col("html")).alias("t")).first()["t"]
+        want = duckdb.execute(
+            f"SELECT {H.html_to_text_sql('html')} FROM (SELECT ? AS html)",
+            [doc],
+        ).fetchone()[0]
+        assert got == want, (doc, got, want)
+
+    check()
+
+
 def test_n_links_counts_multiline_and_selfclosing_anchors(spark):
     """r15 (ADVICE r14): anchors written as '<a\\nhref=...>' or '<a/>'
     count toward link density like plain '<a href=...>' does."""

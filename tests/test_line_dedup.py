@@ -22,6 +22,54 @@ def _rows(spark, data, min_docs=2):
     }
 
 
+def test_fuzz_line_dedup_matches_python_reference(spark):
+    """r15 property fuzz: random multi-doc line structures (repeats
+    within docs, trim-collisions, whitespace-only lines, empty docs)
+    vs a literal pure-Python re-implementation of the documented
+    semantics — the differential locks ENGINE parity; this locks the
+    SEMANTICS themselves against an independent model."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    line = st.sampled_from(
+        ["chrome", " chrome ", "CHROME", "body", "x y", "", "  ", "\t", "é", "z"]
+    )
+    doc = st.lists(line, min_size=0, max_size=6).map("\n".join)
+
+    @given(docs=st.lists(doc, min_size=1, max_size=8), min_docs=st.integers(2, 3))
+    @settings(
+        max_examples=20,
+        deadline=None,
+        suppress_health_check=[
+            HealthCheck.too_slow,
+            HealthCheck.function_scoped_fixture,
+        ],
+    )
+    def check(docs, min_docs):
+        rows = [(i, t) for i, t in enumerate(docs)]
+        got = _rows(spark, rows, min_docs=min_docs)
+        # reference model: key = SPACE-trimmed line (SQL trim strips
+        # ASCII spaces only — a tab-only line is an ordinary line, per
+        # the documented semantics); count DISTINCT docs per key
+        from collections import defaultdict
+
+        trim = lambda s: s.strip(" ")  # noqa: E731
+        seen = defaultdict(set)
+        for i, t in rows:
+            for ln in t.split("\n"):
+                if trim(ln):
+                    seen[trim(ln)].add(i)
+        bl = {k for k, v in seen.items() if len(v) >= min_docs}
+        for i, t in rows:
+            lines = t.split("\n")
+            kept = [ln for ln in lines if not (trim(ln) and trim(ln) in bl)]
+            removed = len(lines) - len(kept)
+            assert got[i]["text"] == "\n".join(kept), (i, t, got[i])
+            assert got[i]["n_lines"] == len(lines)
+            assert got[i]["n_removed"] == removed
+
+    check()
+
+
 def test_shared_lines_removed_unique_kept(spark):
     got = _rows(
         spark,

@@ -149,6 +149,31 @@ def test_synth_canonicalize_matches_duckdb(spark):
     assert got == want
 
 
+def test_host_counts_matches_duckdb(spark):
+    """r15: the domain-cap aggregate differentialed through
+    canonical_host_sql over the branch-covering synth corpus — the
+    host column (userinfo skipped, IPv6 whole, www/dot folded) and the
+    per-host counts both replay bit-for-bit."""
+    docs = spark.read.parquet(DOCS)
+    got = sorted(
+        (r["host"], r["n_pages"])
+        for r in U.host_counts(U.synth_urls(docs)).collect()
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{DOCS}')")
+    want = sorted(
+        (r[0], int(r[1]))
+        for r in con.execute(
+            f"""WITH u AS ({U.synth_urls_sql()}),
+                h AS (SELECT {U.canonical_host_sql('url')} AS host FROM u)
+                SELECT host, CAST(COUNT(*) AS BIGINT) AS n_pages
+                FROM h WHERE host IS NOT NULL GROUP BY host"""
+        ).fetchall()
+    )
+    assert got == want
+    assert len(got) >= 10  # the synth corpus spreads over many hosts
+
+
 def test_host_counts(spark):
     df = spark.createDataFrame(
         [
