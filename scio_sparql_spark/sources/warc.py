@@ -231,16 +231,22 @@ def write_warc_archives(
     id_col: str = "record_id",
     uri_col: str = "target_uri",
     payload_col: str = "payload",
+    record_type: str = "response",
 ) -> DataFrame:
     """Distributed WARC egress: shard ``df`` (record_id, target_uri,
-    payload binary) into ``shards`` archive files under ``out_dir``,
-    each payload wrapped as an HTTP/1.1 200 response record (the
-    crawl-corpus shape). Returns the CDX sidecar as a DataFrame —
+    payload binary) into ``shards`` archive files under ``out_dir``.
+    ``record_type='response'`` (default) wraps each payload as an
+    HTTP/1.1 200 response record — the crawl-corpus WARC shape;
+    ``record_type='conversion'`` writes the payload bare as a
+    ``WARC-Type: conversion`` / ``Content-Type: text/plain`` record in
+    ``part-*.warc.wet(.gz)`` files — the CommonCrawl WET layout for
+    extracted text (r15; completes the WARC/CDX/WET artifact trio).
+    Returns the CDX sidecar as a DataFrame —
     (path, record_id, offset, length) per record, produced by the SAME
     tasks that write the bytes, so the index costs nothing extra:
-    offsets name the record's own gzip member for .warc.gz (the
+    offsets name the record's own gzip member for .gz archives (the
     CommonCrawl one-member-per-record layout) or its raw byte range
-    for plain .warc. Materializing the returned frame (e.g.
+    otherwise. Materializing the returned frame (e.g.
     ``.write.parquet(sidecar)``) IS the write job.
 
     Tasks write to an attempt-suffixed temp name and ``os.replace`` to
@@ -249,12 +255,15 @@ def write_warc_archives(
     the test/bench environment); an object-store deployment would swap
     the ``open`` for a pyarrow.fs stream, the offset arithmetic is
     identical."""
+    if record_type not in ("response", "conversion"):
+        raise ValueError(f"record_type must be response|conversion, got {record_type!r}")
     os.makedirs(out_dir, exist_ok=True)
-    ext = ".warc.gz" if compress else ".warc"
+    base = ".warc" if record_type == "response" else ".warc.wet"
+    ext = base + (".gz" if compress else "")
     # clear stale shard files so a re-run with fewer shards can't leave
     # orphans behind (deterministic names make this a plain unlink)
     for f in os.listdir(out_dir):
-        if f.startswith("part-") and (f.endswith(".warc") or f.endswith(".warc.gz")):
+        if f.startswith("part-") and f.endswith((".warc", ".warc.gz", ".warc.wet", ".warc.wet.gz")):
             os.unlink(os.path.join(out_dir, f))
     src = df.select(
         F.col(id_col).alias("record_id"),
@@ -275,18 +284,23 @@ def write_warc_archives(
                 for rid, uri, payload in zip(
                     pdf["record_id"], pdf["target_uri"], pdf["payload"]
                 ):
-                    body = (
-                        b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
-                        + bytes(payload)
-                    )
+                    if record_type == "response":
+                        body = (
+                            b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
+                            + bytes(payload)
+                        )
+                        ctype = "application/http; msgtype=response"
+                    else:  # conversion (WET): the extracted text, bare
+                        body = bytes(payload)
+                        ctype = "text/plain"
                     rec = write_warc(
                         [
                             {
                                 "headers": {
-                                    "WARC-Type": "response",
+                                    "WARC-Type": record_type,
                                     "WARC-Record-ID": str(rid),
                                     "WARC-Target-URI": str(uri),
-                                    "Content-Type": "application/http; msgtype=response",
+                                    "Content-Type": ctype,
                                 },
                                 "content": body,
                             }

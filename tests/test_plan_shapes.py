@@ -546,6 +546,40 @@ def test_cms_estimate_broadcasts_the_grid(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
 
 
+def test_crawl_text_ops_shuffle_contracts(spark):
+    """r15: each crawl text op's docstring makes a shuffle-count claim —
+    lock them to the optimized plans. html_extract: map-only, ZERO
+    Exchange. url_dedup: the web branch's only Exchange carries the
+    canonical short string (one partial-agg groupBy). line_dedup:
+    exactly two hash Exchanges (32-hex line-key counts + per-doc
+    reassembly) before AQE's join planning."""
+    import re as _re
+
+    from scio_sparql_spark.extras import dedup, html, urls
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    ex = html.html_extract(html.wrap_documents_html(docs))
+    p = ex._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in p and "Aggregate" not in p
+    assert "Exchange" not in _plan(ex)
+
+    ud = urls.url_dedup(urls.synth_urls(docs))
+    pu = _plan(ud)
+    hash_ex = _re.findall(r"Exchange hashpartitioning\(([^,]+)", pu)
+    assert len(hash_ex) == 1, pu  # only the canonical-key groupBy
+    assert hash_ex[0].startswith("canonical"), hash_ex
+
+    ld = dedup.line_dedup(ex, min_docs=5)
+    pl = _plan(ld)
+    hash_ex = _re.findall(r"Exchange hashpartitioning\(([^,]+)", pl)
+    assert len(hash_ex) <= 3, pl  # key-count agg + reassembly (+ the
+    # sliver join's own exchange when AQE later converts it to
+    # broadcast — see the AQE lock below)
+    keyed = [e for e in hash_ex if e.startswith("key")]
+    assert keyed, hash_ex  # the 32-hex line key is what shuffles
+
+
 def test_line_dedup_aqe_broadcasts_boilerplate_sliver(spark):
     """r15 (ADVICE r14 medium): line_dedup carries NO F.broadcast hint —
     at 100 TB the >= min_docs key set is bounded only by

@@ -158,6 +158,55 @@ def test_read_warc_duckdb_differential(spark, tmp_path):
     assert got == want
 
 
+def test_write_wet_conversion_archives(spark, tmp_path):
+    """r15 WET egress: record_type='conversion' writes extracted text
+    bare (no HTTP wrapper) into part-*.warc.wet.gz files — the
+    CommonCrawl WET layout — and the same strict reader + CDX
+    range-split path round-trips it byte-for-byte (payload == text,
+    http_status NULL, warc_type 'conversion')."""
+    import os
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").filter(
+        F.col("text").isNotNull()
+    )
+    src = docs.select(
+        F.concat(F.lit("<urn:doc:"), "doc_id", F.lit(">")).alias("record_id"),
+        F.concat(F.lit("u"), "doc_id").alias("target_uri"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    want = sorted(
+        (r["record_id"], bytes(r["payload"])) for r in src.collect()
+    )
+    d = tmp_path / "wet"
+    cdx_rows = warc.write_warc_archives(
+        src, str(d), shards=3, record_type="conversion"
+    )
+    cdx_path = str(tmp_path / "cdx")
+    cdx_rows.write.parquet(cdx_path)
+    files = sorted(os.listdir(d))
+    assert len(files) == 3 and all(f.endswith(".warc.wet.gz") for f in files)
+
+    for read in (
+        warc.read_warc(spark, str(d)),
+        warc.read_warc(spark, str(d), cdx=spark.read.parquet(cdx_path)),
+    ):
+        got = sorted(
+            (r["record_id"], bytes(r["payload"]))
+            for r in read.collect()
+        )
+        assert got == want
+        one = read.limit(1).collect()[0]
+        assert one["warc_type"] == "conversion"
+        assert one["http_status"] is None
+        assert one["content_type"] == "text/plain"
+
+    # bad record_type fails loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="record_type"):
+        warc.write_warc_archives(src, str(d), record_type="wet")
+
+
 def test_write_warc_archives_and_cdx_split_read(spark, tmp_path):
     """r14 CDX sidecar: the distributed writer's offsets are exact —
     a range-split read over the sidecar equals the whole-archive read
