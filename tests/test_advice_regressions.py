@@ -488,3 +488,31 @@ def test_histogram_signed_long_min_raises(spark):
     ).collect()
     assert sum(r["c"] for r in rows) == 3
     assert {r["prefix"] < 0 for r in rows} == {True, False}
+
+
+def test_pq_encode_preserves_id_type_and_fails_loud_on_null(spark):
+    """r15 (ADVICE r14): pq_encode's output id column takes its type
+    from the INPUT schema instead of a hardcoded 'long' (an int id
+    must come back int, not silently widened), and a NULL embedding
+    raises inside the Arrow stage rather than emitting NULL codes —
+    an index over silently dropped vectors would serve wrong
+    neighbors."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from scio_sparql_spark.extras import similarity
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3)] * 8) for i in range(6)],
+        "vec_id int, embedding array<double>",
+    )
+    cb = similarity.pq_train(emb, m=2, k_codes=2, iters=1, dim=8)
+    out = similarity.pq_encode(emb, cb, dim=8)
+    assert dict(out.dtypes)["vec_id"] == "int"
+    assert out.count() == 6
+
+    bad = spark.createDataFrame(
+        [(1, [1.0] * 8), (2, None)], "vec_id int, embedding array<double>"
+    )
+    with pytest.raises(Exception):  # noqa: B017 — surfaces as a Py4J/Spark task error
+        similarity.pq_encode(bad, cb, dim=8).collect()

@@ -129,6 +129,44 @@ def test_stream_warc_equals_batch(spark, tmp_path):
     assert len(got) == len(recs)
 
 
+def test_stream_warc_extraction_equals_batch(spark, tmp_path):
+    """r15 streaming==batch for the crawl TEXT stage: html_to_text_expr
+    is stateless, so the extraction chain composes onto stream_warc
+    unchanged — the bounded replay of archive->extract yields exactly
+    the batch read->extract rows (the continuous-ingest form of the
+    docs_html_extract gate's map-only stage)."""
+    from pyspark.sql import functions as F
+
+    from scio_sparql_spark.extras import html as H
+    from scio_sparql_spark.sources.warc import read_warc, stream_warc
+    from scio_sparql_spark.streaming.bounded import run_bounded
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(20)
+    pages = H.wrap_documents_html(docs).collect()
+    recs = [
+        _response_record(f"u{r['doc_id']}", r["html"].encode(), f"<{r['doc_id']}>")
+        for r in pages
+    ]
+    d = tmp_path / "stream_html"
+    d.mkdir()
+    (d / "a.warc").write_bytes(warc.write_warc(recs))
+
+    def extract(df):
+        return df.select(
+            "target_uri",
+            H.html_to_text_expr(F.decode("payload", "UTF-8")).alias("text"),
+        )
+
+    def rows(df):
+        return sorted((r["target_uri"], r["text"]) for r in df.collect())
+
+    got = rows(run_bounded(extract(stream_warc(spark, str(d))), shuffle_partitions=4))
+    want = rows(extract(read_warc(spark, str(d))))
+    assert got == want and len(got) == 20
+    # the extraction really ran (chrome stripped, text kept)
+    assert all("<p>" not in t and t for _, t in got)
+
+
 def test_read_warc_duckdb_differential(spark, tmp_path):
     """Ingest differential: md5 digests of the payloads Spark read out
     of the archive == DuckDB's digests of the source documents — the
