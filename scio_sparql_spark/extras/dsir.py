@@ -136,8 +136,15 @@ def dsir_sample(
     this sampler share everything but one seeded perturbation column.
 
     Engine-exactness: ``u_i`` derives from the 60-bit md5 prefix of
-    ``'{seed}:' || id`` — u = (h+1)/(2^60+2), strictly inside (0,1) so
-    neither ln can hit 0/inf — and the Gumbel value lands as
+    ``'{seed}:' || id`` — u = (h+1)/2^61, so u ∈ [2^-61, 0.5] strictly
+    inside (0,1) and neither ln can hit 0/inf. The denominator must be
+    exactly representable (r16, ADVICE r15): the previous 2^60+2
+    ROUNDS to 2^60 in IEEE doubles, so h within ~2^7 of the top made
+    (h+1)/denom evaluate to exactly 1.0 and the Gumbel +inf — Spark's
+    non-ANSI cast then silently produced Long.MAX while DuckDB errored
+    on CAST(inf AS BIGINT). With 2.0**61 both numerator (≤ 2^60) and
+    denominator are exact and the quotient is an exact power-of-two
+    scaling, capped at 0.5 — and the Gumbel value lands as
     ``ROUND(-ln(-ln(u)) * 1e6)`` integer micro-nats (the lm.py
     load-bearing ln recipe: both engines compute the identical IEEE
     double before one micro-round). The perturbed key is then an exact
@@ -155,7 +162,7 @@ def dsir_sample(
         16,
         10,
     ).cast("bigint")
-    u = (h + 1).cast("double") / F.lit(float(2**60 + 2))
+    u = (h + 1).cast("double") / F.lit(2.0**61)
     g_micro = F.round(-F.log(-F.log(u)) * 1000000).cast("bigint")
     return (
         s.withColumn("perturbed_micro", F.col("score_micro") + g_micro)
@@ -181,9 +188,11 @@ def dsir_sample_oracle_sql(
         text_col=text_col, id_col=id_col,
     )
     # reuse the full score pipeline, then perturb and re-select
+    # denominator 2^61 is exactly representable (see dsir_sample) —
+    # DuckDB parses the literal to the identical IEEE double
     u = (
         f"(CAST(('0x' || substr(md5('{seed}:' || CAST({id_col} AS VARCHAR)), 1, 15))::BIGINT + 1 AS DOUBLE)"
-        f" / CAST({2**60 + 2} AS DOUBLE))"
+        f" / {float(2**61)!r})"
     )
     return f"""WITH scored AS ({inner})
         SELECT {id_col}, n_feats, score_micro,

@@ -20,7 +20,10 @@ Scale design (100 TB):
 - Exactness: every regex avoids backreferences and possessive
   quantifiers so the SAME pattern runs on Java regex (Spark) and RE2
   (DuckDB) with identical semantics — the in-test differential and the
-  driver oracle replay the chain verbatim. Entity decode handles the
+  driver oracle replay the chain verbatim. Whitespace classes are
+  spelled out as ``[ \\t\\n\\f\\r]`` (r16, ADVICE r15): Java's ``\\s``
+  includes vertical tab U+000B, RE2's does not, so a bare ``\\s``
+  silently diverges on real crawl bytes. Entity decode handles the
   five XML-predefined names + ``&nbsp;`` with ``&amp;`` LAST (decoding
   it earlier would re-interpret ``&amp;lt;`` as a tag bracket).
 
@@ -38,9 +41,9 @@ from pyspark.sql import Column, DataFrame, functions as F
 # line-keyed quality signals need real line breaks, not one long row).
 _BLOCK_CLOSE = (
     r"(?i)</(?:p|div|li|ul|ol|h1|h2|h3|h4|h5|h6|tr|table|blockquote|"
-    r"pre|section|article|header|footer|td|th)\s*>"
+    r"pre|section|article|header|footer|td|th)[ \t\n\f\r]*>"
 )
-_BR = r"(?i)<br\s*/?\s*>"
+_BR = r"(?i)<br[ \t\n\f\r]*/?[ \t\n\f\r]*>"
 # A real tag starts with a letter or '/' (RE2-safe; "<3" or "a < b"
 # stays text). (?s) lets multi-line tags match across newlines.
 _ANY_TAG = r"(?s)</?[A-Za-z][^>]*>"
@@ -53,7 +56,7 @@ def _drop_container(col: Column, tag: str) -> Column:
     # Lazy body up to the first matching close; unclosed containers
     # fall through to the generic tag strip (content survives — the
     # conservative choice for truncated crawl payloads).
-    pat = rf"(?is)<{tag}\b[^>]*>.*?</{tag}\s*>"
+    pat = rf"(?is)<{tag}\b[^>]*>.*?</{tag}[ \t\n\f\r]*>"
     return F.regexp_replace(col, pat, " ")
 
 
@@ -117,10 +120,14 @@ def html_extract(
         F.col(id_col),
         *[F.col(c) for c in passthrough],
         html_to_text_expr(html).alias("text"),
-        # (?is)<a[\s>/]: counts whitespace-split ("<a\nhref=...") and
-        # self-closing ("<a/>") anchors too (r15, ADVICE r14 — the
-        # plain "<a[ >]" undercounted those, skewing link density)
-        F.size(F.regexp_extract_all(html, F.lit(r"(?is)<a[\s>/]"), F.lit(0)))
+        # <a followed by whitespace/>//: counts whitespace-split
+        # ("<a\nhref=...") and self-closing ("<a/>") anchors too (r15,
+        # ADVICE r14 — the plain "<a[ >]" undercounted those, skewing
+        # link density). The whitespace set is spelled EXPLICITLY (r16,
+        # ADVICE r15): Java's \s includes vertical tab U+000B, RE2's
+        # does not, so [\s>/] silently diverged on '<a\x0B...' input —
+        # [ \t\n\f\r>/] is the RE2 \s set, byte-identical in both.
+        F.size(F.regexp_extract_all(html, F.lit(r"(?is)<a[ \t\n\f\r>/]"), F.lit(0)))
         .cast("bigint")
         .alias("n_links"),
         F.size(F.regexp_extract_all(html, F.lit(_ANY_TAG), F.lit(0)))
@@ -220,13 +227,13 @@ def html_to_text_sql(col: str) -> str:
     for pat, rep in (
         (r"(?s)<!--.*?-->", " "),
         (r"(?i)<!DOCTYPE[^>]*>", " "),
-        (r"(?is)<script\b[^>]*>.*?</script\s*>", " "),
-        (r"(?is)<style\b[^>]*>.*?</style\s*>", " "),
-        (r"(?is)<noscript\b[^>]*>.*?</noscript\s*>", " "),
-        (r"(?i)<br\s*/?\s*>", "\n"),
+        (r"(?is)<script\b[^>]*>.*?</script[ \t\n\f\r]*>", " "),
+        (r"(?is)<style\b[^>]*>.*?</style[ \t\n\f\r]*>", " "),
+        (r"(?is)<noscript\b[^>]*>.*?</noscript[ \t\n\f\r]*>", " "),
+        (r"(?i)<br[ \t\n\f\r]*/?[ \t\n\f\r]*>", "\n"),
         (
             r"(?i)</(?:p|div|li|ul|ol|h1|h2|h3|h4|h5|h6|tr|table|blockquote|"
-            r"pre|section|article|header|footer|td|th)\s*>",
+            r"pre|section|article|header|footer|td|th)[ \t\n\f\r]*>",
             "\n",
         ),
         (r"(?s)</?[A-Za-z][^>]*>", " "),
@@ -310,7 +317,7 @@ def html_extract_oracle_sql(
         x AS (SELECT {id_col}, html, {c} AS text FROM w)
         SELECT {id_col},
                {first},
-               CAST(len(regexp_extract_all(html, '(?is)<a[\\s>/]')) AS BIGINT) AS n_links,
+               CAST(len(regexp_extract_all(html, '(?is)<a[ \\t\\n\\f\\r>/]')) AS BIGINT) AS n_links,
                CAST(len(regexp_extract_all(html, '(?s)</?[A-Za-z][^>]*>')) AS BIGINT) AS n_tags,
                CAST(length(html) AS BIGINT) AS n_html_chars,
                CAST(length(text) AS BIGINT) AS n_text_chars,

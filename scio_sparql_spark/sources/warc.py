@@ -260,11 +260,27 @@ def write_warc_archives(
     os.makedirs(out_dir, exist_ok=True)
     base = ".warc" if record_type == "response" else ".warc.wet"
     ext = base + (".gz" if compress else "")
-    # clear stale shard files so a re-run with fewer shards can't leave
-    # orphans behind (deterministic names make this a plain unlink)
+    # clear stale shards so a re-run with fewer shards can't leave
+    # orphans behind (deterministic names make this a plain unlink) —
+    # but ONLY shards of the record type being written (r16, ADVICE
+    # r15): a WET write into a directory holding response archives
+    # must not silently destroy the .warc files (or vice versa).
+    # `.warc.wet` does not end with `.warc` and `.warc.wet.gz` does
+    # not end with `.warc.gz`, so the (base, base+'.gz') suffix pair
+    # selects exactly this type's family. Foreign-type shards are a
+    # caller error (one out_dir holds one record type) — fail loud.
+    foreign = (".warc.wet", ".warc.wet.gz") if record_type == "response" else (".warc", ".warc.gz")
     for f in os.listdir(out_dir):
-        if f.startswith("part-") and f.endswith((".warc", ".warc.gz", ".warc.wet", ".warc.wet.gz")):
+        if not f.startswith("part-"):
+            continue
+        if f.endswith((base, base + ".gz")):
             os.unlink(os.path.join(out_dir, f))
+        elif f.endswith(foreign):
+            raise ValueError(
+                f"{out_dir} holds {foreign[0]} shards; writing "
+                f"record_type={record_type!r} into it would mix record "
+                "types in one archive directory — use a separate out_dir"
+            )
     src = df.select(
         F.col(id_col).alias("record_id"),
         F.col(uri_col).alias("target_uri"),

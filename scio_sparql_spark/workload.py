@@ -90,6 +90,33 @@ def _table(spark, sf_dir, name):
     return load_table(spark, sf_dir, name)
 
 
+def _session_tmp(spark, name: str, suffix: str = "") -> str:
+    """Session-unique scratch path for entries that materialize
+    artifacts (WARC shards, parquet stores, JSONL round-trips): the
+    applicationId key keeps concurrent sessions on a shared machine
+    from racing on one path (ADVICE r3), and the atexit rmtree keeps
+    repeated sessions from accumulating artifacts under /tmp (r16,
+    ADVICE r15 — the crawl flagship leaked a full archive set per
+    bench/driver run). Within one session the path is stable, so
+    re-runs of the same entry overwrite instead of piling up."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"scio_{name}_{spark.sparkContext.applicationId}{suffix}",
+    )
+    if path not in _SESSION_TMP_REGISTERED:
+        _SESSION_TMP_REGISTERED.add(path)
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
+_SESSION_TMP_REGISTERED: set = set()
+
+
 # ---------------------------------------------------------------------------
 # SPARQL engine queries (SURVEY.md §2 operator coverage, one per operator)
 # ---------------------------------------------------------------------------
@@ -2254,10 +2281,7 @@ def q_dedup_incremental(spark, sf_dir):
     import tempfile
 
     docs = _table(spark, sf_dir, "documents")
-    app_id = spark.sparkContext.applicationId
-    path = os.path.join(
-        tempfile.gettempdir(), f"scio_digest_store_{app_id}.parquet"
-    )
+    path = _session_tmp(spark, "digest_store", ".parquet")
     history = docs.filter(F.col("doc_id") % 3 == 0)
     history.select(F.md5("text").alias("digest")).write.mode(
         "overwrite"
@@ -2277,8 +2301,7 @@ def q_docs_jsonl_roundtrip(spark, sf_dir):
     import tempfile
 
     docs = _table(spark, sf_dir, "documents")
-    app_id = spark.sparkContext.applicationId
-    path = os.path.join(tempfile.gettempdir(), f"scio_docs_jsonl_{app_id}")
+    path = _session_tmp(spark, "docs_jsonl")
     docs.select("doc_id", "text", "lang", "source", "n_chars").write.mode(
         "overwrite"
     ).json(path)
@@ -2314,12 +2337,13 @@ def q_docs_warc_ingest(spark, sf_dir):
         F.concat(F.lit("u"), "doc_id").alias("target_uri"),
         F.col("text").cast("binary").alias("payload"),
     )
-    app_id = spark.sparkContext.applicationId
+    # session-unique + cleaned at exit (r16, ADVICE r15 — see
+    # q_docs_crawl_pipeline)
     tag = os.path.basename(os.path.abspath(sf_dir))
-    out = os.path.join(tempfile.gettempdir(), f"scio_warc_{app_id}_{tag}")
+    out = _session_tmp(spark, f"warc_{tag}")
     # materializing the sidecar IS the archive-write job (idempotent:
     # deterministic shard names, temp-then-replace)
-    cdx_path = out + "_cdx"
+    cdx_path = _session_tmp(spark, f"warc_{tag}", "_cdx")
     warc.write_warc_archives(src, out, shards=16).write.mode(
         "overwrite"
     ).parquet(cdx_path)
@@ -2448,10 +2472,12 @@ def q_docs_crawl_pipeline(spark, sf_dir):
             html.html_wrap_expr(F.col("text"), F.col("doc_id")), "UTF-8"
         ).alias("payload"),
     )
-    app_id = spark.sparkContext.applicationId
+    # session-unique + cleaned at exit (r16, ADVICE r15 — this entry
+    # leaked a full archive set + 2 parquet dirs per session); all
+    # three artifacts are registered for removal
     tag = os.path.basename(os.path.abspath(sf_dir))
-    out = os.path.join(tempfile.gettempdir(), f"scio_crawl_{app_id}_{tag}")
-    cdx_path = out + "_cdx"
+    out = _session_tmp(spark, f"crawl_{tag}")
+    cdx_path = _session_tmp(spark, f"crawl_{tag}", "_cdx")
     warc.write_warc_archives(src, out, shards=16).write.mode(
         "overwrite"
     ).parquet(cdx_path)
@@ -2471,7 +2497,7 @@ def q_docs_crawl_pipeline(spark, sf_dir):
     # both dedup branches read the NARROW frame instead of re-running
     # the WARC parse + regexp chain per consumer (extraction fuses
     # into the parse stage; url rides through as a passthrough column)
-    ext_path = out + "_ext"
+    ext_path = _session_tmp(spark, f"crawl_{tag}", "_ext")
     html.html_extract(rec, passthrough=("url",)).write.mode(
         "overwrite"
     ).parquet(ext_path)
@@ -2656,8 +2682,7 @@ def q_stream_sparql_select(spark, sf_dir):
     from .sources.rio import read_triples_stream, write_triples_nt
 
     quads = tables_to_quads(spark, sf_dir, ["region"])
-    app_id = spark.sparkContext.applicationId
-    path = os.path.join(tempfile.gettempdir(), f"scio_stream_nt_{app_id}")
+    path = _session_tmp(spark, "stream_nt")
     write_triples_nt(quads, path)
     stream = read_triples_stream(spark, path)
     df = execute_sparql(
@@ -2724,12 +2749,10 @@ def q_quads_roundtrip(spark, sf_dir):
     from .sources.rio import read_triples, write_triples
 
     quads = tables_to_quads(spark, sf_dir, ["nation", "region"])
-    # per-session path: concurrent runs on a shared machine must not
-    # race on one fixed temp directory (ADVICE r3)
-    app_id = spark.sparkContext.applicationId
-    path = os.path.join(
-        tempfile.gettempdir(), f"scio_sparql_quads_rt_{app_id}.parquet"
-    )
+    # per-session path + exit cleanup: concurrent runs on a shared
+    # machine must not race on one fixed temp directory (ADVICE r3),
+    # and repeated sessions must not accumulate artifacts (ADVICE r15)
+    path = _session_tmp(spark, "sparql_quads_rt", ".parquet")
     write_triples(quads, path, partition_by_predicate=True)
     df = execute_sparql(
         read_triples(spark, path),
@@ -2761,12 +2784,8 @@ def q_sparql_property_table(spark, sf_dir):
     )
 
     quads, _ = bridge_ctx(spark, sf_dir, ["nation"])
-    # per-session path: concurrent runs on a shared machine must not
-    # race on one fixed temp directory (ADVICE r3)
-    app_id = spark.sparkContext.applicationId
-    path = os.path.join(
-        tempfile.gettempdir(), f"scio_sparql_star_nation_{app_id}.parquet"
-    )
+    # per-session path + exit cleanup (ADVICE r3 + r15)
+    path = _session_tmp(spark, "sparql_star_nation", ".parquet")
     pt = property_table_from_quads(
         quads, ["urn:col:n_name", "urn:ref:n_regionkey"]
     )

@@ -95,6 +95,9 @@ def test_fuzz_extraction_chain_matches_duckdb(spark):
                 "&#39;", "<3", "a < b", ">", "x y", "\tz", "\r\n", "\n",
                 "word", "<SCRIPT>var x;</SCRIPT>", "<unclosed", "<i",
                 "<table><tr><td>c</td></tr></table>", "é¿", " ",
+                # r16 (ADVICE r15): vertical tab — Java \s matches it,
+                # RE2's does not; the chain spells its classes out
+                "</p\x0b>", "<br\x0b>", "\x0b", "</script\x0b>",
             ]
         ),
         min_size=1,
@@ -128,6 +131,31 @@ def test_n_links_counts_multiline_and_selfclosing_anchors(spark):
     count toward link density like plain '<a href=...>' does."""
     r = _extract_one(spark, '<p><a\nhref="/x">one</a> and <a/> and <a href="/y">t</a></p>')
     assert r["n_links"] == 3
+
+
+def test_n_links_vertical_tab_matches_duckdb(spark):
+    """r16 (ADVICE r15): the anchor pattern spells its whitespace set
+    explicitly as [ \\t\\n\\f\\r>/] — Java's \\s includes vertical tab
+    U+000B, RE2's does not, so the old [\\s>/] silently diverged on
+    '<a\\x0B...' input. Both engines must now agree (and agree on the
+    RE2 semantics: a \\x0B-split anchor does NOT count)."""
+    doc = '<p><a\x0bhref="/x">v</a> <a href="/y">y</a> <a\thref="/z">z</a></p>'
+    pat = r"(?is)<a[ \t\n\f\r>/]"
+    got = (
+        spark.createDataFrame([(doc,)], "html string")
+        .select(
+            F.size(
+                F.regexp_extract_all(F.col("html"), F.lit(pat), F.lit(0))
+            ).alias("n")
+        )
+        .first()["n"]
+    )
+    want = duckdb.execute(
+        "SELECT len(regexp_extract_all(html, '(?is)<a[ \\t\\n\\f\\r>/]'))"
+        " FROM (SELECT ? AS html)",
+        [doc],
+    ).fetchone()[0]
+    assert got == want == 2
 
 
 def test_wrap_extract_matches_duckdb_oracle(spark):

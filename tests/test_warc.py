@@ -244,6 +244,19 @@ def test_write_wet_conversion_archives(spark, tmp_path):
     with pytest.raises(ValueError, match="record_type"):
         warc.write_warc_archives(src, str(d), record_type="wet")
 
+    # r16 (ADVICE r15): writing the OTHER record type into this
+    # directory must refuse, not silently unlink the .warc.wet shards
+    with pytest.raises(ValueError, match="mix record types"):
+        warc.write_warc_archives(src, str(d), record_type="response")
+    assert sorted(os.listdir(d)) == files  # nothing deleted
+
+    # and the stale-shard cleanup still clears SAME-type shards: a
+    # re-run with fewer shards leaves no orphans behind
+    warc.write_warc_archives(
+        src, str(d), shards=2, record_type="conversion"
+    ).count()
+    assert len(os.listdir(d)) == 2
+
 
 def test_write_warc_archives_and_cdx_split_read(spark, tmp_path):
     """r14 CDX sidecar: the distributed writer's offsets are exact —
