@@ -203,6 +203,13 @@ BENCH_QUERIES = [
     "dedup_lines",
     "dedup_url",
     "docs_crawl_pipeline",
+    # new in r16 (appended; prior-round common comparisons unchanged):
+    # Gumbel-top-k importance resampling (sample_dsir's score chain +
+    # the seeded perturbation), the per-host domain-cap aggregate, and
+    # the WET conversion-record write -> CDX -> range-split read pass
+    "dsir_sample",
+    "dedup_hosts",
+    "docs_wet_roundtrip",
 ]
 
 
@@ -318,6 +325,7 @@ def main():
 
     qs = workload.build_queries()
     timings = {}
+    cpu_sec = {}
     steal_pct = {}
     spread = {}
     foreign_pct = {}
@@ -340,13 +348,24 @@ def main():
         #   CO-TENANTS while the reps ran. This is the signal the r11
         #   record lacked — loadavg alone cannot separate our own
         #   local[32] parallelism from a neighbor saturating the box.
-        reps, n = [], 0
+        reps, rep_cpu, n = [], [], 0
         t_a, s_a, w_a, b_a = _cpu_stat()
         tree_a = _tree_cpu_jiffies()
+        hz = os.sysconf("SC_CLK_TCK") or 100
         for i in range(3 + skip_cold):
+            tree_r0 = _tree_cpu_jiffies()
             t0 = time.time()
             n = fn()
             reps.append(time.time() - t0)
+            # per-rep process-tree CPU seconds (r16, VERDICT r15 wrong
+            # #2): wall-clock under contention conflates "our code
+            # burned more CPU" with "we got fewer cycles"; the tree's
+            # own jiffies are contention-INVARIANT, so a wall
+            # regression with flat cpu_sec across rounds is
+            # machine-detectably environmental (the embed_semdedup
+            # false-regression class). The /proc walk runs OUTSIDE the
+            # wall-timed span.
+            rep_cpu.append((_tree_cpu_jiffies() - tree_r0) / hz)
             if skip_cold and i == skip_cold - 1:
                 # re-snapshot AFTER the discarded cold rep(s) so the
                 # steal/foreign percentages cover exactly the interval
@@ -363,6 +382,7 @@ def main():
             # purely on fresh-session rep-0 cost). Drop it from BOTH
             # the min and the spread; three warm reps remain.
             reps = reps[skip_cold:]
+            rep_cpu = rep_cpu[skip_cold:]
         t_b, s_b, w_b, b_b = _cpu_stat()
         tree_b = _tree_cpu_jiffies()
         dtot = max(1, t_b - t_a)
@@ -376,6 +396,9 @@ def main():
         # run (uniform slowdown, low steal) shows a wide or uniformly
         # shifted spread and is distinguishable from a plan regression
         # without a judge re-measure (VERDICT r8 item 6 / wrong #4)
+        # cpu_sec of the SAME rep the reported min-wall came from, so
+        # the (wall, cpu) pair describes one execution
+        best = min(range(len(reps)), key=lambda j: reps[j])
         return (
             min(reps),
             n,
@@ -383,6 +406,7 @@ def main():
             (round(min(reps), 3), round(max(reps), 3)),
             round(fpct, 2),
             la,
+            round(rep_cpu[best], 3),
         )
 
     def _dirty(sp, fp):
@@ -399,7 +423,7 @@ def main():
     # (observed 1.7s-4.8s min-of-3 spread across otherwise-idle runs)
     try:
         len(workload.flagship(spark, sf_dir).collect())
-        dt, _, pct, sp, fp, la = timed(
+        dt, _, pct, sp, fp, la, cs = timed(
             lambda: len(workload.flagship(spark, sf_dir).collect())
         )
         timings["flagship"] = round(dt, 3)
@@ -407,6 +431,7 @@ def main():
         spread["flagship"] = sp
         foreign_pct["flagship"] = fp
         load1["flagship"] = la
+        cpu_sec["flagship"] = cs
     except Exception as e:  # noqa: BLE001
         errors["flagship"] = type(e).__name__
         error_detail["flagship"] = str(e)[:500]
@@ -467,7 +492,7 @@ def main():
         # 14 of 61 raised — VERDICT r9 wrong #2). Record the error and
         # keep timing the rest.
         try:
-            dt, n, pct, sp, fp, la = timed(lambda: qs[name](spark, sf_dir).count())
+            dt, n, pct, sp, fp, la, cs = timed(lambda: qs[name](spark, sf_dir).count())
         except Exception as e:  # noqa: BLE001 — any query failure
             errors[name] = type(e).__name__
             error_detail[name] = str(e)[:500]
@@ -479,8 +504,10 @@ def main():
         spread[name] = sp
         foreign_pct[name] = fp
         load1[name] = la
-        print(f"# {name}: {dt:.2f}s ({n} rows, steal {pct}%, foreign "
-              f"{fp}%, load1 {la}, spread {sp[0]}-{sp[1]}s)", file=sys.stderr)
+        cpu_sec[name] = cs
+        print(f"# {name}: {dt:.2f}s ({n} rows, cpu {cs}s, steal {pct}%, "
+              f"foreign {fp}%, load1 {la}, spread {sp[0]}-{sp[1]}s)",
+              file=sys.stderr)
 
     # End-of-run re-measure (VERDICT r5 item 3, hardened per r11 Next
     # #1): a query is re-measured when (a) its min-of-3 landed >3x its
@@ -530,7 +557,7 @@ def main():
         else:
             fn = lambda: qs[name](spark, sf_dir).count()
         try:
-            dt, _, pct, sp, fp, la = timed(fn, skip_cold=1)
+            dt, _, pct, sp, fp, la, cs = timed(fn, skip_cold=1)
         except Exception as e:  # noqa: BLE001
             print(f"# remeasure {name}: ERROR {type(e).__name__}",
                   file=sys.stderr)
@@ -542,6 +569,7 @@ def main():
             spread[name] = sp
             foreign_pct[name] = fp
             load1[name] = la
+            cpu_sec[name] = cs
         remeasured.append(name)
         if _dirty(sp, fp) and was_dirty:
             still_contaminated.append(name)
@@ -572,6 +600,7 @@ def main():
         loadavg = None
     detail = {
         "spread": spread,
+        "cpu_sec": cpu_sec,
         "steal_pct": steal_pct,
         "foreign_pct": foreign_pct,
         "loadavg_per_query": load1,

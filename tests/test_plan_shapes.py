@@ -244,6 +244,10 @@ def test_catalog_extras_plans_free_of_anti_patterns(spark):
         # the broadcast weights projection — the same scalar-broadcast
         # shape as bm25/lm_score above
         "sample_dsir",
+        # r16: the Gumbel sampler gate shares sample_dsir's whole score
+        # chain (dsir_scores), including that one-row totals broadcast;
+        # the perturbation itself is a pure Column expression
+        "dsir_sample",
     }
     SORT_AGG_OK = {"dedup_keep_best"}
     ARROW_OK = {
@@ -253,6 +257,10 @@ def test_catalog_extras_plans_free_of_anti_patterns(spark):
         # archive bytes -> records can't be a Column expression; the
         # range-split CDX read keeps it one seek per record batch
         "docs_warc_ingest",
+        # r16: the WET round-trip reads conversion records through the
+        # SAME Arrow WARC ingest stage (and writes through the same
+        # mapInPandas archive writer); everything else is native
+        "docs_wet_roundtrip",
         # r15: the composed crawl pipeline INGESTS through the same
         # WARC Arrow stage; every post-ingest stage (html_extract,
         # line_dedup, url_dedup) is native Columns — the standalone
