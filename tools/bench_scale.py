@@ -60,6 +60,14 @@ PREDICTED = {
     "dedup_url": "~10x: map-only canonicalization (regexp/array Columns); only the canonical short string shuffles into a partial-agg min-id groupBy",
     "dedup_lines": "~10x: two 32-hex-key shuffles (line-key counts, then per-doc reassembly); collect_list state bounded by ONE doc's line count (shape-preserved); the >=min_docs sliver join is AQE-planned (no forced broadcast)",
     "docs_crawl_pipeline": "~10x: WARC write+read linear in archive bytes (16 shards -> CDX range splits over defaultParallelism); extract map-only; both dedups short-key; survivor join keyed on doc_id",
+    # r16 additions (VERDICT r15 next #8): the two remaining >=0.85s
+    # entries with no observed-vs-predicted record
+    "dedup_cross_corpus": "~10x: benchmark-side bands broadcast (benchmark split is 1/20 of the corpus, grows 10x but stays broadcast-size at these SFs); corpus signature build map-only linear; banded candidates bounded by the per-bucket cap, exact verify on the candidate sliver only",
+    "graph_pagerank": "~10x: 3 fixed rounds, each one dst-keyed shuffle linear in edges (FK edge set grows 10x); rank state one row per node; integer micro-unit arithmetic, no convergence loop",
+    # r16 new gates (same-round scale proof, the r15 precedent)
+    "dsir_sample": "~10x: sample_dsir's one token-stream shuffle + ReuseExchange + constant weights broadcast, plus a map-only md5/ln perturbation Column; TakeOrdered top-k",
+    "dedup_hosts": "~10x: map-only canonicalization; only the short host string shuffles into one partial-agg groupBy (output rows = distinct hosts, ~constant under decorrelated 10x)",
+    "docs_wet_roundtrip": "~10x: conversion-record WARC write+read linear in archive bytes, same 16-shard/CDX range-split shape as docs_crawl_pipeline's ingest",
 }
 
 
