@@ -5,18 +5,19 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-The catalog lives in scio_sparql_spark.workload: 144 entries — the
+The catalog lives in scio_sparql_spark.workload: 147 entries — the
 full SPARQL-engine surface (one per SURVEY.md §2 operator, run over
 quads relationalized from the parquet tables by sources/bridge.py),
 SPARQL 1.1 Update, streaming==batch rows (availableNow), SERVICE
 federation, WARC crawl ingest (write -> CDX sidecar -> range-split
-read), the composed crawl-to-clean-text pipeline (WARC round-trip ->
-HTML extraction -> line-level boilerplate removal -> canonical-URL
-dedup), PQ two-stage ANN, DSIR importance selection, and the dedup/
+read), WET conversion-record egress, the composed crawl-to-clean-
+text pipeline (WARC round-trip -> HTML extraction -> line-level
+boilerplate removal -> canonical-URL dedup), PQ two-stage ANN, DSIR
+importance selection + Gumbel-top-k resampling, and the dedup/
 similarity/text/linalg/graph/multimodal/events/pipeline extras.
 The driver checks the FIRST 50; workload.CATALOG_FRONT rotates the
 100 ACTIVE entries through that window so no active entry's evidence
-ages past 2 rounds, and workload.CATALOG_RETIRED (44 entries, each
+ages past 2 rounds, and workload.CATALOG_RETIRED (47 entries, each
 naming the sibling that covers its code path) sorts last, outside
 rotation accounting. Every active entry has a DuckDB SQL oracle
 except the few marked rows-only by design (IVF build split etc.).
