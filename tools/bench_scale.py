@@ -78,17 +78,21 @@ def main():
     if unknown:
         raise SystemExit(f"no predicted bound for: {sorted(unknown)}")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName("scio_sparql_spark-bench-scale")
-        .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
-        .config("spark.ui.enabled", "false")
-        .config("spark.sql.session.timeZone", "UTC")
-        .getOrCreate()
-    )
+
+    def fresh_session():
+        return (
+            SparkSession.builder.master(f"local[{cpus}]")
+            .appName("scio_sparql_spark-bench-scale")
+            .config("spark.sql.shuffle.partitions", cpus)
+            .config("spark.sql.adaptive.enabled", "true")
+            .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+            .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+            .config("spark.ui.enabled", "false")
+            .config("spark.sql.session.timeZone", "UTC")
+            .getOrCreate()
+        )
+
+    spark = fresh_session()
     spark.sparkContext.setLogLevel("ERROR")
     qs = workload.build_queries()
 
@@ -114,6 +118,20 @@ def main():
     for name in (only or PREDICTED):
         fn = qs[name]
         row = {}
+        # FRESH session per entry (r16 — the bench.py remeasure lesson
+        # applied here): after several heavy sf1 plans the long-lived
+        # JVM carries real wear — measured on dedup_cross_corpus's
+        # candidate stage at sf1: 5-11s/rep in a clean session vs
+        # erratic 97-192s reps in a session that had run other entries
+        # first (same code, foreign_pct 0). Session wear is harness
+        # cost, not entry cost; a scale RATIO quietly inflated by wear
+        # on the sf1 side (which always runs later) would misread as a
+        # plan cliff.
+        spark.stop()
+        spark = fresh_session()
+        spark.sparkContext.setLogLevel("ERROR")
+        qs = workload.build_queries()
+        fn = qs[name]
         # warm-up at the small scale absorbs this entry's codegen/JIT
         try:
             fn(spark, SF01).count()
@@ -133,7 +151,8 @@ def main():
         "cpus": int(cpus),
         "note": (
             "sf1 = tools/make_scale_data.py (10 decorrelated copies of the "
-            "driver sf0.1 fixtures); min-of-2 after one sf0.1 warm-up; "
+            "driver sf0.1 fixtures); fresh session per entry, min-of-2 "
+            "after one sf0.1 warm-up; "
             "ratio ~10 = linear scaling"
         ),
         "entries": results,

@@ -19,12 +19,18 @@ the workload SHAPE is preserved rather than degenerated:
   session/window structure repeats instead of piling onto one day.
 - lineitem: order and part keys offset per copy — the part co-order
   graph becomes 10 disjoint copies (node and edge count scale 10x).
+- customer/supplier (r16): entity keys offset per copy, nationkeys
+  kept — the FK graph grows 10x in entities and edges around the
+  shared nation/region hubs (graph_pagerank's scale input; the 1x
+  symlinks made its curve a fixed-overhead measurement).
 
 This is BENCH INPUT derivation only — every correctness gate still
 runs exclusively on the driver's own parquet.
 
-Usage: python tools/make_scale_data.py [out_dir] [copies]
-       (defaults: ./scale_data/sf1, 10)
+Usage: python tools/make_scale_data.py [out_dir] [copies] [table ...]
+       (defaults: ./scale_data/sf1, 10, all tables; with table names,
+       only those are regenerated — the derivation is deterministic,
+       so a partial refresh cannot diverge from a full one)
 """
 
 from __future__ import annotations
@@ -108,24 +114,57 @@ def main():
             "l_shipdate",
         )
 
+    # r16: graph_pagerank's FK edge set reads customer/supplier ->
+    # nation -> region; the symlinked 1x copies made its sf1 curve a
+    # fixed-overhead measurement, not a scale-up. 10x customers/
+    # suppliers with offset keys and the ORIGINAL nationkeys is the
+    # realistic growth shape (more entities, same dimension tables) —
+    # edge count 10x, the nation/region hub nodes shared.
+    def cust_copy(df, i):
+        return df.select(
+            (F.col("c_custkey") + i * ID_OFF).alias("c_custkey"),
+            "c_name",
+            "c_nationkey",
+            "c_acctbal",
+            "c_mktsegment",
+        )
+
+    def supp_copy(df, i):
+        return df.select(
+            (F.col("s_suppkey") + i * ID_OFF).alias("s_suppkey"),
+            "s_name",
+            "s_nationkey",
+            "s_acctbal",
+        )
+
     jobs = {
         "documents": docs_copy,
         "embeddings": emb_copy,
         "events": ev_copy,
         "lineitem": li_copy,
+        "customer": cust_copy,
+        "supplier": supp_copy,
     }
+    only = sys.argv[3:]
+    unknown = set(only) - set(jobs)
+    if unknown:
+        raise SystemExit(f"no derivation for: {sorted(unknown)}")
     os.makedirs(out_dir, exist_ok=True)
     for name, build in jobs.items():
+        if only and name not in only:
+            continue
         src = spark.read.parquet(f"{SRC}/{name}.parquet")
         dst = os.path.join(out_dir, f"{name}.parquet")
+        # a stale 1x symlink from the pre-r16 layout must be unlinked,
+        # not written through (the target is the READ-ONLY fixture)
+        if os.path.islink(dst):
+            os.unlink(dst)
         copies(src, n, build).repartition(8).write.mode("overwrite").parquet(dst)
         print(name, spark.read.parquet(dst).count())
     # the small dims some entries touch incidentally: symlink as-is
     for name in (
         "region",
         "nation",
-        "customer",
-        "supplier",
         "part",
         "orders",
     ):
