@@ -607,6 +607,11 @@ def main():
     # can separate environment from regression without a quiet window.
     wall_cpu_divergent = {}
     try:
+        if abs(sf - 0.1) >= 1e-9:
+            # the committed record is sf0.1; comparing another scale's
+            # walls against it would flag legitimate scale growth as
+            # environmental (mirrors the write-side suffix guard below)
+            raise ValueError("non-canonical sf: skip divergence check")
         with open(os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
         )) as f:

@@ -27,9 +27,9 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from .util import release_checkpoint, spread, spread_pinned
+from .util import TOKEN_SPLIT_RE, release_checkpoint, spread, spread_pinned
 
-TOKEN_RE = r"\s+"
+TOKEN_RE = TOKEN_SPLIT_RE  # r16: explicit RE2-equal whitespace class
 
 
 def _tokens(col):
@@ -1439,10 +1439,13 @@ def normalized_dedup(
     Scale: normalization is per-row codegen; only the 16-byte digest
     and the id shuffle (never the text), one groupBy with map-side
     combine — identical cost profile to exact_dedup."""
+    # explicit classes == the oracle's RE2 [^\w\s] / \s+ (r16)
     norm = F.trim(
         F.regexp_replace(
-            F.regexp_replace(F.lower(F.col(text_col)), r"[^\w\s]", ""),
-            r"\s+",
+            F.regexp_replace(
+                F.lower(F.col(text_col)), r"[^0-9A-Za-z_ \t\n\f\r]", ""
+            ),
+            TOKEN_SPLIT_RE,
             " ",
         )
     )

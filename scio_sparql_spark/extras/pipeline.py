@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from .util import spread
+from .util import TOKEN_SPLIT_RE, spread
 
 
 def deterministic_sample(
@@ -164,7 +164,8 @@ def mixture_sample(
         if w < 0:
             raise ValueError(f"weight for {s!r} must be >= 0, got {w}")
     toks = F.filter(
-        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda t: t != ""
+        F.split(F.trim(F.lower(F.col(text_col))), TOKEN_SPLIT_RE),
+        lambda t: t != "",
     )
     with_tokens = docs.withColumn("__nt", F.size(toks))
     totals = {
@@ -266,7 +267,8 @@ def corpus_stats(
     from .textstats import EN_STOPWORDS, ES_STOPWORDS
 
     toks = F.filter(
-        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda t: t != ""
+        F.split(F.trim(F.lower(F.col(text_col))), TOKEN_SPLIT_RE),
+        lambda t: t != "",
     )
     en = F.size(F.filter(toks, lambda t: t.isin(EN_STOPWORDS)))
     es = F.size(F.filter(toks, lambda t: t.isin(ES_STOPWORDS)))
@@ -310,7 +312,8 @@ def filter_funnel(
     from .textstats import EN_STOPWORDS, ES_STOPWORDS
 
     toks = F.filter(
-        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda t: t != ""
+        F.split(F.trim(F.lower(F.col(text_col))), TOKEN_SPLIT_RE),
+        lambda t: t != "",
     )
     en = F.size(F.filter(toks, lambda t: t.isin(EN_STOPWORDS)))
     es = F.size(F.filter(toks, lambda t: t.isin(ES_STOPWORDS)))

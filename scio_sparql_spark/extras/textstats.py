@@ -7,12 +7,17 @@ from __future__ import annotations
 import pandas as pd  # module-level: pandas_udf resolves 'pd.Series' hints here
 from pyspark.sql import Column, DataFrame, functions as F
 
+from .util import TOKEN_SPLIT_RE
+
 EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"]
 ES_STOPWORDS = ["el", "la", "de", "y", "que", "en", "un", "es", "se", "no"]
 
 
 def _tokens(col):
-    return F.filter(F.split(F.trim(F.lower(col)), r"\s+"), lambda t: t != "")
+    # TOKEN_SPLIT_RE, not \s+: Java \s includes U+000B, RE2 (the
+    # DuckDB oracles) does not — the explicit class is byte-identical
+    # in both engines (r16; see extras/util.py)
+    return F.filter(F.split(F.trim(F.lower(col)), TOKEN_SPLIT_RE), lambda t: t != "")
 
 
 def token_count(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -311,7 +316,10 @@ def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     toks = _tokens(F.col(text_col))
     n = F.size(toks)
     text = F.col(text_col)
-    n_punct = F.length(text) - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    # explicit [\w\s] spelling (Java \s vs RE2 \s; \w is identical)
+    n_punct = F.length(text) - F.length(
+        F.regexp_replace(text, r"[^0-9A-Za-z_ \t\n\f\r]", "")
+    )
     return docs.select(
         F.col(id_col),
         F.round(F.length(text) / n, 6).alias("mean_token_len"),

@@ -73,21 +73,21 @@ def _part(url: Column, group: int) -> Column:
 # replacement callback, so the normalization is a fixed 12-step
 # regexp_replace chain — one pass per lowercase hex digit per escape
 # position — identical in both engines, still map-only codegen.
-# A '%' not introducing a valid escape is malformed per the RFC; the
-# chain may uppercase a hex digit after such a '%', identically in
-# both engines (harmless: canonical forms still compare equal iff the
-# originals decode equal).
+# ONLY well-formed escapes (% + exactly 2 hex digits) are touched:
+# pass 1 requires a trailing hex digit (captured, no lookaround — RE2
+# has none), so a malformed '%annual' stays verbatim instead of
+# collapsing with '%Annual' — distinct opaque bytes must not merge.
 _HEX_LOWER = "abcdef"
 
 
 def _pct_upper_expr(c: Column) -> Column:
-    # first escape position: %a -> %A (…after the literal '%')
+    # first escape position: %aX -> %AX only when X is a hex digit
     for d in _HEX_LOWER:
-        c = F.regexp_replace(c, f"%{d}", f"%{d.upper()}")
+        # Java replacement '$1' / '%X$1': hex letters are non-digits,
+        # so the group number can't overrun
+        c = F.regexp_replace(c, f"%{d}([0-9A-Fa-f])", f"%{d.upper()}$1")
     # second position: the first is now a digit or uppercase hex
     for d in _HEX_LOWER:
-        # Java replacement '$1X' parses as group 1 + literal X (hex
-        # letters are non-digits, so the group number can't overrun)
         c = F.regexp_replace(c, f"(%[0-9A-F]){d}", f"$1{d.upper()}")
     return c
 
@@ -95,9 +95,9 @@ def _pct_upper_expr(c: Column) -> Column:
 def _pct_upper_sql(expr: str) -> str:
     c = expr
     for d in _HEX_LOWER:
-        c = f"regexp_replace({c}, '%{d}', '%{d.upper()}', 'g')"
+        # RE2 replacement '\1': group ref + literal text
+        c = f"regexp_replace({c}, '%{d}([0-9A-Fa-f])', '%{d.upper()}\\1', 'g')"
     for d in _HEX_LOWER:
-        # RE2 replacement '\1X': group 1 + literal X
         c = f"regexp_replace({c}, '(%[0-9A-F]){d}', '\\1{d.upper()}', 'g')"
     return c
 

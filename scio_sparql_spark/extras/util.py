@@ -4,6 +4,16 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+# Whitespace spelled EXPLICITLY as the RE2 set (r16 — the html.py
+# ADVICE r15 finding generalized to every cross-engine surface):
+# Java's \s includes vertical tab U+000B, RE2's does not, so a bare
+# \s in a Spark-side tokenizer/normalizer silently diverges from the
+# DuckDB oracle on real corpus bytes containing \x0B. [ \t\n\f\r]
+# is byte-identical in both engines; the SQL twins keep \s+ (in RE2
+# that IS this set).
+WS_CLASS = r"[ \t\n\f\r]"
+TOKEN_SPLIT_RE = WS_CLASS + "+"
+
 
 def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Repartition an under-partitioned input up to the cluster's default

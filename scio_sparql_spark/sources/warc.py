@@ -270,17 +270,20 @@ def write_warc_archives(
     # selects exactly this type's family. Foreign-type shards are a
     # caller error (one out_dir holds one record type) — fail loud.
     foreign = (".warc.wet", ".warc.wet.gz") if record_type == "response" else (".warc", ".warc.gz")
-    for f in os.listdir(out_dir):
-        if not f.startswith("part-"):
-            continue
-        if f.endswith((base, base + ".gz")):
-            os.unlink(os.path.join(out_dir, f))
-        elif f.endswith(foreign):
+    listing = [f for f in os.listdir(out_dir) if f.startswith("part-")]
+    # check-then-unlink, two passes: raising mid-unlink would have
+    # already destroyed same-type shards in a mixed directory — the
+    # refusal must leave the directory EXACTLY as found
+    for f in listing:
+        if f.endswith(foreign):
             raise ValueError(
                 f"{out_dir} holds {foreign[0]} shards; writing "
                 f"record_type={record_type!r} into it would mix record "
                 "types in one archive directory — use a separate out_dir"
             )
+    for f in listing:
+        if f.endswith((base, base + ".gz")):
+            os.unlink(os.path.join(out_dir, f))
     src = df.select(
         F.col(id_col).alias("record_id"),
         F.col(uri_col).alias("target_uri"),

@@ -122,6 +122,39 @@ def test_all_pairs_above(spark):
     assert pairs == {(0, 1)}
 
 
+def test_tokenizer_vertical_tab_matches_duckdb(spark):
+    """r16 (the html.py ADVICE r15 finding generalized): the shared
+    tokenizer splits on the EXPLICIT [ \\t\\n\\f\\r]+ class, not Java
+    \\s+ (which also matches U+000B while RE2's \\s+ — every DuckDB
+    oracle — does not). A \\x0B inside text must yield the same token
+    bag in both engines: one token, since vertical tab is NOT a
+    separator in the RE2 semantics both sides now share."""
+    import duckdb
+
+    doc = "foo\x0bbar baz\tq\nr"
+    df = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    got = df.select(
+        textstats._tokens(F.col("text")).alias("t")
+    ).first()["t"]
+    want = duckdb.execute(
+        "SELECT list_filter(string_split_regex(trim(lower(text)), '\\s+'),"
+        " t -> t <> '') FROM (SELECT ? AS text)",
+        [doc],
+    ).fetchone()[0]
+    assert got == want == ["foo\x0bbar", "baz", "q", "r"]
+
+    # the normalized-dedup digest chain agrees too ([^\w\s] + \s+):
+    # in RE2 the \x0B is punctuation-class (stripped); in Java \s it
+    # would have survived as whitespace — divergent digests pre-r16
+    a = dedup.normalized_dedup(df).first()["norm_digest"]
+    b = duckdb.execute(
+        "SELECT md5(trim(regexp_replace(regexp_replace(lower(text),"
+        " '[^\\w\\s]', '', 'g'), '\\s+', ' ', 'g'))) FROM (SELECT ? AS text)",
+        [doc],
+    ).fetchone()[0]
+    assert a == b
+
+
 def test_textstats(spark, docs):
     tc = {r["doc_id"]: r["n_tokens"] for r in textstats.token_count(docs).collect()}
     assert tc[0] == 9

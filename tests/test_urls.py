@@ -55,12 +55,24 @@ def test_percent_escape_case_normalizes(spark):
         "http://h.co/a%2Fb?x=%3A",
         "http://h.co/%aa%Ab%3a%a1",
         "http://u%2f:p@h.co/",
+        # malformed escapes (% not followed by 2 hex) stay VERBATIM —
+        # '%annual' and '%Annual' are distinct opaque bytes and must
+        # not merge (r16 review finding); adjacent-% and trailing-%
+        # forms likewise
+        "http://h.co/100%annual",
+        "http://h.co/100%Annual",
+        "http://h.co/x%a",
+        "http://h.co/x%a%b2",
     )
     assert got == [
         "http://h.co/a%2Fb?x=%3A",
         "http://h.co/a%2Fb?x=%3A",
         "http://h.co/%AA%AB%3A%A1",
         "http://u%2f:p@h.co/",
+        "http://h.co/100%annual",
+        "http://h.co/100%Annual",
+        "http://h.co/x%a",
+        "http://h.co/x%a%B2",
     ]
 
 

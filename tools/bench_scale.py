@@ -92,9 +92,7 @@ def main():
             .getOrCreate()
         )
 
-    spark = fresh_session()
-    spark.sparkContext.setLogLevel("ERROR")
-    qs = workload.build_queries()
+    spark = None  # created per entry (see the fresh-session note below)
 
     def timed(fn, reps=2):
         times = []
@@ -116,7 +114,6 @@ def main():
         with open(out_path) as f:
             results = json.load(f).get("entries", {})
     for name in (only or PREDICTED):
-        fn = qs[name]
         row = {}
         # FRESH session per entry (r16 — the bench.py remeasure lesson
         # applied here): after several heavy sf1 plans the long-lived
@@ -127,7 +124,8 @@ def main():
         # cost, not entry cost; a scale RATIO quietly inflated by wear
         # on the sf1 side (which always runs later) would misread as a
         # plan cliff.
-        spark.stop()
+        if spark is not None:
+            spark.stop()
         spark = fresh_session()
         spark.sparkContext.setLogLevel("ERROR")
         qs = workload.build_queries()

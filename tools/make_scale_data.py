@@ -151,14 +151,20 @@ def main():
         raise SystemExit(f"no derivation for: {sorted(unknown)}")
     os.makedirs(out_dir, exist_ok=True)
     for name, build in jobs.items():
-        if only and name not in only:
-            continue
-        src = spark.read.parquet(f"{SRC}/{name}.parquet")
         dst = os.path.join(out_dir, f"{name}.parquet")
-        # a stale 1x symlink from the pre-r16 layout must be unlinked,
-        # not written through (the target is the READ-ONLY fixture)
+        if only and name not in only:
+            # the cannot-diverge guarantee: a derived table left as a
+            # stale 1x symlink from the pre-r16 layout is regenerated
+            # even when the partial refresh did not name it (skipping
+            # it would silently keep the wrong-scale input)
+            if not os.path.islink(dst):
+                continue
+            print(f"{name}: stale 1x symlink — regenerating despite partial refresh")
+        # a stale 1x symlink must be unlinked, not written through
+        # (the target is the READ-ONLY fixture)
         if os.path.islink(dst):
             os.unlink(dst)
+        src = spark.read.parquet(f"{SRC}/{name}.parquet")
         copies(src, n, build).repartition(8).write.mode("overwrite").parquet(dst)
         print(name, spark.read.parquet(dst).count())
     # the small dims some entries touch incidentally: symlink as-is
