@@ -248,6 +248,95 @@ def host_counts(
     )
 
 
+# Multi-label public suffixes for registrable-domain (eTLD+1)
+# extraction (r16). The rule implemented is the public-suffix
+# algorithm restricted to a compact 2-label suffix table: if a host's
+# last TWO labels form a public suffix (co.uk, com.au, ...), the
+# registrable domain is the last THREE labels; otherwise the last TWO.
+# This is the approximation most crawl pipelines ship (the full
+# Mozilla PSL is ~10k entries and changes monthly — swap this literal
+# list for a broadcast-joined table to consume it; the expression
+# shape below stays a single map-only InSet either way). Entries are
+# the common ccTLD second-level registries.
+PUBLIC_SUFFIXES_2LABEL = [
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "co.nz", "net.nz", "org.nz",
+    "com.br", "net.br", "org.br", "gov.br",
+    "co.in", "net.in", "org.in", "gov.in",
+    "com.cn", "net.cn", "org.cn", "gov.cn",
+    "com.mx", "com.ar", "com.tr", "com.sg", "com.hk", "com.tw",
+    "co.za", "co.kr", "or.kr", "co.id", "co.il", "org.il",
+    "com.pl", "net.pl", "org.pl", "com.ru", "net.ru", "org.ru",
+]
+
+
+def registrable_domain_expr(host: Column) -> Column:
+    """eTLD+1 of a canonical host as a pure Column expression — the
+    key domain caps and per-site statistics should group on (host
+    over-splits: blog.example.co.uk and shop.example.co.uk are ONE
+    site). Rules, identical in the SQL twin:
+
+    - bracketed IPv6 and dotted-decimal IPv4 literals: the host IS the
+      registrable unit (no label logic);
+    - single-label hosts (localhost, intranet names): as-is;
+    - last two labels in PUBLIC_SUFFIXES_2LABEL -> last THREE labels
+      (a bare 2-label suffix itself, e.g. host == 'co.uk', has no
+      registrable domain -> NULL, the PSL convention);
+    - otherwise -> last TWO labels.
+
+    Map-only: one split + one InSet membership test, zero shuffle."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    last2 = F.concat(
+        F.element_at(labels, -2), F.lit("."), F.element_at(labels, -1)
+    )
+    last3 = F.concat(F.element_at(labels, -3), F.lit("."), last2)
+    is_ip = host.rlike(r"^([0-9.]+|\[.*\])$")
+    return (
+        F.when(is_ip | (n <= 1), host)
+        .when(
+            last2.isin(PUBLIC_SUFFIXES_2LABEL),
+            F.when(n >= 3, last3),  # n == 2: bare suffix -> NULL
+        )
+        .otherwise(last2)
+    )
+
+
+def registrable_domain_sql(host: str) -> str:
+    """DuckDB twin of registrable_domain_expr over SQL expression
+    ``host`` — same split, same suffix list, same rules."""
+    sfx = ", ".join(f"'{s}'" for s in PUBLIC_SUFFIXES_2LABEL)
+    labels = f"string_split({host}, '.')"
+    n = f"len({labels})"
+    last2 = f"({labels}[-2] || '.' || {labels}[-1])"
+    last3 = f"({labels}[-3] || '.' || {last2})"
+    return (
+        f"CASE WHEN regexp_matches({host}, '^([0-9.]+|\\[.*\\])$') OR {n} <= 1 THEN {host}"
+        f" WHEN {last2} IN ({sfx})"
+        f" THEN CASE WHEN {n} >= 3 THEN {last3} END"
+        f" ELSE {last2} END"
+    )
+
+
+def domain_counts(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-REGISTRABLE-DOMAIN page counts (host_counts' sibling at the
+    eTLD+1 grain — the grain real domain caps use). Map-only
+    canonicalize + registrable-domain expression, then one short-key
+    groupBy; hosts with no registrable domain (bare suffixes) drop."""
+    return (
+        url_canonicalize(df, url_col, id_col)
+        .filter(F.col("canonical").isNotNull())
+        .select(registrable_domain_expr(F.col("host")).alias("domain"))
+        .filter(F.col("domain").isNotNull())
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+    )
+
+
 def synth_urls(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -4447,6 +4447,15 @@ CATALOG_FRONT = [
     # #3, completing the WARC/CDX/WET artifact-trio gates). Still 50
     # in-window, nobody displaced, actives = 100 (at cap), and after
     # this window every active entry's evidence is r15 or r16.
+    # r17 earmark (the established precedent): domain_counts
+    # (extras/urls.py, r16 — eTLD+1 registrable-domain caps via
+    # registrable_domain_expr + the registrable_domain_sql twin,
+    # differential-locked in tests/test_urls.py over the synth corpus)
+    # is gate-ready; candidate funding: dedup_hosts -> a domain_counts
+    # gate is NOT a clean superset (different grain), but host_counts'
+    # unique code is one groupBy over the same canonicalize chain
+    # dedup_url gates — retire dedup_hosts INTO a domain_counts gate
+    # that projects BOTH grains (host, domain) in one entry.
     "dsir_sample",
     "dedup_hosts",
     "docs_wet_roundtrip",

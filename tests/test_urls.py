@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import duckdb
 from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
 
 from scio_sparql_spark.extras import urls as U
 
@@ -218,6 +219,66 @@ def test_host_counts(spark):
     )
     got = {r["host"]: r["n_pages"] for r in U.host_counts(df).collect()}
     assert got == {"a.com": 2, "b.com": 1}
+
+
+def test_registrable_domain_rules(spark):
+    """r16 eTLD+1 extraction: 2-label public suffixes take three
+    labels, plain TLDs take two, IPs/single labels pass through, a
+    bare suffix has no registrable domain (PSL convention)."""
+    hosts = [
+        "blog.example.co.uk", "shop.example.co.uk", "example.co.uk",
+        "www2.site.org", "site.org", "deep.a.b.example.com",
+        "localhost", "192.168.0.1", "[2001:db8::1]", "co.uk",
+    ]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    got = [
+        r["d"]
+        for r in df.select(
+            U.registrable_domain_expr(F.col("host")).alias("d")
+        ).collect()
+    ]
+    want = [
+        "example.co.uk", "example.co.uk", "example.co.uk",
+        "site.org", "site.org", "example.com",
+        "localhost", "192.168.0.1", "[2001:db8::1]", None,
+    ]
+    assert got == want, list(zip(hosts, got, want))
+    # the DuckDB twin replays every rule bit-for-bit
+    con = duckdb.connect()
+    sql = U.registrable_domain_sql("host")
+    dd = [
+        con.execute(f"SELECT {sql} FROM (SELECT ? AS host)", [h]).fetchone()[0]
+        for h in hosts
+    ]
+    assert dd == want, list(zip(hosts, dd, want))
+
+
+def test_domain_counts_matches_duckdb(spark):
+    """domain_counts (eTLD+1 grain) differentialed over the
+    branch-covering synth corpus — caps group sites, not hosts."""
+    docs = spark.read.parquet(DOCS)
+    got = sorted(
+        (r["domain"], r["n_pages"])
+        for r in U.domain_counts(U.synth_urls(docs)).collect()
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{DOCS}')")
+    canon = U.canonical_url_sql("url")
+    host = U.canonical_host_sql("url")
+    want = sorted(
+        (r[0], int(r[1]))
+        for r in con.execute(
+            f"""WITH u AS ({U.synth_urls_sql()}),
+                h AS (SELECT {U.registrable_domain_sql(f'({host})')} AS domain
+                      FROM u WHERE ({canon}) IS NOT NULL)
+                SELECT domain, COUNT(*) FROM h
+                WHERE domain IS NOT NULL GROUP BY 1"""
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
+    # grain sanity: domains never outnumber hosts (eTLD+1 groups them)
+    n_hosts = U.host_counts(U.synth_urls(docs)).count()
+    assert len(got) <= n_hosts
 
 
 _URL_CHARS = st.text(
