@@ -2296,7 +2296,6 @@ def q_dedup_incremental(spark, sf_dir):
     (write -> read back, the real loop shape); the remaining batch is
     anti-joined against the store."""
     import os
-    import tempfile
 
     docs = _table(spark, sf_dir, "documents")
     path = _session_tmp(spark, "digest_store", ".parquet")
@@ -2316,7 +2315,6 @@ def q_docs_jsonl_roundtrip(spark, sf_dir):
     is a full extra pass — never rely on it), and prove losslessness
     by digesting the round-tripped text."""
     import os
-    import tempfile
 
     docs = _table(spark, sf_dir, "documents")
     path = _session_tmp(spark, "docs_jsonl")
@@ -2345,7 +2343,6 @@ def q_docs_warc_ingest(spark, sf_dir):
     exactly. Reference has no crawl source at all (sources/warc.py
     cites ISO 28500)."""
     import os
-    import tempfile
 
     from .sources import warc
 
@@ -2532,7 +2529,6 @@ def q_docs_crawl_pipeline(spark, sf_dir):
     join. No stage shuffles document text except the per-doc line
     reassembly."""
     import os
-    import tempfile
 
     from .sources import warc
 
@@ -2750,8 +2746,6 @@ def q_stream_sparql_select(spark, sf_dir):
     SPARQL SELECT applied unchanged to the streaming DataFrame, run to
     completion with availableNow — must hash-match the plain relational
     oracle. Exercises serializer + streaming reader + engine in one row."""
-    import os
-    import tempfile
 
     from .sources.rio import read_triples_stream, write_triples_nt
 
@@ -2817,8 +2811,6 @@ def q_quads_roundtrip(spark, sf_dir):
     (write_triples) and back (read_triples), then a BGP join over the
     re-read store — the persisted-triple-store usage pattern
     (TriplesReader.scala:34-48)."""
-    import os
-    import tempfile
 
     from .sources.rio import read_triples, write_triples
 
@@ -2848,8 +2840,6 @@ def q_sparql_property_table(spark, sf_dir):
     place the pivot aggregate runs), read it back, and run a star BGP
     that compiles to a pure scan of the layout (no join, no query-time
     aggregate — asserted by tests/test_plan_shapes.py)."""
-    import os
-    import tempfile
 
     from .star import (
         property_table_from_quads,
