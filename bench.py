@@ -364,8 +364,11 @@ def main():
             # regression with flat cpu_sec across rounds is
             # machine-detectably environmental (the embed_semdedup
             # false-regression class). The /proc walk runs OUTSIDE the
-            # wall-timed span.
-            rep_cpu.append((_tree_cpu_jiffies() - tree_r0) / hz)
+            # wall-timed span. Clamped at 0: a worker whose parent died
+            # mid-rep reparents to PID 1, taking its jiffies OUT of the
+            # tree — observed as cpu_sec -1.74 on graph_pagerank; a
+            # negative reading is process churn, not credit.
+            rep_cpu.append(max(0.0, (_tree_cpu_jiffies() - tree_r0) / hz))
             if skip_cold and i == skip_cold - 1:
                 # re-snapshot AFTER the discarded cold rep(s) so the
                 # steal/foreign percentages cover exactly the interval
@@ -620,8 +623,8 @@ def main():
         prev_cpu = prev.get("cpu_sec", {})
         for name, wall in timings.items():
             pw, pc, cc = prev_wall.get(name), prev_cpu.get(name), cpu_sec.get(name)
-            if not pw or not pc or cc is None or pc <= 0.2:
-                continue  # sub-0.2s CPU: jiffy granularity noise
+            if not pw or not pc or not cc or pc <= 0.2 or cc <= 0:
+                continue  # sub-0.2s / clamped CPU: granularity noise
             if wall > 1.5 * pw and cc < 1.2 * pc:
                 wall_cpu_divergent[name] = {
                     "wall": wall, "prev_wall": pw,
