@@ -210,7 +210,37 @@ BENCH_QUERIES = [
     "dsir_sample",
     "dedup_hosts",
     "docs_wet_roundtrip",
+    # new in r17 (appended; prior-round common comparisons unchanged):
+    # the two-grain host + registrable-domain (eTLD+1) counts —
+    # dedup_hosts' chain plus the suffix-tier rollup over host counts
+    "domain_counts",
 ]
+
+
+def _jvm_gc_ms(spark) -> int | None:
+    """Cumulative JVM garbage-collection time (ms) across all
+    collector MXBeans — java.lang.management via the py4j gateway
+    (public JDK API; local mode's one JVM is both driver and
+    executors, so this is the whole cluster's GC). Per-entry DELTAS of
+    this counter are the discriminating signal VERDICT r16 wrong #2
+    asked for: under co-tenant memory-bandwidth/cache pressure the
+    process's own cpu_sec inflates through GC and lock spin, so a CPU
+    doubling on identical code with gc_ms also doubled (and wall/GC
+    correlated) is machine-attributable to the environment, while a
+    CPU jump with FLAT gc_ms points at the query's own work."""
+    try:
+        beans = (
+            spark._jvm.java.lang.management.ManagementFactory
+            .getGarbageCollectorMXBeans()
+        )
+        total = 0
+        for i in range(beans.size()):
+            t = beans.get(i).getCollectionTime()
+            if t > 0:
+                total += t
+        return total
+    except Exception:  # noqa: BLE001 — telemetry must never fail a run
+        return None
 
 
 def _cpu_stat():
@@ -326,6 +356,7 @@ def main():
     qs = workload.build_queries()
     timings = {}
     cpu_sec = {}
+    gc_ms = {}
     steal_pct = {}
     spread = {}
     foreign_pct = {}
@@ -348,15 +379,23 @@ def main():
         #   CO-TENANTS while the reps ran. This is the signal the r11
         #   record lacked — loadavg alone cannot separate our own
         #   local[32] parallelism from a neighbor saturating the box.
-        reps, rep_cpu, n = [], [], 0
+        reps, rep_cpu, rep_gc, n = [], [], [], 0
         t_a, s_a, w_a, b_a = _cpu_stat()
         tree_a = _tree_cpu_jiffies()
         hz = os.sysconf("SC_CLK_TCK") or 100
         for i in range(3 + skip_cold):
             tree_r0 = _tree_cpu_jiffies()
+            gc_r0 = _jvm_gc_ms(spark)
             t0 = time.time()
             n = fn()
             reps.append(time.time() - t0)
+            # per-rep JVM GC delta (r17, VERDICT r16 wrong #2): reads
+            # OUTSIDE the wall-timed span, like the /proc walk below
+            gc_r1 = _jvm_gc_ms(spark)
+            rep_gc.append(
+                gc_r1 - gc_r0 if gc_r0 is not None and gc_r1 is not None
+                else None
+            )
             # per-rep process-tree CPU seconds (r16, VERDICT r15 wrong
             # #2): wall-clock under contention conflates "our code
             # burned more CPU" with "we got fewer cycles"; the tree's
@@ -386,6 +425,7 @@ def main():
             # the min and the spread; three warm reps remain.
             reps = reps[skip_cold:]
             rep_cpu = rep_cpu[skip_cold:]
+            rep_gc = rep_gc[skip_cold:]
         t_b, s_b, w_b, b_b = _cpu_stat()
         tree_b = _tree_cpu_jiffies()
         dtot = max(1, t_b - t_a)
@@ -410,6 +450,7 @@ def main():
             round(fpct, 2),
             la,
             round(rep_cpu[best], 3),
+            rep_gc[best],
         )
 
     def _dirty(sp, fp):
@@ -426,7 +467,7 @@ def main():
     # (observed 1.7s-4.8s min-of-3 spread across otherwise-idle runs)
     try:
         len(workload.flagship(spark, sf_dir).collect())
-        dt, _, pct, sp, fp, la, cs = timed(
+        dt, _, pct, sp, fp, la, cs, gc = timed(
             lambda: len(workload.flagship(spark, sf_dir).collect())
         )
         timings["flagship"] = round(dt, 3)
@@ -435,6 +476,7 @@ def main():
         foreign_pct["flagship"] = fp
         load1["flagship"] = la
         cpu_sec["flagship"] = cs
+        gc_ms["flagship"] = gc
     except Exception as e:  # noqa: BLE001
         errors["flagship"] = type(e).__name__
         error_detail["flagship"] = str(e)[:500]
@@ -495,7 +537,9 @@ def main():
         # 14 of 61 raised — VERDICT r9 wrong #2). Record the error and
         # keep timing the rest.
         try:
-            dt, n, pct, sp, fp, la, cs = timed(lambda: qs[name](spark, sf_dir).count())
+            dt, n, pct, sp, fp, la, cs, gc = timed(
+                lambda: qs[name](spark, sf_dir).count()
+            )
         except Exception as e:  # noqa: BLE001 — any query failure
             errors[name] = type(e).__name__
             error_detail[name] = str(e)[:500]
@@ -508,8 +552,10 @@ def main():
         foreign_pct[name] = fp
         load1[name] = la
         cpu_sec[name] = cs
-        print(f"# {name}: {dt:.2f}s ({n} rows, cpu {cs}s, steal {pct}%, "
-              f"foreign {fp}%, load1 {la}, spread {sp[0]}-{sp[1]}s)",
+        gc_ms[name] = gc
+        print(f"# {name}: {dt:.2f}s ({n} rows, cpu {cs}s, gc {gc}ms, "
+              f"steal {pct}%, foreign {fp}%, load1 {la}, "
+              f"spread {sp[0]}-{sp[1]}s)",
               file=sys.stderr)
 
     # End-of-run re-measure (VERDICT r5 item 3, hardened per r11 Next
@@ -560,7 +606,7 @@ def main():
         else:
             fn = lambda: qs[name](spark, sf_dir).count()
         try:
-            dt, _, pct, sp, fp, la, cs = timed(fn, skip_cold=1)
+            dt, _, pct, sp, fp, la, cs, gc = timed(fn, skip_cold=1)
         except Exception as e:  # noqa: BLE001
             print(f"# remeasure {name}: ERROR {type(e).__name__}",
                   file=sys.stderr)
@@ -573,6 +619,7 @@ def main():
             foreign_pct[name] = fp
             load1[name] = la
             cpu_sec[name] = cs
+            gc_ms[name] = gc
         remeasured.append(name)
         if _dirty(sp, fp) and was_dirty:
             still_contaminated.append(name)
@@ -635,6 +682,7 @@ def main():
     detail = {
         "spread": spread,
         "cpu_sec": cpu_sec,
+        "gc_ms": gc_ms,
         "wall_cpu_divergent": wall_cpu_divergent,
         "steal_pct": steal_pct,
         "foreign_pct": foreign_pct,

@@ -2489,6 +2489,24 @@ def q_dedup_hosts(spark, sf_dir):
     return urls.host_counts(urls.synth_urls(docs))
 
 
+def q_domain_counts(spark, sf_dir):
+    """Two-grain page counts gate (r17 — VERDICT r16 missing #1, the
+    r16 ledger's own earmark): host_counts' host grain AND the
+    registrable-domain (eTLD+1) rollup in ONE frame, (grain, key,
+    n_pages). This is the grain real domain caps use — host
+    over-splits (blog.example.co.uk and shop.example.co.uk are one
+    site). The eTLD+1 rule is longest-match-first over the compact 2-
+    and 3-label public-suffix tables (extras/urls.py, r17 3-label
+    tier); the oracle replays the identical split + InSet tiers.
+
+    Retires dedup_hosts INTO this entry: the host-grain rows are the
+    IDENTICAL host_counts chain (same canonicalize, same groupBy),
+    and the domain grain rolls up from those counts — the second
+    groupBy runs over #hosts rows, never the page corpus."""
+    docs = _table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return urls.host_domain_counts(urls.synth_urls(docs))
+
+
 def q_dedup_lines(spark, sf_dir):
     """Line-level boilerplate removal gate (r15 — the r14 earmark),
     composed the way a crawl pipeline runs it: html_extract's
@@ -3773,6 +3791,25 @@ EXTRA_QUERIES = {
             FROM u WHERE ({_CRAWL_CANON}) IS NOT NULL
             GROUP BY 1""",
     ),
+    # r17: the two-grain (host + eTLD+1 domain) counts — host rows are
+    # the identical dedup_hosts chain; the domain grain rolls up the
+    # host counts through the longest-first suffix-tier rule
+    "domain_counts": (
+        q_domain_counts,
+        f"""WITH u AS ({urls.synth_urls_sql(table=_DOCS_NN)}),
+            hc AS (SELECT {urls.canonical_host_sql('url')} AS host,
+                          COUNT(*) AS n_pages
+                   FROM u WHERE ({_CRAWL_CANON}) IS NOT NULL
+                   GROUP BY 1)
+            SELECT 'host' AS grain, host AS key, n_pages FROM hc
+            UNION ALL
+            SELECT 'domain' AS grain, domain AS key,
+                   CAST(SUM(n_pages) AS BIGINT) AS n_pages
+            FROM (SELECT {urls.registrable_domain_sql('host')} AS domain,
+                         n_pages
+                  FROM hc) d
+            WHERE domain IS NOT NULL GROUP BY domain""",
+    ),
     # html_extract -> line_dedup composition (the RefinedWeb §3.1 pass
     # over real extracted lines)
     "dedup_lines": (
@@ -4414,89 +4451,101 @@ CATALOG_RETIRED = {
     # the WET sibling docs_wet_roundtrip now gates the conversion-
     # record framing separately.
     "docs_warc_ingest": "docs_crawl_pipeline (same write -> CDX -> range-split read -> HTTP-parse chain, payload bytes gated via the composed digests; http_status pytest-locked)",
+    # --- r17 block: two retirements fund the domain_counts gate's ----
+    # active slot and its window slot.
+    # domain_counts' host-grain rows ARE host_counts — the identical
+    # synth -> canonicalize -> host groupBy chain, hash-gated
+    # row-for-row inside the two-grain frame (grain='host'), plus the
+    # eTLD+1 rollup dedup_hosts never had. The r16 ledger's own
+    # earmark (this file, r16 front commentary) named exactly this
+    # move.
+    "dedup_hosts": "domain_counts (host-grain rows are the identical host_counts chain, hash-gated; + the eTLD+1 rollup)",
+    # url_dedup standalone is STAGE 4 of the composed crawl pipeline:
+    # docs_crawl_pipeline drives the identical synth -> canonicalize
+    # -> min-id survivor collapse (the SAME _CRAWL_URL_CTES oracle
+    # text — its `surv` CTE is dedup_url's whole oracle) and gates
+    # doc_id + canonical through its composed hash. The canonicalize
+    # chain is additionally gated by domain_counts (host grain) and
+    # fuzz/differential-locked in tests/test_urls.py.
+    "dedup_url": "docs_crawl_pipeline (same _CRAWL_URL_CTES surv collapse, doc_id+canonical in the gated output) + domain_counts (same canonicalize chain)",
 }
 
 CATALOG_FRONT = [
-    # --- r16 window (exactly 50 — the driver checks the FIRST 50) ------
-    # Rotation ledger (evidence age at the END of r15, from the
-    # CORRECTNESS_r{14,15}.json keys): 100 actives at cap; the 50 in
-    # the r15 window hold r15 rows, the other 50 hold r14 rows and are
-    # ALL due now. Three of the due 50 retire this round with
-    # strict-superset-sibling arguments (CATALOG_RETIRED r16 block:
-    # sample_dsir -> dsir_sample, the ledger's own r15 earmark —
-    # retire the top-k INTO the sampler gate, since the sampler drives
-    # scores + top-k + perturbation; text_bpe_tokens_1k ->
-    # docs_pack_bpe's identical bpe_token_count_arrow + oracle CTEs;
-    # docs_warc_ingest -> docs_crawl_pipeline's identical response-
-    # record write/CDX/range-read/HTTP-parse chain), so the due set is
-    # 47. Their freed slots go to the three NEW r16 gates VERDICT r15
-    # ordered: dsir_sample (extras/dsir.py, Gumbel-top-k importance
-    # resampling — missing #1), dedup_hosts (extras/urls.py
-    # host_counts, the domain-cap aggregate — missing #2), and
-    # docs_wet_roundtrip (sources/warc.py conversion records — missing
-    # #3, completing the WARC/CDX/WET artifact-trio gates). Still 50
-    # in-window, nobody displaced, actives = 100 (at cap), and after
-    # this window every active entry's evidence is r15 or r16.
-    # r17 earmark (the established precedent): domain_counts
-    # (extras/urls.py, r16 — eTLD+1 registrable-domain caps via
-    # registrable_domain_expr + the registrable_domain_sql twin,
-    # differential-locked in tests/test_urls.py over the synth corpus)
-    # is gate-ready; candidate funding: dedup_hosts -> a domain_counts
-    # gate is NOT a clean superset (different grain), but host_counts'
-    # unique code is one groupBy over the same canonicalize chain
-    # dedup_url gates — retire dedup_hosts INTO a domain_counts gate
-    # that projects BOTH grains (host, domain) in one entry.
-    "dsir_sample",
-    "dedup_hosts",
-    "docs_wet_roundtrip",
-    # --- the 47 due actives (last=r14) ---------------------------------
-    "ann_pq_rerank",
-    "corpus_heavy_hitters_cms_bounded",
-    "corpus_top_ngrams",
-    "dedup_bloom_contamination",
-    "dedup_incremental",
-    "dedup_minhash_verified",
-    "dedup_normalized",
-    "docs_bucketed_join",
-    "docs_clean_pipeline",
-    "docs_filter_funnel",
-    "docs_gopher_filter",
-    "docs_jsonl_roundtrip",
-    "docs_pack_bpe",
-    "embed_gram",
-    "embed_random_projection",
-    "embed_semdedup",
-    "events_asof",
-    "events_pivot",
-    "events_quantiles_histogram",
-    "events_rollup",
-    "events_sessions",
-    "graph_pagerank",
-    "graph_triangles",
-    "rdf_egress_turtle",
-    "retrieval_bm25",
-    "retrieval_term_stats",
-    "sparql_agg_count",
-    "sparql_agg_expr",
-    "sparql_bind",
-    "sparql_distinct",
-    "sparql_offset_limit",
-    "sparql_path_alt",
-    "sparql_path_seq",
-    "sparql_path_star",
-    "sparql_q3_shaped",
-    "sparql_service",
-    "sparql_topk",
-    "sparql_update_roundtrip",
-    "sparql_values_undef",
-    "stream_dedup_exact",
-    "stream_session_windows",
-    "stream_sparql_select",
-    "stream_stateful_sessions",
-    "text_classifier_score",
-    "text_lm_score",
-    "text_quality",
-    "text_repetition",
+    # --- r17 window (exactly 50 — the driver checks the FIRST 50) ------
+    # Rotation ledger (evidence age at the END of r16, from the
+    # CORRECTNESS_r{15,16}.json keys): 100 actives at cap; the 50 in
+    # the r16 window hold r16 rows, the other 50 hold r15 rows and
+    # are ALL due now. Two retirements this round (CATALOG_RETIRED
+    # r17 block): dedup_hosts -> domain_counts (NOT due — r16
+    # evidence — but the r16 ledger earmarked exactly this move: the
+    # new two-grain entry's host rows ARE host_counts, so the
+    # retirement funds the new gate's ACTIVE slot), and dedup_url ->
+    # docs_crawl_pipeline + domain_counts (due; its surv collapse is
+    # the pipeline's stage 4 under the same oracle CTE text — this
+    # retirement funds the new gate's WINDOW slot, since 50 due − 1
+    # + 1 new = 50). Result: actives 99 (one under cap — the spare is
+    # the r18 window's slot for its next gate), retired 49, window =
+    # domain_counts + the 49 remaining due actives, zero evidence
+    # older than 2 rounds after this window lands.
+    # r18 earmark: the spare active slot + the spare window slot fit
+    # one new gate — candidates in gate-readiness order: the
+    # registrable-domain-capped URL dedup composition
+    # (urls.url_dedup_domain_capped — RefinedWeb §3.1's actual cap,
+    # IMPLEMENTED r17 with a DuckDB twin and differential-locked in
+    # tests/test_urls.py over the synth corpus, so gating it is a
+    # catalog entry away) or a WET -> documents -> execute_sparql
+    # chain closing the crawl-to-SPARQL loop.
+    "domain_counts",
+    # --- the 49 due actives (last=r15) ---------------------------------
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "ann_rerank_topk",
+    "corpus_sketch_store",
+    "dedup_clusters",
+    "dedup_containment",
+    "dedup_cross_corpus",
+    "dedup_lines",
+    "dedup_simhash_check",
+    "dedup_span_removal",
+    "doc_chunks",
+    "docs_crawl_pipeline",
+    "docs_html_extract",
+    "embed_kmeans",
+    "embed_perceptron",
+    "events_funnel",
+    "events_props",
+    "events_quantiles",
+    "multimodal_features",
+    "rdf_egress_jsonld",
+    "sample_stratified",
+    "sparql_agg_avg",
+    "sparql_agg_minmax",
+    "sparql_ask",
+    "sparql_bind_exists",
+    "sparql_bindings",
+    "sparql_construct",
+    "sparql_custom_function",
+    "sparql_filter",
+    "sparql_from_graph",
+    "sparql_graph",
+    "sparql_group_by_expr",
+    "sparql_group_concat",
+    "sparql_having",
+    "sparql_minus",
+    "sparql_not_exists",
+    "sparql_optional",
+    "sparql_path_inv",
+    "sparql_path_negated",
+    "sparql_path_zero_or_one",
+    "sparql_property_table",
+    "sparql_quads_roundtrip",
+    "sparql_subselect",
+    "sparql_union",
+    "sparql_union_default_graph",
+    "stream_dedup_neardup",
+    "stream_interval_join",
+    "stream_windowed_counts",
+    "text_pmi_bigrams",
 ]
 
 

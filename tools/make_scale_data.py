@@ -154,12 +154,15 @@ def main():
         dst = os.path.join(out_dir, f"{name}.parquet")
         if only and name not in only:
             # the cannot-diverge guarantee: a derived table left as a
-            # stale 1x symlink from the pre-r16 layout is regenerated
-            # even when the partial refresh did not name it (skipping
-            # it would silently keep the wrong-scale input)
-            if not os.path.islink(dst):
+            # stale 1x symlink from the pre-r16 layout — or MISSING
+            # entirely (fresh/incomplete out_dir, ADVICE r16 #2) — is
+            # regenerated even when the partial refresh did not name
+            # it (skipping either case would leave a wrong-scale or
+            # absent input until a later read fails)
+            if os.path.exists(dst) and not os.path.islink(dst):
                 continue
-            print(f"{name}: stale 1x symlink — regenerating despite partial refresh")
+            why = "stale 1x symlink" if os.path.islink(dst) else "missing"
+            print(f"{name}: {why} — regenerating despite partial refresh")
         # a stale 1x symlink must be unlinked, not written through
         # (the target is the READ-ONLY fixture)
         if os.path.islink(dst):
