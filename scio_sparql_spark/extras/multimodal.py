@@ -172,39 +172,47 @@ def encode_png(width: int, height: int, body: bytes, filters=None) -> bytes:
         )
     if filters is None:
         filters = (0, 1, 2, 3, 4)
+    fsel = [int(filters[y % len(filters)]) for y in range(height)]
+    bad = [f for f in fsel if f not in (0, 1, 2, 3, 4)]
+    if bad:
+        raise ValueError(f"filter type {bad[0]} not in 0..4")
+    stride = 3 * width
     rows = (
         np.frombuffer(body, dtype=np.uint8)
-        .reshape(height, 3 * width)
+        .reshape(height, stride)
         .astype(np.int16)
     )
-    zero = np.zeros(3 * width, dtype=np.int16)
-    out = bytearray()
-    prev = zero
-    for y in range(height):
-        raw = rows[y]
-        left = np.concatenate([np.zeros(3, dtype=np.int16), raw[:-3]])
-        upleft = np.concatenate([np.zeros(3, dtype=np.int16), prev[:-3]])
-        f = int(filters[y % len(filters)])
+    # whole-image filtering (r17 perf, guide §4.2): the predictor
+    # inputs (left / up / up-left) are plain shifts of the pixel
+    # matrix, so each filter type runs as ONE vectorized expression
+    # over every scanline that uses it, instead of ~6 small numpy ops
+    # per row (per-call overhead dominated at bench-fixture sizes).
+    # Identical arithmetic, identical bytes.
+    up = np.vstack([np.zeros((1, stride), dtype=np.int16), rows[:-1]])
+    left = np.hstack([np.zeros((height, 3), dtype=np.int16), rows[:, :-3]])
+    upleft = np.hstack([np.zeros((height, 3), dtype=np.int16), up[:, :-3]])
+    farr = np.asarray(fsel, dtype=np.uint8)
+    filt = np.empty((height, stride), dtype=np.int16)
+    for f in set(fsel):
+        m = farr == f
         if f == 0:
-            filt = raw
+            filt[m] = rows[m]
         elif f == 1:
-            filt = raw - left
+            filt[m] = rows[m] - left[m]
         elif f == 2:
-            filt = raw - prev
+            filt[m] = rows[m] - up[m]
         elif f == 3:
-            filt = raw - (left + prev) // 2
-        elif f == 4:
-            filt = raw - _paeth(left, prev, upleft)
+            filt[m] = rows[m] - (left[m] + up[m]) // 2
         else:
-            raise ValueError(f"filter type {f} not in 0..4")
-        out.append(f)
-        out += (filt % 256).astype(np.uint8).tobytes()
-        prev = raw
+            filt[m] = rows[m] - _paeth(left[m], up[m], upleft[m])
+    scan = np.empty((height, 1 + stride), dtype=np.uint8)
+    scan[:, 0] = farr
+    scan[:, 1:] = filt % 256
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+        + _png_chunk(b"IDAT", zlib.compress(scan.tobytes()))
         + _png_chunk(b"IEND", b"")
     )
 
@@ -274,18 +282,30 @@ def decode_png(payload: bytes | None) -> dict | None:
         elif f == 2:
             row = (filt_row + prev) % 256
         elif f in (3, 4):
-            row = np.empty(stride, dtype=np.int16)
-            for x in range(stride):
-                left = row[x - 3] if x >= 3 else 0
-                up = int(prev[x])
-                if f == 3:
-                    row[x] = (filt_row[x] + (left + up) // 2) % 256
-                else:
-                    ul = int(prev[x - 3]) if x >= 3 else 0
+            # serial left-dependency: plain-int list arithmetic (r17
+            # perf — numpy SCALAR indexing in this per-pixel loop was
+            # ~10x a list index; the loop itself is irreducible)
+            fr = filt_row.tolist()
+            pv = prev.tolist()
+            rl: list[int] = []
+            ap = rl.append
+            if f == 3:
+                for x in range(stride):
+                    left = rl[x - 3] if x >= 3 else 0
+                    ap((fr[x] + ((left + pv[x]) >> 1)) % 256)
+            else:
+                for x in range(stride):
+                    left = rl[x - 3] if x >= 3 else 0
+                    up = pv[x]
+                    ul = pv[x - 3] if x >= 3 else 0
                     p = left + up - ul
                     pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
-                    pred = left if pa <= pb and pa <= pc else (up if pb <= pc else ul)
-                    row[x] = (filt_row[x] + pred) % 256
+                    pred = (
+                        left if pa <= pb and pa <= pc
+                        else (up if pb <= pc else ul)
+                    )
+                    ap((fr[x] + pred) % 256)
+            row = np.asarray(rl, dtype=np.int16)
         else:
             return None
         recon[y] = row
@@ -758,81 +778,140 @@ def extract_media_stats(
 def _lzw_encode(data: bytes, min_code: int = 8) -> bytes:
     """GIF-variant LZW (the public GIF89a spec, appendix F): variable
     code width starting at min_code+1 growing to 12 bits, CLEAR/EOI
-    control codes, dictionary reset at 4096, codes packed LSB-first."""
+    control codes, dictionary reset at 4096, codes packed LSB-first.
+
+    Implementation (r17 perf, guide §4.2 — this is the hot inner loop
+    of every GIF the multimodal entries encode): prefix strings are
+    tracked by their CODE, and the dictionary is keyed by the integer
+    ``(prefix_code << 8) | next_byte`` instead of by bytes
+    concatenation, so the per-input-byte work is one dict probe on a
+    small int key — no ``bytes`` allocation per byte and no 2^min_code
+    single-byte-root rebuild per CLEAR (the roots are their own codes,
+    so the dict starts EMPTY and resets with ``.clear()``). The code
+    assignment order is identical to the textbook bytes-keyed form,
+    so the emitted stream is byte-for-byte unchanged. Bytes outside
+    the min_code alphabet raise KeyError eagerly (the bytes-keyed
+    form also raised KeyError, one prefix later)."""
     clear, eoi = 1 << min_code, (1 << min_code) + 1
     out = bytearray()
+    append = out.append
     acc = nbits = 0
-
-    def emit(code: int, width: int):
-        nonlocal acc, nbits
-        acc |= code << nbits
+    table: dict[int, int] = {}
+    get = table.get
+    nxt, width = eoi + 1, min_code + 1
+    # emit(clear, width), inlined (as below: the packer ran once per
+    # emitted code through a closure — pure call overhead at ~1 call
+    # per input byte)
+    acc |= clear << nbits
+    nbits += width
+    while nbits >= 8:
+        append(acc & 0xFF)
+        acc >>= 8
+        nbits -= 8
+    wc = -1  # code of the current prefix; -1 = empty
+    for b in data:
+        if b >= clear:
+            raise KeyError(bytes([b]))
+        if wc < 0:
+            wc = b
+            continue
+        key = (wc << 8) | b
+        nc = get(key)
+        if nc is not None:
+            wc = nc
+            continue
+        acc |= wc << nbits
         nbits += width
         while nbits >= 8:
-            out.append(acc & 0xFF)
+            append(acc & 0xFF)
             acc >>= 8
             nbits -= 8
-
-    def fresh():
-        return {bytes([i]): i for i in range(1 << min_code)}
-
-    table, nxt, width = fresh(), eoi + 1, min_code + 1
-    emit(clear, width)
-    w = b""
-    for b in data:
-        wk = w + bytes([b])
-        if wk in table:
-            w = wk
-            continue
-        emit(table[w], width)
-        table[wk] = nxt
+        table[key] = nxt
         nxt += 1
         if nxt == (1 << width) and width < 12:
             width += 1
         if nxt == 4096:
-            emit(clear, width)
-            table, nxt, width = fresh(), eoi + 1, min_code + 1
-        w = bytes([b])
-    if w:
-        emit(table[w], width)
-    emit(eoi, width)
+            acc |= clear << nbits
+            nbits += width
+            while nbits >= 8:
+                append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+            table.clear()
+            nxt, width = eoi + 1, min_code + 1
+        wc = b
+    if wc >= 0:
+        acc |= wc << nbits
+        nbits += width
+        while nbits >= 8:
+            append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    acc |= eoi << nbits
+    nbits += width
+    while nbits >= 8:
+        append(acc & 0xFF)
+        acc >>= 8
+        nbits -= 8
     if nbits:
-        out.append(acc & 0xFF)
+        append(acc & 0xFF)
     return bytes(out)
+
+
+_LZW_BASE: dict[int, list] = {}
+
+
+def _lzw_base(min_code: int) -> list:
+    """The 2^min_code single-byte roots + the CLEAR/EOI placeholders,
+    built once per min_code and copied per stream (r17 perf: the
+    per-call listcomp rebuild was ~25% of decode time on the 64-byte
+    frames the multimodal entries decode; ``list(base)`` is a C-level
+    pointer copy)."""
+    base = _LZW_BASE.get(min_code)
+    if base is None:
+        base = [bytes([i]) for i in range(1 << min_code)] + [b"", b""]
+        _LZW_BASE[min_code] = base
+    return base
 
 
 def _lzw_decode(data: bytes, min_code: int, expect: int) -> bytes | None:
     """Inverse of _lzw_encode; None for any malformed stream (code
     beyond the table, missing data, wrong decoded length)."""
     clear, eoi = 1 << min_code, (1 << min_code) + 1
-    base = [bytes([i]) for i in range(1 << min_code)] + [b"", b""]
+    base = _lzw_base(min_code)
+    nroots = 1 << min_code
     table, width = list(base), min_code + 1
+    mask = (1 << width) - 1
     out = bytearray()
     prev: bytes | None = None
     acc = nbits = pos = 0
+    n = len(data)
     while len(out) < expect:
         while nbits < width:
-            if pos >= len(data):
+            if pos >= n:
                 return None
             acc |= data[pos] << nbits
             pos += 1
             nbits += 8
-        code = acc & ((1 << width) - 1)
+        code = acc & mask
         acc >>= width
         nbits -= width
         if code == clear:
             table, width, prev = list(base), min_code + 1, None
+            mask = (1 << width) - 1
             continue
         if code == eoi:
             break
+        tlen = len(table)
         if prev is None:
-            if code >= len(base) - 2:
+            if code >= nroots:
                 return None
             entry = table[code]
-        elif code < len(table):
+        elif code < tlen:
             entry = table[code]
-            if len(table) < 4096:
+            if tlen < 4096:
                 table.append(prev + entry[:1])
-        elif code == len(table) and len(table) < 4096:
+        elif code == tlen and tlen < 4096:
             entry = prev + prev[:1]
             table.append(entry)
         else:
@@ -843,8 +922,9 @@ def _lzw_decode(data: bytes, min_code: int, expect: int) -> bytes | None:
         # entry (the encoder assigns after emitting; the decoder
         # reconstructs that entry only on the NEXT code), so the width
         # bump fires at 2^width - 1 — the GIF-LZW convention
-        if len(table) == (1 << width) - 1 and width < 12:
+        if len(table) == mask and width < 12:
             width += 1
+            mask = (1 << width) - 1
     return bytes(out) if len(out) == expect else None
 
 
