@@ -283,30 +283,54 @@ def url_dedup(
     """One survivor (lowest id) per canonical URL — the re-crawl
     collapse. Rows whose URL does not canonicalize are kept (no key to
     collapse on). Only (canonical, id) shuffles; the dedup is one
-    partial-aggregated groupBy, the exact_dedup discipline."""
+    partial-aggregated groupBy, the exact_dedup discipline.
+
+    ONE groupBy over ALL rows (r17 perf, guide §2.4/§7.2): the earlier
+    union-of-two-branches form (groupBy the not-null side, pass the
+    null side through) compiled the canonicalize chain FOUR times —
+    Catalyst pushes each branch's isNull/isNotNull filter down with
+    the full synth+canonical derivation inlined, so every row paid the
+    regex chain once in the pushed filter and again in the projection,
+    per branch. Grouping by (canonical, id-if-null) needs no filter
+    and no union: not-null canonicals group to min(id) exactly as
+    before, null-canonical rows form one singleton group each (their
+    id is the second key), so min(id) is the row's own id — the same
+    bag, one evaluation of the chain, one exchange."""
     c = url_canonicalize(df, url_col, id_col)
-    web = (
-        c.filter(F.col("canonical").isNotNull())
-        .groupBy("canonical")
+    return (
+        c.groupBy(
+            "canonical",
+            F.when(F.col("canonical").isNull(), F.col(id_col)).alias("__nk"),
+        )
         .agg(F.min(id_col).alias(id_col))
         .select(id_col, "canonical")
     )
-    other = c.filter(F.col("canonical").isNull()).select(
-        id_col, F.col("canonical")
-    )
-    return web.unionByName(other)
 
 
 def host_counts(
     df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
 ) -> DataFrame:
     """Per-host page counts over canonicalized URLs — the domain-cap /
-    crawl-audit aggregate. One short-string groupBy."""
+    crawl-audit aggregate. One short-string groupBy.
+
+    The non-canonicalizing rows are dropped AFTER the aggregation
+    (r17 perf): ``host`` is NULL exactly when ``canonical`` is NULL
+    (url_canonicalize gates it on the same expression), so filtering
+    the one NULL-host group post-agg is row-identical to pre-filtering
+    on canonical — and, with the host column optimizer_barrier-wrapped
+    so the filter cannot be pushed back below the projection with the
+    whole synth+canonical chain inlined, every row pays the regex
+    chain exactly ONCE (the un-fenced form paid it twice: pushed
+    filter + projection; see url_dedup)."""
+    from ..terms import optimizer_barrier
+
+    keyed = url_canonicalize(df, url_col, id_col).select(
+        optimizer_barrier(F.col("host")).alias("host")
+    )
     return (
-        url_canonicalize(df, url_col, id_col)
-        .filter(F.col("canonical").isNotNull())
-        .groupBy("host")
+        keyed.groupBy("host")
         .agg(F.count(F.lit(1)).alias("n_pages"))
+        .filter(F.col("host").isNotNull())
     )
 
 
@@ -443,14 +467,24 @@ def domain_counts(
     """Per-REGISTRABLE-DOMAIN page counts (host_counts' sibling at the
     eTLD+1 grain — the grain real domain caps use). Map-only
     canonicalize + registrable-domain expression, then one short-key
-    groupBy; hosts with no registrable domain (bare suffixes) drop."""
+    groupBy; hosts with no registrable domain (bare suffixes) drop.
+
+    NULL domains (non-canonicalizing rows AND bare public suffixes —
+    registrable_domain_expr(NULL) is NULL, so both fold into the one
+    NULL group) are dropped AFTER the aggregation, with the domain
+    column optimizer_barrier-wrapped — the same push-down-avoidance
+    as host_counts (r17 perf)."""
+    from ..terms import optimizer_barrier
+
+    keyed = url_canonicalize(df, url_col, id_col).select(
+        optimizer_barrier(
+            registrable_domain_expr(F.col("host"))
+        ).alias("domain")
+    )
     return (
-        url_canonicalize(df, url_col, id_col)
-        .filter(F.col("canonical").isNotNull())
-        .select(registrable_domain_expr(F.col("host")).alias("domain"))
-        .filter(F.col("domain").isNotNull())
-        .groupBy("domain")
+        keyed.groupBy("domain")
         .agg(F.count(F.lit(1)).alias("n_pages"))
+        .filter(F.col("domain").isNotNull())
     )
 
 

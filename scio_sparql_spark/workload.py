@@ -2470,9 +2470,15 @@ def q_dedup_url(spark, sf_dir):
     runs/non-web NULLs) -> canonicalize -> one survivor (lowest id)
     per canonical URL. Map-only canonicalization; ONLY the canonical
     string shuffles (extras/urls.py). The oracle replays the identical
-    split regex + canonical chain and the min-id groupBy."""
+    split regex + canonical chain and the min-id groupBy.
+
+    spread (r17 perf): the documents scan is one row group at the
+    contract SFs, so without it the synth + canonicalize regex chain
+    ran on a single core (guide §2.5 input skew; no-op at real scale)."""
+    from .extras.util import spread
+
     docs = _table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    return urls.url_dedup(urls.synth_urls(docs))
+    return urls.url_dedup(urls.synth_urls(spread(docs)))
 
 
 def q_dedup_hosts(spark, sf_dir):
@@ -2485,8 +2491,10 @@ def q_dedup_hosts(spark, sf_dir):
     extracts the host with the SAME split regex (canonical_host_sql —
     a naive pattern over the canonical string would mis-split
     userinfo/IPv6) and replays the count."""
+    from .extras.util import spread
+
     docs = _table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    return urls.host_counts(urls.synth_urls(docs))
+    return urls.host_counts(urls.synth_urls(spread(docs)))
 
 
 def q_domain_counts(spark, sf_dir):
@@ -2503,8 +2511,10 @@ def q_domain_counts(spark, sf_dir):
     IDENTICAL host_counts chain (same canonicalize, same groupBy),
     and the domain grain rolls up from those counts — the second
     groupBy runs over #hosts rows, never the page corpus."""
+    from .extras.util import spread
+
     docs = _table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    return urls.host_domain_counts(urls.synth_urls(docs))
+    return urls.host_domain_counts(urls.synth_urls(spread(docs)))
 
 
 def q_dedup_lines(spark, sf_dir):
