@@ -1254,8 +1254,12 @@ def q_dedup_semantic(spark, sf_dir):
 
 
 def q_docs_clean_pipeline(spark, sf_dir):
+    # spread (r17 perf): the lang-ID + token-count map work ran on the
+    # scan's single row-group partition (no-op at real scale)
+    from .extras.util import spread
+
     return pipeline.clean_corpus(
-        _table(spark, sf_dir, "documents"), min_tokens=10, langs=("en",)
+        spread(_table(spark, sf_dir, "documents")), min_tokens=10, langs=("en",)
     )
 
 
@@ -1321,9 +1325,13 @@ def q_embed_random_projection(spark, sf_dir):
     front tier for k-means/ANN; integer arithmetic (Achlioptas
     planes) makes it hash-gateable where a Gaussian matrix is not."""
     from .extras.linalg import random_projection_micro
+    from .extras.util import spread
 
+    # spread (r17 perf): the embeddings scan is one row group at the
+    # contract SFs, so the interpreted HOF projection ran on a single
+    # core (no-op at real scale where the table has many splits)
     return random_projection_micro(
-        _table(spark, sf_dir, "embeddings"), out_dim=8, dim=64, seed=7
+        spread(_table(spark, sf_dir, "embeddings")), out_dim=8, dim=64, seed=7
     )
 
 
@@ -2525,9 +2533,14 @@ def q_dedup_lines(spark, sf_dir):
     doc, order-preserving rejoin). Two 32-hex-key shuffles; the
     boilerplate sliver joins WITHOUT a forced broadcast (AQE decides —
     r15, ADVICE r14). The oracle rebuilds the whole wrap -> extract ->
-    line-dedup chain and hashes the cleaned text digests."""
+    line-dedup chain and hashes the cleaned text digests.
+
+    spread (r17 perf): the one-row-group scan serialized the wrap +
+    extract + line-explode map chain onto one core (no-op at scale)."""
+    from .extras.util import spread
+
     docs = _table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    ex = html.html_extract(html.wrap_documents_html(docs))
+    ex = html.html_extract(html.wrap_documents_html(spread(docs)))
     out = dedup.line_dedup(ex, min_docs=5)
     return out.select(
         "doc_id",
