@@ -49,18 +49,25 @@ def bm25_topk(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
     # term frequencies for QUERY TERMS ONLY: the isin filter runs
-    # map-side inside the same stage as the explode
+    # map-side inside the same stage as the explode. The doc length
+    # rides through as an int and comes back out of the aggregate via
+    # first() (deterministic: dl is a function of the group key), so
+    # the scored frame needs no join back against dl — that join
+    # re-derived the whole tokenize chain for its build side (r17,
+    # guide §2.2; the jaccard plain path's measured restructure).
     tf = (
-        toks.select(F.col(id_col), F.explode("__toks").alias("term"))
+        toks.select(
+            F.col(id_col),
+            F.size("__toks").alias("__dl"),
+            F.explode("__toks").alias("term"),
+        )
         .filter(F.col("term").isin(query_terms))
         .groupBy(id_col, "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("__dl").alias("dl"))
     )
     df_t = tf.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
-    scored = (
-        tf.join(F.broadcast(df_t), on="term")
-        .join(dl, on=id_col)
-        .crossJoin(F.broadcast(stats))
+    scored = tf.join(F.broadcast(df_t), on="term").crossJoin(
+        F.broadcast(stats)
     )
     idf = F.log(
         (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
