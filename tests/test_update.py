@@ -212,3 +212,28 @@ def test_insert_template_bnode_ignores_where_binding(spark):
     assert len(rows) == 1
     src = _select(out, "SELECT ?s WHERE { ?s :p ?v }").collect()
     assert rows[0]["b"]["lex"] != src[0]["s"]["lex"]
+
+
+def test_checkpoint_true_matches_lazy_lineage(spark):
+    """checkpoint=True (per-op store materialization, the long-sequence
+    mode) must produce exactly the same store as the default lazy
+    lineage — this pins the path after the r17 switch of the workload
+    round-trip entry to checkpoint=False."""
+    upd = """PREFIX : <urn:u:>
+       DELETE { ?s ?p ?o } WHERE { ?s :p 1 . ?s ?p ?o } ;
+       DELETE { ?s :p 2 } INSERT { ?s :p 20 } WHERE { ?s :p 2 } ;
+       INSERT DATA { :c :p 3 }"""
+
+    def rows(quads):
+        return sorted(
+            (
+                tuple(None if t is None else (t["kind"], t["lex"]) for t in
+                      (r["subject"], r["predicate"], r["object"]))
+                for r in quads.collect()
+            )
+        )
+
+    lazy = execute_update(_store(spark), upd, checkpoint=False)
+    ckpt = execute_update(_store(spark), upd, checkpoint=True)
+    assert rows(lazy) == rows(ckpt)
+    assert len(rows(lazy)) == 2  # :a (both triples) gone; :b :p 20; :c :p 3
