@@ -4,15 +4,17 @@ The clustering step of large-scale corpus curation (SemDeDup pruning,
 topic balancing, MoE data routing all start from k-means over document
 embeddings). Spark's canonical k-means shape at 100 TB:
 
-- centroids are a k x dim table, collected to the driver and
-  BROADCAST into the assignment pass each iteration (k*dim*8 bytes —
-  kilobytes, the same bounded-collect contract as the IVF quantizer,
+- centroids are a k x dim table, collected to the driver and shipped
+  into the assignment pass each iteration (k*dim*8 bytes — kilobytes,
+  the same bounded-collect contract as the IVF quantizer,
   similarity.py);
-- assignment is map-only whole-stage codegen: the per-centroid squared
-  distance is an UNROLLED sum of ``(v[i] - c_i)^2`` terms with the
-  centroid coordinates inlined as literals (the interpreted
-  ``aggregate(zip_with(...))`` HOF form benchmarked ~4x slower on the
-  cosine top-k operator — same finding as minhash_signatures);
+- assignment is ONE map-only Arrow stage (mapInPandas): all k scores
+  per batch as an exact int64 numpy matmul, the pq_encode discipline
+  (the interpreted ``aggregate(zip_with(...))`` HOF form benchmarked
+  ~4x slower on the cosine top-k operator, and the unrolled-literal
+  Column form recompiled the fused assignment+update codegen stage
+  every iteration because the centroid VALUES were part of the
+  generated source — r17);
 - the centroid update is ONE groupBy(cluster) shuffle per iteration
   with map-side partial aggregation of dim running sums + a count.
 
@@ -60,9 +62,10 @@ def kmeans_micro(
     squared distance in micro^2 units.
 
     Per iteration: one driver collect of k centroids (bounded: k x dim
-    BIGINTs), one broadcast-literal assignment pass (map-only), one
-    groupBy(cluster) shuffle for the update. The final assignment pass
-    reuses the same map-only shape. Empty clusters keep their previous
+    BIGINTs), one map-only Arrow assignment pass (int64 numpy matmul,
+    centroids shipped in the task closure), one groupBy(cluster)
+    shuffle for the update. The final assignment pass reuses the same
+    map-only shape. Empty clusters keep their previous
     centroid (no re-seeding — keeps the recurrence closed-form for the
     DuckDB/Python oracles)."""
     q = spread(vecs).select(
@@ -77,27 +80,60 @@ def kmeans_micro(
     # |v|^2 is centroid-independent, so the per-centroid score is the
     # factorized |c_j|^2 - 2*v.c_j (argmin-equivalent to the squared
     # distance, exact in integer arithmetic); the true d2 adds |v|^2
-    # back once. The whole expression is ONE SQL string per pass:
-    # building it as composed Column objects costs thousands of py4j
-    # round trips (~6s of pure driver chatter per iteration, measured),
-    # while one F.expr parses JVM-side in milliseconds — same codegen
-    # after analysis.
-    v2_sql = "+".join(f"v[{i}]*v[{i}]" for i in range(dim))
+    # back once. The assignment pass is ONE map-only Arrow stage
+    # (mapInPandas) computing all k scores per batch as an exact int64
+    # numpy matmul — the pq_encode discipline (similarity.py):
+    # np.argmin's first-minimum IS the lowest-cluster tie-break the
+    # DuckDB oracle's ROW_NUMBER (d2, cluster) replays, and every
+    # operand is int64 end to end (v is already micro-quantized BIGINT;
+    # |score| < 2^50 at dim 64), so the output is bit-identical to the
+    # previous unrolled-literal Column form.
+    #
+    # Why Arrow and not unrolled native Columns (r17, MEASURED): the
+    # literal form inlines the k*dim centroid VALUES into the generated
+    # source, so every Lloyd iteration produces new codegen source and
+    # pays a fresh janino whole-stage compile (~1.2s/iteration at any
+    # data size — it fused into the update aggregate's stage, forcing
+    # the 64-sum aggregate to recompile too). This stage's source is
+    # iteration-INVARIANT (centroids cross as a pickled closure, not as
+    # literals), so the update aggregate above it compiles once and
+    # every later iteration is pure execution. The interpreted HOF form
+    # (~4x slower per row) and the column/join form (blows the janino
+    # 64KB method limit -> interpreted fallback) were both measured
+    # worse in earlier rounds; the batched C matmul is faster per row
+    # than either AND per-iteration-constant in compile cost.
+    id_type = vecs.schema[id_col].dataType.simpleString()
+    out_schema = f"id {id_type}, v array<bigint>, cluster bigint, d2 bigint"
 
-    def assign(df):
-        scores = []
-        for c in centroids:
-            c2 = sum(int(x) * int(x) for x in c)
-            dot = "+".join(f"v[{i}]*{int(c[i])}L" for i in range(dim))
-            scores.append(f"CAST({c2}L - 2*({dot}) AS BIGINT)")
-        d_arr = F.expr("array(" + ",".join(scores) + ")")
-        best = F.array_min(d_arr)
-        cluster = (F.array_position(d_arr, best) - 1).cast("bigint")
-        d2 = (best + F.expr(v2_sql)).cast("bigint")
-        return df.select("id", "v", cluster.alias("cluster"), d2.alias("d2"))
+    def assign(df, cents):
+        import numpy as np
+        import pandas as pd
+
+        C = np.asarray(cents, dtype=np.int64)  # (k, dim)
+        c2 = (C * C).sum(axis=1)  # (k,)
+
+        def gen(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                # rows are array<bigint> -> int64 matrix, no float path
+                Q = np.stack(pdf["v"].to_numpy()).astype(np.int64)
+                scores = c2[None, :] - 2 * (Q @ C.T)
+                cl = np.argmin(scores, axis=1)
+                d2 = scores[np.arange(len(cl)), cl] + (Q * Q).sum(axis=1)
+                yield pd.DataFrame(
+                    {
+                        "id": pdf["id"],
+                        "v": pdf["v"],
+                        "cluster": cl.astype(np.int64),
+                        "d2": d2.astype(np.int64),
+                    }
+                )
+
+        return df.mapInPandas(gen, schema=out_schema)
 
     for _ in range(iters):
-        assigned = assign(q)
+        assigned = assign(q, centroids)
         sums = assigned.groupBy("cluster").agg(
             F.count("*").alias("n"),
             *[F.expr(f"sum(v[{i}]) AS s{i}") for i in range(dim)],
@@ -111,7 +147,7 @@ def kmeans_micro(
         }
         centroids = [new_c.get(j, centroids[j]) for j in range(k)]
 
-    final = assign(q)
+    final = assign(q, centroids)
     if with_vectors:
         return final.select("id", "cluster", "d2", "v")
     return final.select("id", "cluster", "d2")

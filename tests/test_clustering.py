@@ -96,6 +96,32 @@ def test_kmeans_matches_duckdb_oracle(spark, small_vecs):
     )
 
 
+def test_kmeans_argmin_tie_breaks_to_lowest_cluster(spark):
+    """Equidistant vector -> LOWEST cluster id (r17: the Arrow-matmul
+    assignment's np.argmin first-minimum must replay the strict-<
+    lowest-index tie-break the literal Column form and the DuckDB
+    oracle's ROW_NUMBER (d2, cluster) both implement). v2 sits exactly
+    between the two seeds, so iteration 1's assignment is a tie; a
+    highest-index break would shift cluster 1's mean and diverge every
+    downstream value from the Python recurrence."""
+    dim = 64
+    vecs = {
+        0: [0.0] * dim,
+        1: [4e-6] + [0.0] * (dim - 1),
+        2: [2e-6] + [0.0] * (dim - 1),  # quantizes to [2,0,...]: d2=4 to both seeds
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    want = _python_kmeans(vecs, k=2, iters=1, dim=dim)
+    got = {
+        r["id"]: (r["cluster"], r["d2"])
+        for r in kmeans_micro(df, k=2, iters=1).collect()
+    }
+    assert got == want
+    assert got[2][0] == 0  # the tie really broke low, not just matched
+
+
 def test_kmeans_every_vector_assigned_once(spark, small_vecs):
     out = kmeans_micro(small_vecs, k=4, iters=1)
     n = small_vecs.count()

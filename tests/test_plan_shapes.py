@@ -287,6 +287,13 @@ def test_catalog_extras_plans_free_of_anti_patterns(spark):
         # quadratic contract) and the custom stateful session operator
         "embed_semdedup",
         "stream_stateful_sessions",
+        # r17: the Lloyd assignment pass is the same janino-class as
+        # PQ encode above — the unrolled-literal form recompiled the
+        # fused assignment+update stage EVERY iteration (centroid
+        # values were part of the codegen source); the Arrow int64
+        # matmul is iteration-invariant source, compiled once
+        # (clustering.kmeans_micro docstring carries the numbers)
+        "embed_kmeans",
         # the documented Arrow slow path for production-size BPE merge
         # tables: the native replace chain's plan is LINEAR in |merges|
         # (unparseable at 1k), so the 1k-vocab entries ship a broadcast
