@@ -216,16 +216,22 @@ def perceptron_train(
     rows — the class-mean direction). Returns (i, w): the final
     weight vector as 0-based coordinate rows.
 
-    Scale shape: the weight vector is a plan literal (broadcast by
-    construction, dim ints); each epoch computes the margin filter and
-    the dim per-coordinate update sums in a single .agg() over one
-    scan — map-side partial combine, a dim-value shuffle, no joins.
-    The driver holds only dim integers between epochs (same pattern
-    as the k-means Lloyd loop in clustering.py). Overflow headroom:
-    |q| <= scale * max|x|, so |pred| <= n_rows * dim * (scale *
-    max|x|)^2 — at scale=1000 and unit-normal embeddings that is
-    ~2^44 per 10^5 rows; for a 100 TB corpus raise to DECIMAL(38,0)
-    partials exactly as gram_matrix_micro documents."""
+    Scale shape: each epoch is ONE map-only Arrow stage (mapInPandas,
+    the kmeans_micro/pq_encode discipline) emitting dim partial update
+    sums per batch — margin filter and per-coordinate sums as exact
+    int64 numpy ops, weights shipped in the task closure — followed by
+    a dim-row groupBy(i) shuffle. The driver holds only dim integers
+    between epochs (same pattern as the k-means Lloyd loop in
+    clustering.py). Why Arrow and not the literal Column form (r17,
+    MEASURED on kmeans_micro — same class): the weight literals were
+    part of the generated codegen source, so every epoch paid a fresh
+    janino whole-stage compile; this stage's source is epoch-INVARIANT
+    and compiles once. Overflow headroom: |q| <= scale * max|x|, so
+    |pred| <= n_rows * dim * (scale * max|x|)^2 — at scale=1000 and
+    unit-normal embeddings that is ~2^44 per 10^5 rows, far inside
+    int64 (numpy wraps rather than raises past 2^63 — outside the
+    documented headroom, raise to DECIMAL(38,0)/object partials
+    exactly as gram_matrix_micro documents)."""
     q = F.transform(
         F.slice(F.col(vec_col), 1, dim),
         lambda v: F.round(v.cast("double") * float(scale), 0).cast("long"),
@@ -243,29 +249,37 @@ def perceptron_train(
 
     base = spread(emb).select(q.alias("q"), y.alias("y")).localCheckpoint()
     w = [0] * dim
-    zero = F.lit(0).cast("long")
+
+    def epoch_partials(weights):
+        """One epoch's per-batch partial update sums as a map-only
+        Arrow stage: dim (i, v) rows per batch, summed by a dim-row
+        groupBy. Weights cross in the closure, NOT as literals, so the
+        epoch plan's codegen source never changes (see docstring)."""
+        import numpy as np
+        import pandas as pd
+
+        wv = np.asarray(weights, dtype=np.int64)
+
+        def gen(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                Q = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+                yv = pdf["y"].to_numpy().astype(np.int64)
+                mis = yv * (Q @ wv) <= 0
+                if not mis.any():
+                    continue
+                upd = (Q[mis] * yv[mis, None]).sum(axis=0)
+                yield pd.DataFrame(
+                    {"i": np.arange(dim, dtype=np.int32), "v": upd}
+                )
+
+        return base.mapInPandas(gen, schema="i int, v long")
+
     try:
         for _ in range(epochs):
-            warr = F.array(*[F.lit(int(wi)).cast("long") for wi in w])
-            pred = F.aggregate(
-                F.zip_with(F.col("q"), warr, lambda a, b: a * b),
-                zero,
-                lambda acc, x: acc + x,
-            )
-            # update sums via posexplode + ONE groupBy(i) sum, not dim
-            # named aggregates: the 64-expression .agg() re-codegens per
-            # epoch (weight literals change) and planning dominated the
-            # epoch at small SF (2.8s -> 1.6s measured, identical
-            # weights). At scale the explode is map-local and the partial
-            # agg collapses it to dim rows per partition before the
-            # (dim-row) shuffle.
             upd = (
-                base.filter(F.col("y") * pred <= 0)
-                .select(
-                    F.posexplode(
-                        F.transform(F.col("q"), lambda qi: F.col("y") * qi)
-                    ).alias("i", "v")
-                )
+                epoch_partials(w)
                 .groupBy("i")
                 .agg(F.sum("v").alias("u"))
                 .collect()

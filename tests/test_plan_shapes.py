@@ -294,6 +294,11 @@ def test_catalog_extras_plans_free_of_anti_patterns(spark):
         # matmul is iteration-invariant source, compiled once
         # (clustering.kmeans_micro docstring carries the numbers)
         "embed_kmeans",
+        # r17: the perceptron epoch pass is the same class — weight
+        # literals forced a per-epoch whole-stage recompile; the Arrow
+        # partial-sum stage is epoch-invariant source
+        # (linalg.perceptron_train docstring)
+        "embed_perceptron",
         # the documented Arrow slow path for production-size BPE merge
         # tables: the native replace chain's plan is LINEAR in |merges|
         # (unparseable at 1k), so the 1k-vocab entries ship a broadcast
