@@ -39,7 +39,8 @@ PREDICTED = {
     "dedup_containment": "~10x: asymmetric prefix filter bounds candidates at prefix_df*df, not df^2",
     "dedup_clusters": "~10x: inverted-index pairs linear-ish in postings; CC now O(log d) rounds",
     "embed_semdedup": "superlinear within clusters (k fixed -> cluster size 10x, Q@Qt quadratic per cluster) but capped by the oversize-cluster split",
-    "embed_kmeans": "~10x: broadcast-literal assignment + one groupBy per Lloyd round, all linear",
+    "embed_kmeans": "~10x: map-only Arrow-matmul assignment (r17, iteration-invariant codegen) + one groupBy per Lloyd round, all linear",
+    "embed_perceptron": "~10x: map-only Arrow partial-sum epoch pass (r17) + a dim-row groupBy per epoch, all linear; locally compile/session-floor-dominated so the observed ratio sits far under 10",
     "corpus_heavy_hitters_cms_bounded": "~10x: one corpus scan into a constant-size grid; probe side constant. rows=0 at sf1 is SEMANTICALLY CORRECT: decorrelation splits each heavy hitter into 10 rotated tokens, each ~1/10 its share, so none clears the >=1%-of-corpus gate (DuckDB-verified: max sf1 token share 0.34%)",
     "corpus_cardinality_kmv": "~10x: hash projection + distinct; k-bounded per-key state",
     "events_quantiles_histogram": "~10x: one partial-agg scan into a constant bucket grid",
