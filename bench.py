@@ -98,27 +98,21 @@ BENCH_QUERIES = [
     "dedup_minhash_verified",
     "dedup_simhash_check",
     # deterministic integer k-means (3 Lloyd iterations over the
-    # embeddings table; broadcast assignment + one shuffle per round).
-    # MEASUREMENT NOTE (VERDICT r10 wrong #3, investigated r11): the
-    # assignment pass inlines centroid values as codegen literals, so
-    # every Lloyd iteration generates NEW codegen source and its
-    # measured time depends on how JIT-warm the JVM's
-    # janino-compile path is when the query runs — a controlled r11
-    # kmeans-first re-measure showed 13.6s for the cold first rep vs a
-    # 3.6-4.0s steady-state min (1.0x of r8's 3.76s; code unchanged
-    # since r8). The r8->r10 drift is therefore bench run-order
-    # warm-up, not a plan regression. The literal form is kept
-    # deliberately: per-row it is whole-stage-codegen arithmetic with
-    # immediate constants (the column/join alternatives were
-    # prototyped in r11 and BLOW the 64KB janino method limit ->
-    # interpreted fallback, 27s/run), and at 100 TB the 4 one-off
-    # compiles amortize to nothing against the scan.
+    # embeddings table; map-only Arrow-matmul assignment + one shuffle
+    # per round). HISTORY: through r16 the assignment inlined centroid
+    # values as codegen literals, so every Lloyd iteration generated
+    # NEW codegen source and the entry's time tracked the JVM's
+    # janino-compile JIT warmth (r11 controlled re-measure: 13.6s cold
+    # first rep vs 3.6-4.0s steady-state; the column/join alternatives
+    # BLEW the 64KB janino method limit -> interpreted fallback,
+    # 27s/run). r17 replaced the literal form with an
+    # iteration-invariant mapInPandas int64 matmul (centroids in the
+    # task closure, codegen source constant, bit-identical output):
+    # 4.33 -> 2.6-3.5s, and the old JIT-ordering sensitivity is gone.
     "embed_kmeans",
     # SemDeDup proper: k-means blocking + exact within-cluster cosine.
-    # Shares embed_kmeans's measurement caveat above (it RUNS
-    # kmeans_micro internally, so its number moves with the same JIT
-    # warm-up ordering): r11 re-measure 6.5s stable warm vs 5.06 (r10)
-    # with zero code change to clustering.py this round.
+    # RUNS kmeans_micro internally, so it paid the pre-r17 recompile
+    # caveat above twice: 6.05 -> 3.5s with the r17 Arrow assignment.
     "embed_semdedup",
     # exact discrete per-key percentiles (rank select, no sketch)
     "events_quantiles",
