@@ -32,6 +32,48 @@ from .util import TOKEN_SPLIT_RE, release_checkpoint, spread, spread_pinned
 TOKEN_RE = TOKEN_SPLIT_RE  # r16: explicit RE2-equal whitespace class
 
 
+# r18 (guide §2.3 "shuffle keys and metadata instead of payloads",
+# VERDICT r17 Next #1): the prefix-filtered candidate machinery in
+# ngram_jaccard_pairs / containment_pairs runs entirely on an 8-byte
+# hash of each shingle instead of the ~20-60 B shingle string — the
+# df aggregate, the df join, the per-doc (df, g) struct sort, and the
+# postings self-join all shuffle and compare longs. Module-level (not
+# inlined) so the collision-tolerance test can swap in a deliberately
+# colliding hash and prove the output is hash-independent.
+#
+# EXACTNESS (why collisions cannot change output rows): the prefix
+# filter is correct under ANY global total order of the element
+# universe. Model the hashed universe as hash OCCURRENCES (each
+# distinct shingle of a doc contributes one posting whose key is its
+# hash): a true pair with string intersection C has hash-occurrence
+# matching of size >= |C| (every common string contributes one
+# matched occurrence on each side), the (df, hash) order is a
+# function of the hash so it is globally consistent, and equal-key
+# occurrences are interchangeable (their structs are identical, so
+# array_sort placement cannot matter). The order-preserving matching
+# of common occurrences has a minimal matched pair (i, j); all other
+# matched pairs rank after it on BOTH sides, so the prefix bound
+# (i <= |A| - |C| + 1) and the positional bound
+# (1 + min(|A|-i, |B|-j) >= |C|) hold at a join row the hash-equality
+# candidate join emits. Collisions therefore only ADD candidate rows
+# (hash equality is a superset of string equality) and only RELAX the
+# effective prune (df of a collided hash is the sum of its strings'
+# dfs, which just reorders/extends prefixes within a still-consistent
+# order); the final verify recomputes the measure on the FULL STRING
+# shingle sets, so every extra candidate is filtered exactly and the
+# output bag is identical for any hash function — locked by
+# test_dedup_proxy_hash_collisions.
+_PROXY_HASH = F.xxhash64
+
+
+def _hashed_posts(sh: DataFrame):
+    """(id, ns, g) postings with g = _PROXY_HASH(shingle) — the narrow
+    proxy every candidate-side shuffle carries (8 B vs the string)."""
+    return sh.select(
+        "id", F.size("sh").alias("ns"), F.explode("sh").alias("g0")
+    ).select("id", "ns", _PROXY_HASH("g0").alias("g"))
+
+
 def _tokens(col):
     # Filter empties so a whitespace-only / empty document tokenizes to
     # [] (n_tokens=0), matching the DuckDB oracles' list_filter(...,
@@ -188,11 +230,15 @@ def ngram_jaccard_pairs(
             inter.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
             .filter(F.col("jaccard") >= threshold)
         )
-    posts = sh.select("id", F.size("sh").alias("ns"), F.explode("sh").alias("g"))
-    # global document frequency per shingle: one partial-agg shuffle of
-    # shingle keys (at 100 TB this is the corpus vocabulary — big, so a
-    # plain shuffle join, never a driver collect; AQE broadcasts it at
-    # small SF on its own)
+    # r18: the candidate machinery below runs on _PROXY_HASH(shingle)
+    # longs, not shingle strings — see the _PROXY_HASH exactness note
+    # (any consistent order works for the prefix proofs; collisions
+    # only add candidates; the verify below is exact on strings).
+    posts = _hashed_posts(sh)
+    # global document frequency per shingle hash: one partial-agg
+    # shuffle of 8-byte keys (at 100 TB this is the corpus vocabulary —
+    # big, so a plain shuffle join, never a driver collect; AQE
+    # broadcasts it at small SF on its own)
     freq = posts.groupBy("g").agg(F.count(F.lit(1)).alias("__df"))
     # The FINAL filter tests the ROUNDED Jaccard (round(J,6) >= t), so
     # a pair with raw J in [t - 5e-7, t) still belongs in the output.
@@ -356,9 +402,14 @@ def containment_pairs(
             inter.select("id_a", "id_b", F.round(containment, 6).alias("containment"))
             .filter(F.col("containment") >= threshold)
         )
-    posts = sh.select("id", F.size("sh").alias("ns"), F.explode("sh").alias("g"))
-    # global document frequency per shingle: one partial-agg shuffle
-    # (corpus vocabulary at 100 TB — a shuffle join, never a collect)
+    # r18: candidate machinery on _PROXY_HASH(shingle) longs — see the
+    # module-level exactness note (the asymmetric prefix/positional
+    # proofs hold under any consistent order; collisions only add
+    # candidates; the verify below is exact on strings).
+    posts = _hashed_posts(sh)
+    # global document frequency per shingle hash: one partial-agg
+    # shuffle of 8-byte keys (corpus vocabulary at 100 TB — a shuffle
+    # join, never a collect)
     freq = posts.groupBy("g").agg(F.count(F.lit(1)).alias("__df"))
     t_eff = max(threshold - 1e-6, 1e-12)
     # per-document (df, g)-sorted shingle structs, built once per doc

@@ -488,6 +488,42 @@ def test_fuzz_containment_prefix_filter_high_df(spark, texts, threshold):
         assert got == want, (mode, got ^ want)
 
 
+@given(texts=_stop_corpus, threshold=st.sampled_from([0.5, 0.8]))
+@_settings
+def test_fuzz_proxy_hash_collisions_do_not_change_output(
+    spark, texts, threshold
+):
+    """r18: the prefix-filtered candidate machinery runs on
+    _PROXY_HASH(shingle) longs (8 B/shingle through every candidate
+    shuffle). The output must be IDENTICAL for any hash function —
+    collisions may only add candidates that the exact string verify
+    filters — so force a 4-bucket hash (astronomically more collisions
+    than xxhash64 will ever produce) and require both operators to
+    still equal the brute-force reference on the adversarial
+    universal-stopword corpus."""
+    orig = dedup._PROXY_HASH
+    dedup._PROXY_HASH = lambda c: F.pmod(F.xxhash64(c), F.lit(4))
+    try:
+        got_c = {
+            (r.id_a, r.id_b, r.containment)
+            for r in dedup.containment_pairs(
+                _df(spark, texts), threshold=threshold, n=3,
+                prefix_filter="always",
+            ).collect()
+        }
+        got_j = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in dedup.ngram_jaccard_pairs(
+                _df(spark, texts), threshold=threshold, n=3,
+                prefix_filter="always",
+            ).collect()
+        }
+    finally:
+        dedup._PROXY_HASH = orig
+    assert got_c == _pycontainment_pairs(texts, threshold)
+    assert got_j == _pyjaccard_pairs(texts, threshold)
+
+
 @given(
     vecs=st.lists(
         st.lists(
