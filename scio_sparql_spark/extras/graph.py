@@ -95,14 +95,34 @@ def triangle_counts(
     Vassilvitskii WWW'11, Cohen's MR triangle counting): canonicalize
     each undirected edge, then direct every edge from its lower to its
     higher endpoint under the total order (degree, node). Each triangle
-    {a, b, c} with order a < b < c then matches EXACTLY once as the
-    directed path (a->b, b->c) closed by (a->c) — one equi-join to
-    build wedges from each node, one to close them. The orientation is
-    the scale lever: a node's DIRECTED out-degree is bounded by
-    O(sqrt(m)) on any graph (a hub of degree d keeps only neighbors of
-    order above it), so the wedge join is quadratic in oriented
-    out-degree, never in raw degree — the same hub that breaks the
-    naive neighbor self-join streams through this one.
+    {a, b, c} with order a < b < c then appears EXACTLY once at its
+    minimal edge (a, b) as a common oriented out-neighbor c of both a
+    and b (c is in N+(a) via a->c and in N+(b) via b->c; the other two
+    edges of the triangle find no common neighbor: at (a, c) the third
+    node b is NOT in N+(c) because b < c directs that edge b->c, and
+    symmetrically at (b, c)). The orientation is the scale lever: a
+    node's DIRECTED out-degree is bounded by O(sqrt(m)) on any graph
+    (a hub of degree d keeps only neighbors of order above it), so the
+    per-edge intersection work is quadratic in oriented out-degree,
+    never in raw degree — the same hub that breaks the naive neighbor
+    self-join streams through this one.
+
+    r18 EDGE-ITERATOR form (guide §2.3 shuffle fewer bytes): through
+    r17 this closed wedges with a second equi-join — the wedge frame
+    (one row per oriented 2-path, 4.2M rows at sf0.1 vs ~200k edges)
+    was materialized and SHUFFLED by (v, w) into the closing join, so
+    the heaviest exchange in the plan carried O(sum of squared
+    out-degrees) rows. Now the oriented adjacency list is aggregated
+    once per node (arrays bounded by the O(sqrt(m)) out-degree above)
+    and each directed edge row intersects its endpoints' arrays
+    in-place: every exchange carries O(m) edge/adjacency rows and the
+    wedge count never crosses the network. Same asymptotic compute,
+    ~20x fewer shuffled rows at sf0.1; measured on the 10x corpus
+    (clean interleaved reps, foreign 0.0%) 21.6s -> 13.4s, and
+    row-identical output at sf0.1 AND sf1. array_intersect is a set
+    intersection here (adjacency arrays are duplicate-free since the
+    edge frame is distinct), so collect_list's nondeterministic order
+    cannot affect values.
 
     All-integer, order-independent aggregation => deterministic and
     engine-replicable (the pytest differential runs the identical
@@ -131,25 +151,25 @@ def triangle_counts(
     dire = ranked.select(
         F.when(oa < ob, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(oa < ob, F.col("b")).otherwise(F.col("a")).alias("v"),
-        F.when(oa < ob, ob).otherwise(oa).alias("ov"),
     )
-    # wedge (u: v -> w) with order(v) < order(w), closed by edge (v, w)
-    wedges = (
-        dire.alias("e1")
+    # oriented adjacency arrays (bounded by the O(sqrt(m)) oriented
+    # out-degree), then one in-place set intersection per edge: the
+    # triangles of edge (u, v) are exactly N+(u) ∩ N+(v)
+    adj = dire.groupBy(F.col("u").alias("n")).agg(
+        F.collect_list("v").alias("nb")
+    )
+    tri = (
+        dire.join(
+            adj.select(F.col("n").alias("u"), F.col("nb").alias("nu")), on="u"
+        )
         .join(
-            dire.alias("e2"),
-            (F.col("e1.u") == F.col("e2.u"))
-            & (F.col("e1.ov") < F.col("e2.ov")),
+            adj.select(F.col("n").alias("v"), F.col("nb").alias("nv")), on="v"
         )
         .select(
-            F.col("e1.u").alias("x"),
-            F.col("e1.v").alias("y"),
-            F.col("e2.v").alias("z"),
+            F.col("u").alias("x"),
+            F.col("v").alias("y"),
+            F.explode(F.array_intersect("nu", "nv")).alias("z"),
         )
-    )
-    tri = wedges.join(
-        dire.select(F.col("u").alias("y"), F.col("v").alias("z")),
-        on=["y", "z"],
     )
     return (
         tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
