@@ -53,24 +53,53 @@ from .terms import (
 _COLS = ("subject", "predicate", "object", "graph")
 
 
+# r18: measured lazy-lineage planning cliff at sf0.1 (identical ops,
+# identical output; seconds are build+query+count, min of reps):
+#   ops:        3     4     5     6     7     8     10     20
+#   lazy:     1.11  3.53  4.62  3.86  4.60  8.00  27.83  >300 (timeout)
+#   per-op ck:1.14  2.68  2.93  1.99  1.92  1.97   2.13   ~2
+# Catalyst re-analyzes the whole accumulated anti-join/union chain on
+# every action, and past ~4 operations that planning cost compounds
+# superlinearly — it is DRIVER time, independent of data size, so the
+# cliff is the same at 100 TB. "auto" therefore keeps short sequences
+# fully lazy (no store materialization — at scale a localCheckpoint
+# rewrites the entire store) and checkpoints every _AUTO_EVERY-th op
+# on longer ones, bounding lineage depth at the measured knee.
+_AUTO_EVERY = 4
+
+
 def execute_update(
-    quads: DataFrame, update: str, checkpoint: bool = False
+    quads: DataFrame, update: str, checkpoint: bool | str = "auto"
 ) -> DataFrame:
     """Apply a SPARQL 1.1 Update request (one or more ';'-separated
     operations) and return the resulting quads DataFrame.
 
-    ``checkpoint=True`` localCheckpoints the store after each
-    operation: each op executes once and later ops (and queries over
-    the result) plan against materialized state instead of the whole
-    accumulated anti-join/union lineage. Use it for long operation
-    sequences — lineage depth grows linearly with ops otherwise, and
-    Catalyst re-analyzes the full chain on every action (the same
-    truncation the property-path fixpoint uses, compiler.py)."""
+    ``checkpoint`` controls store materialization between operations —
+    the result rows are identical in every mode (locked by the parity
+    test), only plan shape changes:
+
+    - ``"auto"`` (default, r18): sequences of <= 4 operations stay
+      fully lazy; longer sequences localCheckpoint the store after
+      every 4th operation, bounding the anti-join/union lineage depth
+      at the measured planning knee (see _AUTO_EVERY table above —
+      a 10-op lazy chain cost 27.8s of pure Catalyst re-analysis, a
+      20-op chain timed out at 300s, while bounded-depth planning
+      stays ~2s flat).
+    - ``False``: never materialize — the at-scale choice for SHORT
+      sequences (a checkpoint rewrites the whole store; a 3-deep
+      lineage plans and fuses fine).
+    - ``True``: localCheckpoint after EVERY operation — maximal
+      truncation for callers that interleave actions between ops."""
     cur = quads
     prev_ck = None
-    for op in parse_update(update):
+    ops = list(parse_update(update))
+    if checkpoint == "auto":
+        every = _AUTO_EVERY if len(ops) > _AUTO_EVERY else 0
+    else:
+        every = 1 if checkpoint else 0
+    for i, op in enumerate(ops):
         cur = _apply(cur, op)
-        if checkpoint:
+        if every and (i + 1) % every == 0:
             cur = cur.localCheckpoint()
             # the eager checkpoint consumed the previous op's store —
             # free the superseded blocks rather than pinning one store

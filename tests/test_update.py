@@ -237,3 +237,37 @@ def test_checkpoint_true_matches_lazy_lineage(spark):
     ckpt = execute_update(_store(spark), upd, checkpoint=True)
     assert rows(lazy) == rows(ckpt)
     assert len(rows(lazy)) == 2  # :a (both triples) gone; :b :p 20; :c :p 3
+
+
+def test_checkpoint_auto_matches_both_modes_past_knee(spark):
+    """r18: checkpoint='auto' (the new default) bounds lineage depth by
+    checkpointing every 4th op on sequences longer than 4 ops — the
+    measured Catalyst planning knee (update.py _AUTO_EVERY table: a
+    10-op lazy chain cost 27.8s of pure re-analysis, 20 ops timed out,
+    while bounded depth stays ~2s flat). The store must be identical
+    in all three modes on a 7-op mixed sequence that crosses the
+    auto-checkpoint boundary mid-sequence."""
+    upd = """PREFIX : <urn:u:>
+       DELETE { ?s ?p ?o } WHERE { ?s :p 1 . ?s ?p ?o } ;
+       DELETE { ?s :p 2 } INSERT { ?s :p 20 } WHERE { ?s :p 2 } ;
+       INSERT DATA { :c :p 3 } ;
+       INSERT DATA { :d :p 4 . :d :q "tmp" } ;
+       DELETE WHERE { :d :q ?v } ;
+       DELETE { ?s :p 20 } INSERT { ?s :p 21 } WHERE { ?s :p 20 } ;
+       INSERT DATA { :e :p 5 }"""
+
+    def rows(quads):
+        return sorted(
+            (
+                tuple(None if t is None else (t["kind"], t["lex"]) for t in
+                      (r["subject"], r["predicate"], r["object"]))
+                for r in quads.collect()
+            )
+        )
+
+    auto = execute_update(_store(spark), upd)  # default is "auto"
+    lazy = execute_update(_store(spark), upd, checkpoint=False)
+    ckpt = execute_update(_store(spark), upd, checkpoint=True)
+    assert rows(auto) == rows(lazy) == rows(ckpt)
+    # :b :p 21, :c :p 3, :d :p 4, :e :p 5 (both :a triples and :d :q gone)
+    assert len(rows(auto)) == 4
